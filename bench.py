@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1,
+   "rows_per_sec": R}
+
+Timing is per-query wall time of full execution (collect of the aggregated
+result — every query ends in an aggregation/top-k, so collect is cheap and
+forces the whole plan). A JVM/session warmup query runs first and is not
+counted, matching how a long-lived engine would serve these.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from watermill_spark.analytics.registry import REGISTRY  # noqa: E402
+from watermill_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("watermill-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = {name: q for name, q in REGISTRY.items() if q.bench}
+
+    # warmup: JVM + parquet footer caches, not counted
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    t_suite = time.perf_counter()
+    for name, q in sorted(bench.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        total_rows += n
+    suite_sec = round(time.perf_counter() - t_suite, 3)
+
+    # throughput comparator vs BASELINE.md: lineitem rows processed per
+    # second through the flagship full-scan aggregation (q01)
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    rows_per_sec = round(li_rows / timings["q01_pricing_summary"], 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": suite_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows_per_sec": rows_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from watermill_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("watermill-spark-tests")
+    yield s
+    s.stop()

@@ -1,0 +1,323 @@
+"""Deduplication family over ``documents``: exact, MinHash+LSH, token-Jaccard.
+
+Every stage is expressed with built-in DataFrame ops (explode / groupBy /
+self-join) so the whole pipeline is JVM-side and shuffle-planned by Catalyst.
+
+Cross-engine trick making MinHash oracle-able: a MinHash signature is
+``MIN(md5(seed || ':' || token))`` — the *lexicographic* minimum of hex
+digests. md5 hex strings are identical in Spark and DuckDB, and MIN over
+strings is order-independent, so signatures (and therefore LSH buckets and
+candidate pairs) hash-match exactly without any engine-specific numeric
+hashing.
+
+Scale design (100 TB documents):
+- Tokenize+explode is narrow; the signature group-by is one shuffle on
+  doc_id (uniform key).
+- LSH banding turns the quadratic all-pairs problem into per-bucket
+  self-joins: pairs are generated only inside (band_idx, band_key) buckets.
+  Bucket sizes are bounded in practice; a hot bucket (all-identical docs) is
+  itself the answer and AQE skew-split handles the join.
+- The verify stage re-joins token sets only for candidate pairs — the
+  expensive exact Jaccard runs on candidates, never on all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .registry import load, register
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 signatures each
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct token set."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc: mh0..mh{n-1} lexicographic-min md5 signatures."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return _tokens(docs).groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws("|", *[f"mh{b * band_size + i}" for i in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# Shared SQL CTEs for the MinHash pipeline (DuckDB oracle).
+_SQL_MINHASH_CTES = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             MIN(md5('0:' || tok)) AS mh0, MIN(md5('1:' || tok)) AS mh1,
+             MIN(md5('2:' || tok)) AS mh2, MIN(md5('3:' || tok)) AS mh3,
+             MIN(md5('4:' || tok)) AS mh4, MIN(md5('5:' || tok)) AS mh5,
+             MIN(md5('6:' || tok)) AS mh6, MIN(md5('7:' || tok)) AS mh7
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sigs
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           md5(text) AS text_hash
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; emit duplicate clusters."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_doc", "n_copies", "text_hash")
+    )
+
+
+@register(
+    "q_dedup_minhash_signatures",
+    oracle=_SQL_MINHASH_CTES + "SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sigs",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation (8 hash functions over token sets)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_SQL_MINHASH_CTES
+    + """
+    , toksets AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+             / CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+             AS jaccard
+    FROM cand c
+    JOIN toksets ta ON ta.doc_id = c.doc_a
+    JOIN toksets tb ON tb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+            / CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+          >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle→minhash→band→bucket-join
+    →exact-Jaccard verify at θ=0.5.
+
+    The emitted pairs are LSH candidates *verified* by true token Jaccard, so
+    the output is deterministic (no probabilistic misses can add rows — only
+    candidate generation is probabilistic, and the oracle replays the exact
+    same banding).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    toksets = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("double") - inter
+    jac = inter / union
+    return (
+        cand.join(toksets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")), "doc_a")
+        .join(toksets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "q_dedup_minhash_clusters",
+    oracle=_SQL_MINHASH_CTES
+    + """
+    SELECT min(doc_id) AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           md5(mh0 || mh1 || mh2 || mh3 || mh4 || mh5 || mh6 || mh7) AS sig_hash
+    FROM sigs
+    GROUP BY mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+    HAVING COUNT(*) > 1
+    """,
+    bench=True,
+)
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup *clustering*: docs whose full 8-hash signature
+    collides are near-certain duplicates (signature equality ≈ Jaccard → 1).
+
+    This is the production dedup shape for web-scale corpora: output is O(n)
+    (one row per duplicate cluster), unlike pairwise emission which is
+    inherently quadratic when the corpus is self-similar. One shuffle for
+    signatures, one for the cluster group-by — both on uniform hash keys.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    sig_cols = [f"mh{i}" for i in range(N_HASHES)]
+    return (
+        sigs.groupBy(*sig_cols)
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "canonical_doc",
+            "cluster_size",
+            F.md5(F.concat(*sig_cols)).alias("sig_hash"),
+        )
+    )
+
+
+@register(
+    "q_dedup_jaccard_pairs",
+    oracle="""
+    WITH toksets AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             AS jaccard
+    FROM toksets a JOIN toksets b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          >= 0.9
+    """,
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram(1) token-set Jaccard near-dup pairs, blocked by language.
+
+    The lang equi-key is the blocking strategy: pairs are only generated
+    within a language partition (at 100 TB one blocks on lang + length
+    bucket + LSH band; the pure-Jaccard variant here is the verify kernel).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toksets = docs.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts"))
+    a = toksets.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang"), F.col("ts").alias("ta")
+    )
+    b = toksets.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("ts").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "lang", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, h.pos,
+             SUM(CASE WHEN strpos('0123456789abcdef',
+                                  substr(md5(tok), h.pos, 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END) AS weight
+      FROM toks, (SELECT unnest(generate_series(1, 16)) AS pos) h
+      GROUP BY doc_id, h.pos
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN weight > 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY pos) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature (16-bit, one bit per md5 hex position).
+
+    Each token votes ±1 per bit position (bit = high nibble of the md5 hex
+    digit at that position); the sign of the sum is the signature bit.
+    Near-dup detection then compares signatures by Hamming distance — see
+    tests. The hex-digit formulation keeps both engines bit-identical.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs).withColumn("h", F.md5("tok"))
+    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
+    votes = toks.select("doc_id", "h", pos).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.expr("instr('0123456789abcdef', substr(h, pos, 1)) - 1") >= 8, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "pos").agg(F.sum("vote").alias("weight"))
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), (F.col("weight") > 0).alias("b")))
+                    ),
+                    lambda s: F.when(s["b"], "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )

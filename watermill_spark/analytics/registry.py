@@ -1,0 +1,87 @@
+"""Query registry: the declared analytics surface of the engine.
+
+Every operator we claim in SURVEY.md §2 lands here as a named query paired
+with an ANSI-SQL oracle string that DuckDB runs over the same parquet tables
+(views ``region nation customer supplier part orders lineitem events
+documents embeddings``). The driver hash-compares Spark vs DuckDB results
+(row count + schema + order-insensitive value hash), so every query follows
+the cross-engine determinism rules in :mod:`watermill_spark.analytics.det`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    bench: bool = False  # include in bench.py headline suite
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, bench: bool = False):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Plain parquet scan: Catalyst pushes filters and prunes columns into the
+    scan, so callers should express predicates on the returned DataFrame and
+    let pushdown do its job rather than pre-filtering here.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it via the nanos-as-long legacy conf
+    and truncate to microseconds with *integer* division (``div``), matching
+    DuckDB's ns→µs truncation exactly (a double division would lose integer
+    precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in REGISTRY.values() if q.bench}
