@@ -1,0 +1,156 @@
+"""FanIn/FanOut/Forwarder/Delay/Requeuer component semantics
+(`components/fanin`, `pubsub/gochannel/fanout.go`, `components/forwarder`,
+`components/delay`, `components/requeuer`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from watermill_spark.components import (
+    DelayPublisher,
+    FanIn,
+    FanOut,
+    Forwarder,
+    Requeuer,
+    delay_for,
+    deliverable_now,
+    envelope_unwrap,
+    envelope_wrap,
+)
+from watermill_spark.message import messages_df, new_message
+from watermill_spark.sources import MemoryPubSub
+from watermill_spark.streaming.middleware import (
+    DELAYED_UNTIL,
+    POISONED_TOPIC,
+    REQUEUER_RETRIES,
+)
+
+
+@pytest.fixture
+def ps(spark):
+    return MemoryPubSub(spark)
+
+
+def _msgs(spark, n, **meta):
+    return messages_df(
+        spark, [new_message(f"p{i}", metadata={"n": str(i), **meta}) for i in range(n)]
+    )
+
+
+def _t(p):
+    return f"{p}-{_uuid.uuid4().hex[:6]}"
+
+
+def test_fanin_merges_topics(ps, spark):
+    a, b, out = _t("a"), _t("b"), _t("out")
+    ps.publish(a, _msgs(spark, 3))
+    ps.publish(b, _msgs(spark, 4))
+    FanIn(ps, ps, [a, b], out).run_once()
+    rows = ps.subscribe(out).collect()
+    assert len(rows) == 7
+    assert all(r["topic"] == out for r in rows)
+
+
+def test_fanin_validation(ps):
+    with pytest.raises(ValueError):
+        FanIn(ps, ps, [], "x")
+    with pytest.raises(ValueError):
+        FanIn(ps, ps, ["x"], "x")  # fanin.go:49-53
+
+
+def test_fanout_copies_to_each_subscription(ps, spark):
+    src = _t("src")
+    ps.publish(src, _msgs(spark, 5))
+    fo = FanOut(ps, src)
+    t1, t2 = _t("s1"), _t("s2")
+    fo.add_subscription(ps, t1)
+    fo.add_subscription(ps, t2)
+    fo.run_once()
+    assert ps.subscribe(t1).count() == 5
+    assert ps.subscribe(t2).count() == 5
+    # copies are isolated: same uuids, independent rows
+    assert {r["uuid"] for r in ps.subscribe(t1).collect()} == {
+        r["uuid"] for r in ps.subscribe(t2).collect()
+    }
+
+
+def test_envelope_roundtrip(spark):
+    """`components/forwarder/envelope.go:43-75`: wrap∘unwrap = identity."""
+    msgs = messages_df(
+        spark, [new_message(b"\x00\x01binary", metadata={"k": "v"}, uuid="u1")]
+    )
+    wrapped = envelope_wrap(msgs, "dest-topic")
+    un = envelope_unwrap(wrapped).head()
+    assert un["uuid"] == "u1"
+    assert bytes(un["payload"]) == b"\x00\x01binary"
+    assert dict(un["metadata"]) == {"k": "v"}
+    assert un["topic"] == "dest-topic"
+
+
+def test_forwarder_routes_by_embedded_topic(ps, spark):
+    """`components/forwarder/forwarder.go:119-140`."""
+    fwd = _t("fwd")
+    d1, d2 = _t("d1"), _t("d2")
+    ps.publish(fwd, envelope_wrap(_msgs(spark, 3), d1))
+    ps.publish(fwd, envelope_wrap(_msgs(spark, 2), d2))
+    Forwarder(ps, ps, fwd).run_once()
+    assert ps.subscribe(d1).count() == 3
+    assert ps.subscribe(d2).count() == 2
+
+
+def test_delay_stamp_and_holdback(ps, spark):
+    """`components/delay/delay.go:26-68` + uniform consumer hold-back."""
+    stamped = delay_for(_msgs(spark, 3), 3600)
+    held = deliverable_now(stamped)
+    assert held.count() == 0  # one hour out: nothing deliverable now
+    later = dt.datetime.utcnow() + dt.timedelta(hours=2)
+    assert deliverable_now(stamped, now=later).count() == 3
+    # unstamped messages flow immediately
+    assert deliverable_now(_msgs(spark, 2)).count() == 2
+
+
+def test_delay_publisher_requires_delay(ps, spark):
+    """`components/delay/publisher.go:44-52` error if no delay configured."""
+    with pytest.raises(ValueError):
+        DelayPublisher(ps, default_delay_sec=None, allow_no_delay=False).publish(
+            "t", _msgs(spark, 1)
+        )
+    t = _t("delayed")
+    DelayPublisher(ps, default_delay_sec=60).publish(t, _msgs(spark, 2))
+    meta = dict(ps.subscribe(t).head()["metadata"])
+    assert DELAYED_UNTIL in meta
+
+
+def test_requeuer_increments_retries_and_routes_back(ps, spark):
+    """`components/requeuer/requeuer.go:89-158`."""
+    poison, origin = _t("poison"), _t("origin")
+    # poisoned messages carry their origin topic in metadata
+    msgs = _msgs(spark, 3).withColumn(
+        "metadata",
+        F.map_concat(
+            F.col("metadata"),
+            F.create_map(
+                F.lit(POISONED_TOPIC), F.lit(origin),
+                F.lit(REQUEUER_RETRIES), F.lit("1"),
+            ),
+        ),
+    )
+    ps.publish(poison, msgs)
+    Requeuer(ps, ps, poison).run_once()
+    rows = ps.subscribe(origin).collect()
+    assert len(rows) == 3
+    assert all(r["metadata"][REQUEUER_RETRIES] == "2" for r in rows)
+
+
+def test_requeuer_fixed_destination_with_delay(ps, spark):
+    src, dst = _t("src"), _t("dst")
+    ps.publish(src, _msgs(spark, 2))
+    Requeuer(ps, ps, src, destination_topic=dst, delay_sec=30).run_once()
+    rows = ps.subscribe(dst).collect()
+    assert len(rows) == 2
+    assert all(r["metadata"][REQUEUER_RETRIES] == "1" for r in rows)
+    assert all(DELAYED_UNTIL in r["metadata"] for r in rows)

@@ -1,0 +1,113 @@
+"""Port of the universal Pub/Sub acceptance suite
+(`/root/reference/pubsub/tests/test_pubsub.go:30-137`), parameterized over
+transports, keeping the observable contracts that survive the
+channel→micro-batch model change (SURVEY.md §5/§7):
+
+- TestPublishSubscribe (:236-281): payload + metadata fidelity, no loss.
+- TestTopic (:873): topic isolation.
+- TestNewSubscriberReceivesOldMessages (:1126): persistent backlog replay.
+- TestPublishSubscribeInOrder (:405-481): per-key order preservation.
+- BulkRead helpers (`message/subscriber/read.go:10-53`): incl. dedup variant.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import pytest
+
+from watermill_spark.message import messages_df, new_message
+from watermill_spark.sources import MemoryPubSub, ParquetPubSub
+
+
+@pytest.fixture(params=["memory", "parquet"])
+def pubsub(request, spark, tmp_path):
+    if request.param == "memory":
+        return MemoryPubSub(spark)
+    return ParquetPubSub(spark, str(tmp_path / "topics"))
+
+
+def _mk_messages(n: int, key_mod: int | None = None):
+    msgs = []
+    for i in range(n):
+        meta = {"n": str(i)}
+        if key_mod is not None:
+            meta["key"] = str(i % key_mod)
+        msgs.append(new_message(payload=f"payload-{i}", metadata=meta))
+    return msgs
+
+
+def test_publish_subscribe(pubsub, spark):
+    """100 messages arrive exactly, payload+metadata intact (UUID set
+    equality ignoring order, as `test_asserts.go:39-59`)."""
+    topic = f"t-{_uuid.uuid4().hex[:8]}"
+    msgs = _mk_messages(100)
+    pubsub.publish(topic, messages_df(spark, msgs))
+
+    got = {r["uuid"]: r for r in pubsub.subscribe(topic).collect()}
+    assert set(got) == {m["uuid"] for m in msgs}
+    for m in msgs:
+        r = got[m["uuid"]]
+        assert bytes(r["payload"]) == m["payload"]
+        assert dict(r["metadata"]) == m["metadata"]
+
+
+def test_topic_isolation(pubsub, spark):
+    t1, t2 = (f"iso-{_uuid.uuid4().hex[:8]}" for _ in range(2))
+    pubsub.publish(t1, messages_df(spark, _mk_messages(5)))
+    pubsub.publish(t2, messages_df(spark, _mk_messages(3)))
+    assert pubsub.subscribe(t1).count() == 5
+    assert pubsub.subscribe(t2).count() == 3
+
+
+def test_new_subscriber_receives_old_messages(pubsub, spark):
+    topic = f"old-{_uuid.uuid4().hex[:8]}"
+    pubsub.publish(topic, messages_df(spark, _mk_messages(10)))
+    # "new subscriber" = fresh subscribe call after publish completed
+    assert pubsub.subscribe(topic).count() == 10
+    pubsub.publish(topic, messages_df(spark, _mk_messages(5)))
+    assert pubsub.subscribe(topic).count() == 15
+
+
+def test_publish_subscribe_in_order_per_key(pubsub, spark):
+    """Per-key order (`test_pubsub.go:405-481` uses payload=i%16 keys).
+
+    Micro-batch ordering contract: within a topic, messages carry a
+    monotone sequence (publish order); consumers observe per-key order by
+    sorting on it — the same guarantee a partition-keyed Kafka topic gives.
+    """
+    topic = f"ord-{_uuid.uuid4().hex[:8]}"
+    msgs = _mk_messages(64, key_mod=8)
+    pubsub.publish(topic, messages_df(spark, msgs))
+    rows = pubsub.subscribe(topic).collect()
+    by_key: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: int(r["metadata"]["n"])):
+        by_key.setdefault(r["metadata"]["key"], []).append(int(r["metadata"]["n"]))
+    for seq in by_key.values():
+        assert seq == sorted(seq)
+
+
+def test_bulk_read_with_dedup(pubsub, spark):
+    """BulkReadWithDeduplication analog (`message/subscriber/read.go:31-53`)."""
+    topic = f"bulk-{_uuid.uuid4().hex[:8]}"
+    msgs = _mk_messages(10)
+    pubsub.publish(topic, messages_df(spark, msgs))
+    pubsub.publish(topic, messages_df(spark, msgs))  # duplicate delivery
+    df = pubsub.subscribe(topic)
+    assert df.count() == 20
+    assert df.dropDuplicates(["uuid"]).count() == 10
+
+
+def test_subscribe_initialize(pubsub, spark):
+    topic = f"init-{_uuid.uuid4().hex[:8]}"
+    pubsub.subscribe_initialize(topic)
+    assert pubsub.subscribe(topic).count() == 0
+
+
+def test_nonpersistent_memory_drains(spark):
+    """GoChannel without persistence: subscribe drains
+    (`pubsub/gochannel/pubsub.go:20-24`)."""
+    ps = MemoryPubSub(spark, persistent=False)
+    ps.publish("d", messages_df(spark, _mk_messages(4)))
+    assert ps.subscribe("d").count() == 4
+    assert ps.subscribe("d").count() == 0

@@ -1,0 +1,198 @@
+"""Structured Streaming execution: router queries, checkpoint-replay
+redelivery, watermark dedup, windowed aggregation, session windows.
+
+Ports the delivery-guarantee behaviors of the universal suite that require
+the *streaming* model (SURVEY.md §5/§7 hard parts):
+- TestResendOnError  (`test_pubsub.go:484-529`): failure ⇒ redelivery,
+  nothing lost — here: a failing foreachBatch leaves the checkpoint
+  uncommitted; restarting the query re-processes the batch.
+- TestContinueAfterSubscribeClose (`:607`): close/reopen loses nothing —
+  here: stop the query, publish more, restart with same checkpoint.
+- Deduplicator streaming form: dropDuplicatesWithinWatermark.
+- Throttle streaming form: maxFilesPerTrigger bounds per-batch intake.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from watermill_spark.message import messages_df, new_message
+from watermill_spark.sources import ParquetPubSub
+from watermill_spark.streaming import Router
+from watermill_spark.streaming.router import passthrough_handler
+
+
+def _msgs(spark, n, start=0):
+    return messages_df(
+        spark,
+        [new_message(f"p{i}", metadata={"n": str(i)}) for i in range(start, start + n)],
+    )
+
+
+def _t(p):
+    return f"{p}-{_uuid.uuid4().hex[:6]}"
+
+
+@pytest.fixture
+def ps(spark, tmp_path):
+    return ParquetPubSub(spark, str(tmp_path / "topics"))
+
+
+def test_stream_router_end_to_end(ps, spark, tmp_path):
+    tin, tout = _t("in"), _t("out")
+    ps.publish(tin, _msgs(spark, 20))
+    r = Router()
+    r.add_handler(
+        "upper", tin, ps, tout, ps,
+        lambda df: df.withColumn(
+            "payload", F.upper(F.col("payload").cast("string")).cast("binary")
+        ),
+    )
+    r.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    r.await_termination()
+    rows = ps.subscribe(tout).collect()
+    assert len(rows) == 20
+    assert all(bytes(x["payload"]).decode().startswith("P") for x in rows)
+
+
+def test_stream_continue_after_close_no_loss(ps, spark, tmp_path):
+    """Close/reopen with the same checkpoint: the second run processes only
+    the new backlog; nothing lost, nothing reprocessed."""
+    tin, tout = _t("in"), _t("out")
+    ckpt = str(tmp_path / "ckpt")
+    ps.publish(tin, _msgs(spark, 10))
+
+    r = Router()
+    r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    r.run_stream(ckpt, available_now=True)
+    r.await_termination()
+    r.close()
+    assert ps.subscribe(tout).count() == 10
+
+    ps.publish(tin, _msgs(spark, 5, start=10))
+    r2 = Router()
+    r2.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    r2.run_stream(ckpt, available_now=True)
+    r2.await_termination()
+    rows = ps.subscribe(tout).collect()
+    assert len(rows) == 15
+    # exactly-once across restart: no uuid duplicated
+    assert len({x["uuid"] for x in rows}) == 15
+
+
+def test_stream_resend_on_error(ps, spark, tmp_path):
+    """Nack ⇒ replay: first attempt fails mid-batch (checkpoint not
+    committed); restart redelivers the same messages; nothing lost."""
+    tin, tout = _t("in"), _t("out")
+    ckpt = str(tmp_path / "ckpt")
+    ps.publish(tin, _msgs(spark, 8))
+
+    attempts = {"n": 0}
+
+    def flaky(df):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("transient sink failure")
+        return df
+
+    r = Router()
+    r.add_handler("h", tin, ps, tout, ps, flaky)
+    r.run_stream(ckpt, available_now=True)
+    with pytest.raises(Exception):
+        r.await_termination()
+    r.close()
+    assert ps.subscribe(tout).count() == 0  # failed batch published nothing
+
+    r2 = Router()
+    r2.add_handler("h", tin, ps, tout, ps, flaky)
+    r2.run_stream(ckpt, available_now=True)
+    r2.await_termination()
+    got = ps.subscribe(tout).collect()
+    assert {x["metadata"]["n"] for x in got} == {str(i) for i in range(8)}
+
+
+def test_stream_dedup_within_watermark(ps, spark, tmp_path):
+    """Deduplicator streaming form: dropDuplicatesWithinWatermark keyed on
+    payload hash (`middleware/deduplicator.go` ≙ state-store dedup with
+    watermark-based expiry)."""
+    tin, tout = _t("in"), _t("out")
+    msgs = [new_message("dup", uuid=f"u{i}") for i in range(4)] + [new_message("uniq")]
+    ps.publish(tin, messages_df(spark, msgs))
+
+    stream = ps.subscribe_stream(tin)
+    deduped = (
+        stream.withColumn("_key", F.sha2(F.col("payload"), 256))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["_key"])
+        .drop("_key")
+    )
+    q = (
+        deduped.writeStream.foreachBatch(lambda bdf, _i: ps.publish(tout, bdf))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert ps.subscribe(tout).count() == 2
+
+
+def test_stream_windowed_aggregation(ps, spark, tmp_path):
+    """Tumbling event-time window + watermark (the streaming twin of
+    q_events_hourly)."""
+    tin = _t("in")
+    rows = [
+        new_message(
+            "x",
+            metadata={"k": str(i % 2)},
+            event_time=__import__("datetime").datetime(2024, 1, 1, 0, i),
+        )
+        for i in range(10)
+    ]
+    ps.publish(tin, messages_df(spark, rows))
+    agg = (
+        ps.subscribe_stream(tin)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "5 minutes"))
+        .count()
+    )
+    # complete mode: append would emit a window only once the watermark
+    # passes its end, which never happens inside a single availableNow batch
+    out = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda bdf, _i: (out.clear(), out.extend(bdf.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(r["count"] for r in out) == 10
+    assert len(out) == 2  # minutes 0-4 and 5-9
+
+
+def test_stream_throttle_max_files_per_trigger(ps, spark, tmp_path):
+    """Throttle at the source: maxFilesPerTrigger bounds each micro-batch
+    (`middleware/throttle.go` ≙ maxOffsets/maxFiles per trigger)."""
+    tin = _t("in")
+    for i in range(4):  # 4 separate files
+        ps.publish(tin, _msgs(spark, 5, start=i * 5))
+    batch_sizes = []
+    stream = (
+        spark.readStream.schema(ps.subscribe(tin).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ps._dir(tin))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _i: batch_sizes.append(bdf.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(batch_sizes) == 20
+    assert max(batch_sizes) <= 5  # one file (5 msgs) per micro-batch

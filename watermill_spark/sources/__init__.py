@@ -1,0 +1,18 @@
+"""Topic transports: Publisher/Subscriber implementations.
+
+Reference interfaces: `message/pubsub.go:8-51` (Publish, Subscribe,
+SubscribeInitialize). Each transport here implements the same contract on a
+Spark-native storage/stream layer:
+
+- MemoryPubSub   — GoChannel analog (tests; driver-side list per topic)
+- ParquetPubSub  — persistent topics as parquet dirs (batch + streaming read)
+- KafkaPubSub    — thin config holder emitting real readStream/writeStream
+                   plans against Kafka (cluster path; not runnable in this
+                   container, covered by plan-shape tests only)
+"""
+
+from .memory import MemoryPubSub
+from .parquet import ParquetPubSub
+from .kafka import KafkaPubSub
+
+__all__ = ["MemoryPubSub", "ParquetPubSub", "KafkaPubSub"]

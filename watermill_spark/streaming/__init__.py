@@ -1,0 +1,6 @@
+"""Routing + middleware + streaming execution (SURVEY.md §2.A, §3.1)."""
+
+from .router import Router, RouterConfig
+from . import middleware
+
+__all__ = ["Router", "RouterConfig", "middleware"]

@@ -1,0 +1,345 @@
+"""Middleware set (`message/router/middleware/*`), as HandlerFn decorators.
+
+A middleware is `Callable[[HandlerFn], HandlerFn]` — exactly the reference's
+`HandlerMiddleware func(HandlerFunc) HandlerFunc` shape (`message/router.go:59`),
+so composition order semantics carry over unchanged (Router applies
+first-added outermost).
+
+Error convention: a handler/middleware marks failed rows by setting the
+string column `_wm_error`; downstream middleware (poison, ignore_errors,
+retry) consumes it; the Router nacks (raises ⇒ replay) any survivors.
+This is the batch-granular translation of per-message Ack/Nack.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from watermill_spark.message import with_metadata
+from watermill_spark.sources.base import PubSub
+
+from .router import CTX_HANDLER, CTX_SUB_TOPIC, ERROR_COL, HandlerFn, Middleware
+
+# Metadata keys — same names as the reference so consumers interoperate
+# (`message/router/middleware/poison.go:14-19`, `components/delay/delay.go:56-59`,
+#  `components/requeuer/requeuer.go:14`, `middleware/correlation.go:8`).
+REASON_POISONED = "_watermill_reason_poisoned"
+POISONED_TOPIC = "_watermill_poisoned_on_topic"
+POISONED_HANDLER = "_watermill_poisoned_by_handler"
+DELAYED_UNTIL = "_watermill_delayed_until"
+DELAYED_FOR = "_watermill_delayed_for"
+REQUEUER_RETRIES = "_watermill_requeuer_retries"
+CORRELATION_ID = "correlation_id"
+
+
+def recoverer(fn: HandlerFn) -> HandlerFn:
+    """Catch handler exceptions → error rows instead of a failed batch
+    (`middleware/recoverer.go:23-37`: panic → error with stacktrace).
+
+    Python exceptions at plan-build or execution time become `_wm_error` on
+    every input message of the batch — the micro-batch analog of a panic
+    while handling a message.
+    """
+
+    def wrapped(df: DataFrame) -> DataFrame:
+        try:
+            out = fn(df).cache()
+            # force execution so runtime errors surface here, not at the sink
+            out.count()
+            return out
+        except Exception as e:  # noqa: BLE001
+            return df.withColumn(ERROR_COL, F.lit(f"{type(e).__name__}: {e}"))
+
+    return wrapped
+
+
+def fail_rows(predicate: F.Column, reason: str | F.Column) -> Middleware:
+    """Utility middleware: mark rows matching `predicate` as errored after
+    the handler runs. The DataFrame-native way for handlers to report
+    per-message failures (HandlerFunc error return analog)."""
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df)
+            r = F.lit(reason) if isinstance(reason, str) else reason
+            return out.withColumn(
+                ERROR_COL, F.when(predicate, r).otherwise(F.col(ERROR_COL))
+            )
+
+        return wrapped
+
+    return mw
+
+
+def poison_queue(publisher: PubSub, topic: str) -> Middleware:
+    """Route errored messages to a poison topic and swallow the error
+    (`middleware/poison.go:30-60`): stamps reason / source topic / handler
+    metadata, publishes to the dead-letter topic, passes only ok rows on.
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df).cache()
+            errs = out.filter(F.col(ERROR_COL).isNotNull())
+            if errs.limit(1).count():
+                stamped = errs.withColumn(
+                    "metadata",
+                    F.map_concat(
+                        F.coalesce(F.col("metadata"), F.create_map()),
+                        F.create_map(
+                            F.lit(REASON_POISONED), F.col(ERROR_COL),
+                            F.lit(POISONED_TOPIC), F.col(CTX_SUB_TOPIC),
+                            F.lit(POISONED_HANDLER), F.col(CTX_HANDLER),
+                        ),
+                    ),
+                )
+                publisher.publish(topic, stamped)
+            return out.filter(F.col(ERROR_COL).isNull())
+
+        return wrapped
+
+    return mw
+
+
+def ignore_errors(whitelist: Sequence[str]) -> Middleware:
+    """Swallow whitelisted errors (`middleware/ignore_errors.go:14-38`)."""
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df)
+            return out.withColumn(
+                ERROR_COL,
+                F.when(F.col(ERROR_COL).isin(list(whitelist)), F.lit(None)).otherwise(
+                    F.col(ERROR_COL)
+                ),
+            )
+
+        return wrapped
+
+    return mw
+
+
+def retry(
+    max_retries: int = 3,
+    initial_interval_sec: float = 0.0,
+    multiplier: float = 2.0,
+    max_elapsed_sec: float | None = None,
+) -> Middleware:
+    """Exponential-backoff retry of the errored subset
+    (`middleware/retry.go:60-146`).
+
+    Spark has no per-row retry, so this is the driver-side loop over the
+    failed subset (SURVEY.md §4): run handler; rows that error are re-fed
+    (with backoff sleep) up to max_retries times; still-failing rows keep
+    their error for poison/nack downstream. Each attempt is a full
+    DataFrame pass over only the failed messages.
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df).cache()
+            ok = out.filter(F.col(ERROR_COL).isNull())
+            failed_out = out.filter(F.col(ERROR_COL).isNotNull()).cache()
+            interval = initial_interval_sec
+            start = time.time()
+            attempt = 0
+            while attempt < max_retries and failed_out.limit(1).count():
+                if max_elapsed_sec is not None and time.time() - start > max_elapsed_sec:
+                    break
+                if interval > 0:
+                    time.sleep(interval)
+                interval *= multiplier
+                attempt += 1
+                failed_in = df.join(failed_out.select("uuid"), "uuid", "left_semi")
+                retried = fn(failed_in).cache()
+                ok = ok.unionByName(retried.filter(F.col(ERROR_COL).isNull()))
+                failed_out = retried.filter(F.col(ERROR_COL).isNotNull()).cache()
+            # rows still failing after all attempts keep their last error
+            return ok.unionByName(failed_out)
+
+        return wrapped
+
+    return mw
+
+
+def deduplicator(
+    key: F.Column | None = None, hasher: str = "sha256"
+) -> Middleware:
+    """Drop messages whose dedup key was already seen in the batch
+    (`middleware/deduplicator.go:112-209`; hashers `:219-268` — SHA256 and
+    CRC32 map directly; Adler32 has no Spark builtin and is substituted by
+    CRC32, which the reference itself calls an acceptable short-window
+    hash).
+
+    Batch form: dropDuplicates on the key. The streaming form with an
+    expiring window is `dropDuplicatesWithinWatermark`, exercised in
+    streaming/stateful.py.
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            if key is not None:
+                k = key
+            elif hasher == "crc32":
+                k = F.crc32(F.col("payload")).cast("string")
+            else:
+                k = F.sha2(F.col("payload"), 256)
+            deduped = (
+                df.withColumn("_wm_dedup_key", k)
+                .dropDuplicates(["_wm_dedup_key"])
+                .drop("_wm_dedup_key")
+            )
+            return fn(deduped)
+
+        return wrapped
+
+    return mw
+
+
+def throttle(max_messages: int) -> Middleware:
+    """Bound messages per batch (`middleware/throttle.go:17-31`).
+
+    The reference throttles N msgs/duration via a shared ticker; in
+    micro-batch terms the duration is the trigger interval, so the knob is
+    messages-per-trigger (source-side `maxOffsetsPerTrigger` /
+    `maxFilesPerTrigger` is the preferred, scan-level form — this
+    middleware is the transport-agnostic fallback).
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            return fn(df.limit(max_messages))
+
+        return wrapped
+
+    return mw
+
+
+def correlation_id(fn: HandlerFn) -> HandlerFn:
+    """Ensure a correlation id exists and survives the handler
+    (`middleware/correlation.go:28-43`). Because output rows derive from
+    input rows, propagation is structural; this sets the key when absent.
+    """
+
+    def wrapped(df: DataFrame) -> DataFrame:
+        seeded = df.withColumn(
+            "metadata",
+            F.map_concat(
+                F.coalesce(F.col("metadata"), F.create_map()),
+                F.when(
+                    F.element_at(F.coalesce(F.col("metadata"), F.create_map()), CORRELATION_ID).isNull(),
+                    F.create_map(F.lit(CORRELATION_ID), F.expr("uuid()")),
+                ).otherwise(F.create_map()),
+            ),
+        )
+        return fn(seeded)
+
+    return wrapped
+
+
+def duplicator(fn: HandlerFn) -> HandlerFn:
+    """Run the handler twice and union (idempotency test helper,
+    `middleware/duplicator.go:8-22`)."""
+
+    def wrapped(df: DataFrame) -> DataFrame:
+        return fn(df).unionByName(fn(df))
+
+    return wrapped
+
+
+def random_fail(error_probability: float, seed: int | None = None) -> Middleware:
+    """Chaos: fail each message with probability p
+    (`middleware/randomfail.go:16-27`). Seeded rand() keeps tests
+    deterministic per-plan."""
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df)
+            r = F.rand(seed) if seed is not None else F.rand()
+            return out.withColumn(
+                ERROR_COL,
+                F.when(r < error_probability, F.lit("random failure")).otherwise(
+                    F.col(ERROR_COL)
+                ),
+            )
+
+        return wrapped
+
+    return mw
+
+
+def delay_on_error(base_sec: int = 10, multiplier: int = 2, max_sec: int = 600) -> Middleware:
+    """On errored rows, stamp exponential-backoff delay metadata
+    (`middleware/delay_on_error.go:23-47` + `components/delay/delay.go`):
+    `_watermill_delayed_for` doubles with each requeue retry, capped.
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df)
+            meta = F.coalesce(F.col("metadata"), F.create_map())
+            retries = F.coalesce(
+                F.element_at(meta, REQUEUER_RETRIES).cast("int"), F.lit(0)
+            )
+            delay_sec = F.least(
+                F.lit(base_sec) * F.pow(F.lit(multiplier), retries), F.lit(max_sec)
+            ).cast("long")
+            delayed_until = F.to_timestamp(
+                F.from_unixtime(F.unix_timestamp(F.current_timestamp()) + delay_sec)
+            )
+            return out.withColumn(
+                "metadata",
+                F.when(
+                    F.col(ERROR_COL).isNotNull(),
+                    F.map_concat(
+                        meta,
+                        F.create_map(
+                            F.lit(DELAYED_UNTIL),
+                            F.date_format(delayed_until, "yyyy-MM-dd'T'HH:mm:ssXXX"),
+                            F.lit(DELAYED_FOR),
+                            F.concat(delay_sec.cast("string"), F.lit("s")),
+                        ),
+                    ),
+                ).otherwise(F.col("metadata")),
+            )
+
+        return wrapped
+
+    return mw
+
+
+def instant_ack(fn: HandlerFn) -> HandlerFn:
+    """At-most-once marker (`middleware/instant_ack.go:9-14`): ack before
+    processing. In micro-batch terms: the checkpoint-first pattern — commit
+    the raw batch to a staging sink, then process. Per-batch the semantic
+    difference from at-least-once is only visible on failure, so this
+    decorator simply suppresses error propagation (a failed message is
+    dropped, not replayed) — exactly what ack-before-process implies."""
+
+    def wrapped(df: DataFrame) -> DataFrame:
+        out = fn(df)
+        return out.filter(F.col(ERROR_COL).isNull())
+
+    return wrapped
+
+
+def message_transform(transform: Callable[[DataFrame], DataFrame]) -> Middleware:
+    """Decorator applying a transform to every message before the handler
+    (`message/decorator.go:10-34` MessageTransformSubscriberDecorator)."""
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            return fn(transform(df))
+
+        return wrapped
+
+    return mw
+
+
+def set_metadata(**kv: str) -> Middleware:
+    """Convenience: stamp metadata on every message pre-handler."""
+    return message_transform(lambda df: with_metadata(df, **kv))

@@ -1,0 +1,212 @@
+"""Router: binds subscriber → handler pipeline → publisher per handler.
+
+Reference semantics being kept (`message/router.go`):
+- `AddHandler(name, subTopic, sub, pubTopic, pub, fn)` keyed by unique name,
+  duplicate ⇒ error (`:272-330`, panic at `:288-290`).
+- Middleware onion: router-level then handler-level, **first-added
+  outermost** (`:651-659`).
+- Handler context enrichment: handler name / topics visible to the handler
+  (`message/router_context.go:9-50`) — here literal columns prefixed `_wm_`.
+- Ack on success, nack on error (`:805-841`) — mapped to micro-batch
+  semantics: a batch that publishes successfully is committed (ack); an
+  errored batch raises ⇒ checkpoint replay (nack ⇒ redelivery), unless error
+  rows were consumed by PoisonQueue/IgnoreErrors middleware.
+- Graceful close: `close()` stops streaming queries after the in-flight
+  batch (`:563-590` CloseTimeout analog = query.stop semantics).
+
+Execution modes:
+- `run_once()`   — one bounded pass per handler (batch DataFrames).
+- `run_stream()` — one Structured Streaming query per handler via
+  foreachBatch (the per-handler goroutine of `:471-490` becomes a streaming
+  query; per-message goroutines `:663-668` become task parallelism).
+
+The handler is a DataFrame → DataFrame transform (HandlerFunc 1→0..N analog,
+`message/router.go:32`): row multiplication/filtering inside the transform is
+the flatMap shape.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from watermill_spark.message import MESSAGE_COLUMNS
+from watermill_spark.sources.base import PubSub
+
+HandlerFn = Callable[[DataFrame], DataFrame]
+Middleware = Callable[[HandlerFn], HandlerFn]
+
+ERROR_COL = "_wm_error"
+CTX_HANDLER = "_wm_handler_name"
+CTX_SUB_TOPIC = "_wm_subscribe_topic"
+CTX_PUB_TOPIC = "_wm_publish_topic"
+_CTX_COLS = (ERROR_COL, CTX_HANDLER, CTX_SUB_TOPIC, CTX_PUB_TOPIC)
+
+
+def passthrough_handler(df: DataFrame) -> DataFrame:
+    """Identity handler (`message/router.go:38-40`)."""
+    return df
+
+
+@dataclass
+class _Handler:
+    name: str
+    sub_topic: str
+    subscriber: PubSub
+    pub_topic: str | None
+    publisher: PubSub | None
+    fn: HandlerFn
+    middleware: list[Middleware] = field(default_factory=list)
+
+
+@dataclass
+class RouterConfig:
+    # raise (⇒ nack/replay in streaming) if error rows survive the onion;
+    # False drops them (reference: unhandled error always nacks — True is
+    # the faithful default)
+    fail_on_unhandled_errors: bool = True
+    close_timeout_sec: float = 30.0  # router.go:76-80 default
+
+
+class Router:
+    def __init__(self, config: RouterConfig | None = None):
+        self.config = config or RouterConfig()
+        self._handlers: dict[str, _Handler] = {}
+        self._router_middleware: list[Middleware] = []
+        self._queries: list = []  # active StreamingQuery handles
+        self._running = False
+
+    # -- registration ------------------------------------------------------
+    def add_middleware(self, *mw: Middleware) -> None:
+        """Router-level middleware, applied to every handler (`router.go:59`)."""
+        self._router_middleware.extend(mw)
+
+    def add_handler(
+        self,
+        name: str,
+        sub_topic: str,
+        subscriber: PubSub,
+        pub_topic: str | None,
+        publisher: PubSub | None,
+        fn: HandlerFn,
+        middleware: list[Middleware] | None = None,
+    ) -> None:
+        if name in self._handlers:
+            raise ValueError(f"handler {name!r} already exists")  # router.go:288-290
+        self._handlers[name] = _Handler(
+            name, sub_topic, subscriber, pub_topic, publisher, fn, list(middleware or [])
+        )
+
+    def add_consumer_handler(
+        self,
+        name: str,
+        sub_topic: str,
+        subscriber: PubSub,
+        fn: HandlerFn,
+        middleware: list[Middleware] | None = None,
+    ) -> None:
+        """Terminal consumer, no publish (`message/router.go:35, :342-353`)."""
+        self.add_handler(name, sub_topic, subscriber, None, None, fn, middleware)
+
+    # -- pipeline assembly -------------------------------------------------
+    def _onion(self, h: _Handler) -> HandlerFn:
+        """First-added outermost (`message/router.go:651-659`)."""
+        wrapped = h.fn
+        for mw in reversed(self._router_middleware + h.middleware):
+            wrapped = mw(wrapped)
+        return wrapped
+
+    def _enrich(self, df: DataFrame, h: _Handler) -> DataFrame:
+        """Context columns (router_context.go analog) + null error column."""
+        return (
+            df.withColumn(ERROR_COL, F.lit(None).cast("string"))
+            .withColumn(CTX_HANDLER, F.lit(h.name))
+            .withColumn(CTX_SUB_TOPIC, F.lit(h.sub_topic))
+            .withColumn(CTX_PUB_TOPIC, F.lit(h.pub_topic))
+        )
+
+    def _process_batch(self, h: _Handler, batch_df: DataFrame) -> None:
+        # metadata stamping via map_concat needs last-wins on key collision
+        batch_df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        out = self._onion(h)(self._enrich(batch_df, h))
+        if ERROR_COL in out.columns:
+            # cache: the error split inspects `out` twice; without it the
+            # handler lineage would recompute (and chaos middleware would
+            # re-roll its dice)
+            out = out.cache()
+            errs = out.filter(F.col(ERROR_COL).isNotNull())
+            n_err = errs.count()
+            if n_err and self.config.fail_on_unhandled_errors:
+                examples = [r[ERROR_COL] for r in errs.select(ERROR_COL).head(3)]
+                raise RuntimeError(
+                    f"handler {h.name!r}: {n_err} unhandled message errors "
+                    f"(nack ⇒ replay). examples: {examples}"
+                )
+            out = out.filter(F.col(ERROR_COL).isNull())
+        if h.publisher is not None and h.pub_topic is not None:
+            h.publisher.publish(h.pub_topic, out.select(*MESSAGE_COLUMNS))
+
+    # -- execution ---------------------------------------------------------
+    def run_once(self) -> None:
+        """One bounded pass over every handler's current topic contents."""
+        self._running = True
+        for h in self._handlers.values():
+            self._process_batch(h, h.subscriber.subscribe(h.sub_topic))
+
+    def run_stream(
+        self,
+        checkpoint_root: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> list:
+        """Start one streaming query per handler (foreachBatch).
+
+        checkpoint_root/<handler> is the consumer-group identity
+        (SURVEY.md §1.4: one group == one (query, checkpointDir) pair).
+        `max_files_per_trigger` is the Throttle knob at the source
+        (`middleware/throttle.go` ≙ source rate limiting).
+        """
+        self._running = True
+        self._queries = []
+        for h in self._handlers.values():
+            stream = h.subscriber.subscribe_stream(h.sub_topic)
+            if max_files_per_trigger is not None:
+                # file sources accept maxFilesPerTrigger as a read option;
+                # re-create with the option applied
+                stream = (
+                    h.subscriber.spark.readStream.schema(stream.schema)
+                    .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                    .parquet(h.subscriber._dir(h.sub_topic))  # type: ignore[attr-defined]
+                )
+            writer = stream.writeStream.foreachBatch(
+                lambda bdf, _bid, h=h: self._process_batch(h, bdf)
+            ).option("checkpointLocation", f"{checkpoint_root}/{h.name}")
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            elif processing_time:
+                writer = writer.trigger(processingTime=processing_time)
+            self._queries.append(writer.start())
+        return self._queries
+
+    def await_termination(self) -> None:
+        for q in self._queries:
+            q.awaitTermination()
+
+    def close(self) -> None:
+        """Graceful stop: let in-flight batches finish (`router.go:563-590`)."""
+        deadline = time.time() + self.config.close_timeout_sec
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for q in self._queries:
+            while q.isActive and time.time() < deadline:
+                time.sleep(0.05)
+        self._queries = []
+        self._running = False
