@@ -1,0 +1,83 @@
+"""Metrics listener, in-plan observation, capture logger, id generators."""
+
+from __future__ import annotations
+
+import logging
+import time
+import uuid as _uuid
+
+from watermill_spark.message import messages_df, new_message
+from watermill_spark.observability import (
+    CaptureLogger,
+    RouterMetricsListener,
+    get_logger,
+    new_short_uuid,
+    new_ulid,
+    new_uuid,
+    observe_counts,
+)
+from watermill_spark.sources import ParquetPubSub
+from watermill_spark.streaming import Router
+from watermill_spark.streaming.router import passthrough_handler
+
+
+def test_metrics_listener_counts_batches(spark, tmp_path):
+    ps = ParquetPubSub(spark, str(tmp_path / "topics"))
+    tin, tout = f"a-{_uuid.uuid4().hex[:6]}", f"b-{_uuid.uuid4().hex[:6]}"
+    ps.publish(tin, messages_df(spark, [new_message(f"m{i}") for i in range(25)]))
+
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        r = Router()
+        r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+        r.run_stream(str(tmp_path / "ckpt"), available_now=True)
+        r.await_termination()
+        # listener delivery is async; give it a moment
+        deadline = time.time() + 10
+        while time.time() < deadline and not listener.batches:
+            time.sleep(0.2)
+        snap = listener.snapshot()
+        assert snap["messages_total"] == 25
+        assert snap["batches_total"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_observe_counts_in_plan(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from watermill_spark.streaming.router import ERROR_COL
+
+    df = messages_df(spark, [new_message(f"m{i}") for i in range(10)]).withColumn(
+        ERROR_COL,
+        F.when(F.length("payload") > 2, F.lit("too long")).otherwise(F.lit(None)),
+    )
+    obs = Observation("m")
+    observe_counts(df, obs).collect()
+    assert obs.get == {"n_messages": 10, "n_errors": 0}
+
+    obs2 = Observation("m2")
+    df2 = df.withColumn(ERROR_COL, F.lit("all bad"))
+    observe_counts(df2, obs2).collect()
+    assert obs2.get == {"n_messages": 10, "n_errors": 10}
+
+
+def test_capture_logger(spark):
+    cap = CaptureLogger()
+    log = get_logger("wm-test")
+    log.addHandler(cap)
+    log.warning("handler failed: %s", "boom")
+    assert cap.has(logging.WARNING, "handler failed: boom")
+    assert not cap.has(logging.ERROR, "boom")
+
+
+def test_id_generators():
+    assert len({new_uuid() for _ in range(100)}) == 100
+    assert all(len(new_short_uuid()) == 22 for _ in range(10))
+    u1 = new_ulid()
+    time.sleep(0.002)
+    u2 = new_ulid()
+    assert len(u1) == 26 and len(u2) == 26
+    assert u1 < u2  # lexicographically sortable by time

@@ -196,32 +196,25 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics (ties broken toward the latest event_id).
     """
     tune_session(spark)
+    from watermill_spark.operators import asof_join
+
     ev = load(spark, sf_dir, "events")
-    both = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, clicks, by="user_id", left_on="ts", right_on="ts",
+        right_cols=["event_id"],
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
         "user_id",
-        "ts",
-        "event_id",
-        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
-    )
-    # clicks sort before purchases at identical ts so `c.ts <= p.ts` is inclusive
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_p", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    last_click = F.max(
-        F.when(F.col("is_p") == 0, F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")))
-    ).over(w)
-    return (
-        both.withColumn("_lc", last_click)
-        .filter(F.col("is_p") == 1)
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("_lc.ts").alias("click_ts"),
-            F.col("_lc.id").alias("click_id"),
-        )
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("click_ts"),
+        F.col("event_id_asof").alias("click_id"),
     )
 
 

@@ -472,17 +472,17 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit so each partition keeps only k rows pre-shuffle.
     """
     tune_session(spark)
-    orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("bigint").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+    from watermill_spark.operators import topk_per_group
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    top = topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_col="rn",
     )
+    return top.withColumn("rn", F.col("rn").cast("bigint"))
 
 
 @register(
