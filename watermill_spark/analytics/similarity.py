@@ -136,6 +136,148 @@ def q_knn_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NBITS = 8  # hyperplane count for the LSH signature
+_P1, _P2, _MOD = 73856093, 19349663, 97  # deterministic pseudo-random plane signs
+
+
+def _plane_sign(j, d):
+    """±1 sign of hyperplane j at dimension d — pure integer arithmetic so
+    Spark and DuckDB derive bit-identical planes with no shared RNG."""
+    return F.when(((j * _P1 + d * _P2) % _MOD) % 2 == 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Random-hyperplane LSH bucket id (NBITS sign bits packed into a long).
+
+    bit j = sign(<v, plane_j>); planes are deterministic ±1 vectors. Vectors
+    with small angle agree on most bits, so equal buckets ⇒ likely-near.
+    The dot is rounded to 6 places before the sign test so float summation
+    order can never flip a bit between engines.
+    """
+    def bit(j):
+        dot = F.aggregate(
+            F.transform(emb, lambda x, i: x * _plane_sign(j, i)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(
+            F.round(dot, 6) >= 0, F.pow(F.lit(2.0), j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(NBITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + bit(j),
+    )
+
+
+_SQL_BUCKET = f"""
+  CAST(list_sum(list_transform(range(0,{NBITS}), j ->
+    CASE WHEN round(list_sum(list_transform(range(1, len(embedding)+1), d ->
+           CAST(embedding[d] AS DOUBLE) *
+           (CASE WHEN ((j*{_P1} + (d-1)*{_P2}) % {_MOD}) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END))), 6) >= 0
+    THEN (1 << j) ELSE 0 END)) AS BIGINT)
+"""
+
+
+@register(
+    "q_ann_lsh_hyperplane",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings)
+    SELECT query_id, neighbor_id, bucket, sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             round({_SQL_COSINE}, 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_SQL_COSINE}, 6) DESC, c.vec_id)
+               AS rn
+      FROM (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) q
+      JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+    WHERE rn <= {K}
+    """,
+)
+def q_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures prune candidates
+    before exact cosine rescoring — the billion-vector scale path.
+
+    Plan: one narrow map stamps every vector with an 8-bit hyperplane
+    signature (pure JVM expression — no UDF, no shuffle), then candidates
+    are equi-joined to the broadcast query set on the bucket id, exact-
+    rescored, and top-k'd per query. The corpus is touched once; only
+    same-bucket rows (~1/2^bits of all pairs per band) reach the scorer.
+    At scale, multiple bands (repeat with different plane seeds, union)
+    trade recall vs. cost exactly like MinHash LSH banding.
+    """
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sig = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("emb").alias("c_emb"),
+    )
+    queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket", F.col("emb").alias("q_emb")
+    )
+    sim = F.round(cosine("q_emb", "c_emb"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_bucket") == F.col("bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "bucket", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.40
+    ORDER BY sim DESC, a_id, b_id
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline).
+
+    All (a < b) pairs with cosine ≥ threshold. This is the exactness oracle
+    for embedding dedup; it is O(n²) by construction, so at 100 TB it is
+    never run directly — the production path is `q_ann_lsh_hyperplane`'s
+    bucket join (candidates = same-bucket pairs only) followed by this exact
+    rescoring filter. Kept brute-force here because the oracle must be
+    recall-perfect, and LSH pruning is probabilistic.
+    """
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").cast("array<double>").alias("a_emb")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").cast("array<double>").alias("b_emb")
+    )
+    sim = F.round(cosine("a_emb", "b_emb"), 6)
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.40)
+        .orderBy(F.desc("sim"), "a_id", "b_id")
+    )
+
+
 @register(
     "q_embedding_norms",
     oracle="""
