@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .registry import load, register
+from .registry import load, register, spread
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 signatures each
@@ -114,7 +114,7 @@ _SQL_MINHASH_CTES = """
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on full text; emit duplicate clusters."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(
@@ -133,7 +133,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation (8 hash functions over token sets)."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return minhash_signatures(docs)
 
 
@@ -166,7 +166,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same banding).
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     cand = lsh_candidate_pairs(sigs)
     toksets = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
@@ -204,7 +204,7 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, one for the cluster group-by — both on uniform hash keys.
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     sig_cols = [f"mh{i}" for i in range(N_HASHES)]
     return (
@@ -247,7 +247,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket + LSH band; the pure-Jaccard variant here is the verify kernel).
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toksets = docs.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts"))
     a = toksets.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang"), F.col("ts").alias("ta")
@@ -294,7 +294,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests. The hex-digit formulation keeps both engines bit-identical.
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = _tokens(docs).withColumn("h", F.md5("tok"))
     pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
     votes = toks.select("doc_id", "h", pos).select(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from watermill_spark.operators.multimodal import MEDIA_SCHEMA, extract_features, frame_sample
 from watermill_spark.session import tune_session
 
-from .registry import load, register
+from .registry import load, register, spread
 
 # CASE doc_id % 3: 0→image, 1→audio, 2→video
 _SQL_KIND = (
@@ -38,7 +38,7 @@ def _sql_byte(k: int) -> str:
 
 
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

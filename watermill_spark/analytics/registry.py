@@ -75,6 +75,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan an under-partitioned scan out to the session's parallelism.
+
+    The testdata tables are single-file, single-row-group parquet, so Spark
+    plans exactly one scan task regardless of ``maxPartitionBytes`` (parquet
+    splits at row-group granularity). For CPU-heavy downstream work (shingle
+    hashing, per-row vector math) that serializes the whole query on one core.
+
+    This is the standard unsplittable-ingest fix: one small round-robin
+    shuffle right after the scan. It is deliberately *conditional* — on a real
+    cluster reading many multi-row-group files the scan already has >= cores
+    partitions and this is a no-op, so the extra shuffle never appears at
+    100 TB. Only use it before per-row-expensive transforms, never before a
+    plain filter/agg where scan decode dominates.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {q.name: q.fn for q in REGISTRY.values()}
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .registry import load, register
+from .registry import load, register, spread
 
 K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -70,7 +70,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final tiny top-k window on query_id.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("c_emb")
     )
@@ -111,7 +111,7 @@ def q_knn_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/n_cells of the corpus per query.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
@@ -212,7 +212,7 @@ def q_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade recall vs. cost exactly like MinHash LSH banding.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     sig = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
@@ -262,7 +262,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-perfect, and LSH pruning is probabilistic.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").cast("array<double>").alias("a_emb")
     )
@@ -291,7 +291,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norms + dimension audit (sanity surface for the ANN path)."""
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     e = F.col("embedding").cast("array<double>")
     return emb.select(
         "vec_id",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount
-from .registry import load, register
+from .registry import load, register, spread
 
 # Small English stopword list used by the language-ID heuristic. Must stay in
 # sync with the SQL literal below.
@@ -45,7 +45,7 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark) and RE2 (DuckDB) tokenize identically.
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
@@ -77,7 +77,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are double divisions of exact integers — engine-independent.
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n_words = F.size(toks).cast("bigint")
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
@@ -116,7 +116,7 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token membership → per-doc ratio → threshold.)
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     stoplist = ",".join(f"'{w}'" for w in EN_STOPWORDS)
     hits = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stoplist})))")
     ratio = hits.cast("double") / F.size(F.split("text", " ")).cast("double")
@@ -149,7 +149,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons map-side.
     """
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
