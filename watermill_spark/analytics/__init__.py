@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     dedup,
     events,
     events2,
+    extras,
     multimodal_q,
     similarity,
     text,
