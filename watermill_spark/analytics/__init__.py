@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     events,
     events2,
     extras,
+    extras2,
     multimodal_q,
     similarity,
     text,
