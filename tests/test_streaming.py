@@ -196,3 +196,74 @@ def test_stream_throttle_max_files_per_trigger(ps, spark, tmp_path):
     q.awaitTermination()
     assert sum(batch_sizes) == 20
     assert max(batch_sizes) <= 5  # one file (5 msgs) per micro-batch
+
+
+def test_stream_consumer_groups(ps, spark, tmp_path):
+    """Consumer groups (`test_pubsub.go:817-842`): every group receives every
+    message. A group == a (query, checkpoint) pair; two routers with distinct
+    checkpoints over the same topic each process the full backlog."""
+    tin = _t("in")
+    outs = [_t("g1"), _t("g2")]
+    ps.publish(tin, _msgs(spark, 12))
+    for i, tout in enumerate(outs):
+        r = Router()
+        r.add_handler(f"g{i}", tin, ps, tout, ps, passthrough_handler)
+        r.run_stream(str(tmp_path / f"ckpt{i}"), available_now=True)
+        r.await_termination()
+        r.close()
+    for tout in outs:
+        got = ps.subscribe(tout).collect()
+        assert {x["metadata"]["n"] for x in got} == {str(i) for i in range(12)}
+
+
+def test_stream_concurrent_subscribe_volume(ps, spark, tmp_path):
+    """TestConcurrentSubscribe shape (`test_pubsub.go:284`): a large backlog
+    across several publishes arrives complete (scaled to 2000 msgs here; the
+    reference uses 5000 x 50 subscribers — volume is covered by bench)."""
+    tin, tout = _t("in"), _t("out")
+    for c in range(4):
+        ps.publish(tin, _msgs(spark, 500, start=c * 500))
+    r = Router()
+    r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    r.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    r.await_termination()
+    r.close()
+    rows = ps.subscribe(tout).collect()
+    assert len(rows) == 2000
+    assert len({x["uuid"] for x in rows}) == 2000
+
+
+def test_stream_session_window(ps, spark, tmp_path):
+    """Streaming sessionization: session_window with a 5-minute gap (the
+    streaming twin of q_events_sessionize)."""
+    import datetime as _dt
+
+    tin = _t("in")
+    # two sessions per key: minutes 0-2 and 20-21 (gap > 5 min splits)
+    rows = [
+        new_message("x", metadata={"k": "a"}, event_time=_dt.datetime(2024, 1, 1, 0, m))
+        for m in (0, 1, 2, 20, 21)
+    ]
+    ps.publish(tin, messages_df(spark, rows))
+    agg = (
+        ps.subscribe_stream(tin)
+        .withWatermark("event_time", "10 minutes")
+        # session_window requires a grouping key in streaming (no global
+        # session aggregation) — key per message, like a Kafka partition key
+        .groupBy(
+            F.element_at("metadata", "k").alias("k"),
+            F.session_window("event_time", "5 minutes"),
+        )
+        .count()
+    )
+    out = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda bdf, _i: (out.clear(), out.extend(bdf.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(out) == 2
+    assert sorted(r["count"] for r in out) == [2, 3]
