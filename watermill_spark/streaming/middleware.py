@@ -343,3 +343,56 @@ def message_transform(transform: Callable[[DataFrame], DataFrame]) -> Middleware
 def set_metadata(**kv: str) -> Middleware:
     """Convenience: stamp metadata on every message pre-handler."""
     return message_transform(lambda df: with_metadata(df, **kv))
+
+
+class CircuitBreakerOpen(RuntimeError):
+    """Raised when the breaker is open: the batch fails fast without running
+    the handler, so checkpoint replay redelivers once the breaker closes."""
+
+
+def circuit_breaker(
+    max_failures: int = 5, open_seconds: float = 60.0, clock=time.monotonic
+) -> Middleware:
+    """Fail-fast after consecutive failing batches
+    (`middleware/circuit_breaker.go:17-37`, sony/gobreaker semantics).
+
+    Driver-side state machine (there is no Spark builtin): closed → open
+    after `max_failures` consecutive batches with any errored row or raised
+    exception; open → half-open after `open_seconds`; a successful half-open
+    batch closes it. While open, the handler is skipped entirely and the
+    batch raises — with streaming replay that means the source is retried
+    later instead of hammering a failing dependency.
+    """
+    state = {"failures": 0, "opened_at": None}
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            if state["opened_at"] is not None:
+                if clock() - state["opened_at"] < open_seconds:
+                    raise CircuitBreakerOpen(
+                        f"open after {state['failures']} consecutive failures"
+                    )
+                state["opened_at"] = None  # half-open: let one batch through
+            try:
+                out = fn(df).cache()
+                failed = (
+                    ERROR_COL in out.columns
+                    and out.filter(F.col(ERROR_COL).isNotNull()).limit(1).count()
+                )
+            except Exception:
+                failed = True
+                state["failures"] += 1
+                if state["failures"] >= max_failures:
+                    state["opened_at"] = clock()
+                raise
+            if failed:
+                state["failures"] += 1
+                if state["failures"] >= max_failures:
+                    state["opened_at"] = clock()
+            else:
+                state["failures"] = 0
+            return out
+
+        return wrapped
+
+    return mw
