@@ -154,3 +154,59 @@ def test_requeuer_fixed_destination_with_delay(ps, spark):
     assert len(rows) == 2
     assert all(r["metadata"][REQUEUER_RETRIES] == "1" for r in rows)
     assert all(DELAYED_UNTIL in r["metadata"] for r in rows)
+
+
+def test_request_reply_roundtrip(spark):
+    """Command with operation id -> handler reply on reply topic -> await
+    filtered on the id (`components/requestreply/backend_pubsub.go:126-291`).
+    """
+    from pyspark.sql import functions as F
+
+    from watermill_spark.components import await_reply, replying, send_with_reply
+    from watermill_spark.components.requestreply import REPLY_HAS_ERROR
+    from watermill_spark.sources.memory import MemoryPubSub
+
+    ps = MemoryPubSub(spark)
+    op = send_with_reply(ps, "cmds", messages_df(spark, [new_message(b"add:2+3")]))
+
+    def handler(df):
+        return df.withColumn("payload", F.lit(b"5"))
+
+    cmds = ps.subscribe("cmds")
+    replying(handler, ps, "replies")(cmds)
+
+    reply = await_reply(ps, "replies", op, timeout_sec=5.0).collect()
+    assert len(reply) == 1
+    assert bytes(reply[0]["payload"]) == b"5"
+    assert reply[0]["metadata"][REPLY_HAS_ERROR] == "0"
+
+
+def test_request_reply_error_propagation(spark):
+    """Handler error rows surface as has_error=1 + reason in the reply
+    metadata (`backend_pubsub_marshaler.go:17-32`)."""
+    from watermill_spark.components import await_reply, replying, send_with_reply
+    from watermill_spark.components.requestreply import REPLY_ERROR, REPLY_HAS_ERROR
+    from watermill_spark.sources.memory import MemoryPubSub
+    from watermill_spark.streaming.middleware import fail_rows
+    from pyspark.sql import functions as F
+
+    ps = MemoryPubSub(spark)
+    op = send_with_reply(ps, "cmds2", messages_df(spark, [new_message(b"boom")]))
+
+    handler = fail_rows(F.lit(True), "handler exploded")(
+        lambda df: df.withColumn("_wm_error", F.lit(None).cast("string"))
+    )
+    replying(handler, ps, "replies2")(ps.subscribe("cmds2"))
+
+    reply = await_reply(ps, "replies2", op, timeout_sec=5.0).collect()
+    assert reply[0]["metadata"][REPLY_HAS_ERROR] == "1"
+    assert reply[0]["metadata"][REPLY_ERROR] == "handler exploded"
+
+
+def test_request_reply_timeout(spark):
+    from watermill_spark.components import await_reply
+    from watermill_spark.sources.memory import MemoryPubSub
+
+    ps = MemoryPubSub(spark)
+    with pytest.raises(TimeoutError):
+        await_reply(ps, "never", "no-such-op", timeout_sec=0.5, poll_sec=0.1)

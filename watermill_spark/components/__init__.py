@@ -17,3 +17,9 @@ __all__ = [
     "deliverable_now",
     "Requeuer",
 ]
+from .requestreply import (  # noqa: F401
+    await_reply,
+    new_operation_id,
+    replying,
+    send_with_reply,
+)
