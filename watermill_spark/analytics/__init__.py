@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     events2,
     extras,
     extras2,
+    extras3,
     multimodal_q,
     similarity,
     text,
