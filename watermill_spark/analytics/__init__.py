@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     extras,
     extras2,
     extras3,
+    extras4,
     multimodal_q,
     similarity,
     text,
