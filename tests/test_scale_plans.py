@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around must be visible in `.explain`, not just claimed.
+
+- Predicate pushdown + column pruning reach the parquet scan.
+- Dimension joins broadcast (fact side never shuffles pre-agg).
+- Per-group top-k uses WindowGroupLimit (k rows kept per partition).
+- Bucketed co-located joins run with NO shuffle exchange.
+
+If a refactor regresses one of these, correctness tests stay green while
+100-TB behavior quietly degrades — these tests make that a failure.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from watermill_spark.analytics.registry import REGISTRY, load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pushdown_and_pruning_reach_scan(spark):
+    """q06 (pure filter+agg): shipdate/discount/quantity predicates appear in
+    PushedFilters and the scan reads only the referenced columns."""
+    plan = _plan(spark, REGISTRY["q06_forecast_revenue"].fn(spark, SF))
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = scan[scan.index("PushedFilters") : scan.index("ReadSchema")]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    # 4 referenced columns, none of the other 10+ lineitem columns
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_dim_joins_broadcast_no_sort_merge(spark):
+    """q05 (5-way star join): every dim join is broadcast; the lineitem side
+    reaches the aggregation without a single pre-agg shuffle."""
+    plan = _plan(spark, REGISTRY["q05_nation_revenue"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # exactly one exchange: the final group-by on (n_name)
+    body = plan.split("== Physical Plan ==")[1].split("== ")[0]
+    n_shuffles = body.count("Exchange (")  # BroadcastExchange excluded by '('? no —
+    # count only shuffle exchanges explicitly:
+    n_shuffles = sum(
+        1
+        for line in body.splitlines()
+        if "+- Exchange" in line or line.strip().startswith("Exchange")
+    )
+    assert n_shuffles <= 1, body
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must plan WindowGroupLimit: k rows retained per
+    partition before the window sort, not a full materialized rank."""
+    plan = _plan(spark, REGISTRY["q_window_topk"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides of a join on the key gives a co-located
+    sort-merge join with zero Exchange — the 100-TB repeated-join strategy
+    (bucket once at ingest, join shuffle-free forever after)."""
+    tag = _uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{tag}", f"b_cust_{tag}"
+    orders = load(spark, SF, "orders")
+    customer = load(spark, SF, "customer")
+    try:
+        (
+            orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(t_orders)
+        )
+        (
+            customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable(t_cust)
+        )
+        # disable broadcast so the join must pick SMJ — the path bucketing
+        # optimizes; at real scale both sides outgrow broadcast anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: result is right too
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def test_spread_is_noop_when_well_partitioned(spark):
+    """registry.spread must not add a shuffle once the scan already has
+    enough partitions (the 100-TB case)."""
+    from watermill_spark.analytics.registry import spread
+
+    df = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism * 2)
+    assert spread(df) is df
