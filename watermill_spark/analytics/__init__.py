@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     extras2,
     extras3,
     extras4,
+    extras5,
     multimodal_q,
     similarity,
     text,
