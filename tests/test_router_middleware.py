@@ -371,3 +371,92 @@ def test_retry_publisher_retries_then_succeeds(spark):
     fails["n"] = 99  # always fails -> raises after max_retries
     with pytest.raises(RuntimeError):
         rp.publish("t", messages_df(spark, [new_message("y")]))
+
+
+def test_timeout_passes_fast_handler(ps, spark):
+    """middleware/timeout.go:12-24 — a handler inside budget is untouched."""
+    tin, tout = _topic("in"), _topic("out")
+    ps.publish(tin, _msgs(spark, 5))
+    r = Router()
+    r.add_handler("fast", tin, ps, tout, ps, passthrough_handler,
+                  middleware=[mw.timeout(30.0)])
+    r.run_once()
+    assert len(ps.subscribe(tout).collect()) == 5
+
+
+def test_timeout_errors_slow_handler(ps, spark):
+    """A handler exceeding the budget yields all-errored rows (batch analog
+    of context cancellation), which poison/ignore middleware can consume."""
+    import time as _time
+
+    tin, tout, dlq = _topic("in"), _topic("out"), _topic("poison")
+    ps.publish(tin, _msgs(spark, 3))
+
+    def slow(df):
+        _time.sleep(3.0)  # driver-side stall: plan building exceeds budget
+        return df
+
+    r = Router()
+    r.add_handler("slow", tin, ps, tout, ps, slow,
+                  middleware=[mw.poison_queue(ps, dlq), mw.timeout(0.5)])
+    r.run_once()
+    assert len(ps.subscribe(tout).collect()) == 0
+    poisoned = ps.subscribe(dlq).collect()
+    assert len(poisoned) == 3
+    assert all("timeout" in row["metadata"][mw.REASON_POISONED] for row in poisoned)
+
+
+def test_bulk_read_returns_available_on_timeout(ps, spark):
+    """message/subscriber/read.go:10-27 — deliver what arrived when the
+    deadline hits; full limit when the topic has enough."""
+    from watermill_spark.sources import bulk_read
+
+    t = _topic("bulk")
+    ps.publish(t, _msgs(spark, 4))
+    assert len(bulk_read(ps, t, limit=10, timeout_sec=0.3)) == 4
+    assert len(bulk_read(ps, t, limit=3, timeout_sec=5.0)) == 3
+
+
+def test_bulk_read_with_deduplication(ps, spark):
+    """read.go:31-53 — redelivered UUIDs count once."""
+    from watermill_spark.message import messages_df, new_message
+    from watermill_spark.sources import bulk_read_with_deduplication
+
+    t = _topic("bulkdedup")
+    m = new_message("p", metadata={})
+    ps.publish(t, messages_df(spark, [m, m]))  # same uuid twice
+    ps.publish(t, _msgs(spark, 2))
+    rows = bulk_read_with_deduplication(ps, t, limit=10, timeout_sec=0.3)
+    assert len(rows) == 3
+
+
+def test_multiplier_merges_k_subscriptions(ps, spark):
+    """internal/subscriber/multiplier.go:23-71 — K subscriptions, one
+    stream; with a broadcast transport deliveries multiply by K."""
+    from watermill_spark.sources import multiplier
+
+    t = _topic("mult")
+    ps.publish(t, _msgs(spark, 4))
+    assert multiplier(ps.subscribe, t, 3).count() == 12
+    with pytest.raises(ValueError):
+        multiplier(ps.subscribe, t, 0)
+
+
+def test_signals_handler_closes_router(ps, spark):
+    """message/router/plugin/signals.go:13-27 — signal → graceful close."""
+    import os
+    import signal as _signal
+
+    from watermill_spark.streaming import signals_handler
+
+    r = Router()
+    r.add_handler("h", _topic("a"), ps, _topic("b"), ps, passthrough_handler)
+    restore = signals_handler(r)
+    try:
+        os.kill(os.getpid(), _signal.SIGINT)
+        import time as _time
+
+        _time.sleep(0.1)
+        assert r.closed
+    finally:
+        restore()

@@ -14,5 +14,13 @@ Spark-native storage/stream layer:
 from .memory import MemoryPubSub
 from .parquet import ParquetPubSub
 from .kafka import KafkaPubSub
+from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
-__all__ = ["MemoryPubSub", "ParquetPubSub", "KafkaPubSub"]
+__all__ = [
+    "MemoryPubSub",
+    "ParquetPubSub",
+    "KafkaPubSub",
+    "bulk_read",
+    "bulk_read_with_deduplication",
+    "multiplier",
+]

@@ -2,5 +2,6 @@
 
 from .router import Router, RouterConfig
 from . import middleware
+from .plugins import signals_handler
 
-__all__ = ["Router", "RouterConfig", "middleware"]
+__all__ = ["Router", "RouterConfig", "middleware", "signals_handler"]

@@ -396,3 +396,52 @@ def circuit_breaker(
         return wrapped
 
     return mw
+
+
+def timeout(seconds: float) -> Middleware:
+    """Bound handler wall-clock time (`middleware/timeout.go:12-24`: cancel
+    the message context after T).
+
+    There is no per-row cancellation in Spark; the micro-batch analog is a
+    bounded batch: the handler's plan is forced in a worker thread under a
+    dedicated job group, and on expiry the group's Spark jobs are cancelled
+    (tasks actually stop — this is Spark's own cooperative cancellation, the
+    moral twin of Go context cancellation) and every input message errors
+    with ``timeout``, for downstream poison/retry middleware to consume.
+    """
+    import threading
+    import uuid as _uuid
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            sc = df.sparkSession.sparkContext
+            group = f"wm-timeout-{_uuid.uuid4().hex[:12]}"
+            result: dict = {}
+
+            def run():
+                try:
+                    sc.setJobGroup(group, f"timeout({seconds}s) handler", True)
+                    out = fn(df).cache()
+                    out.count()  # force under the cancellable group
+                    result["out"] = out
+                except Exception as e:  # noqa: BLE001 — includes cancellation
+                    result["err"] = e
+                finally:
+                    sc.setJobGroup("", "")
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(seconds)
+            if t.is_alive():
+                sc.cancelJobGroup(group)
+                t.join(5.0)
+                return df.withColumn(
+                    ERROR_COL, F.lit(f"timeout: handler exceeded {seconds}s")
+                )
+            if "err" in result:
+                raise result["err"]
+            return result["out"]
+
+        return wrapped
+
+    return mw

@@ -79,6 +79,7 @@ class Router:
         self._router_middleware: list[Middleware] = []
         self._queries: list = []  # active StreamingQuery handles
         self._running = False
+        self.closed = False
 
     # -- registration ------------------------------------------------------
     def add_middleware(self, *mw: Middleware) -> None:
@@ -210,3 +211,4 @@ class Router:
                 time.sleep(0.05)
         self._queries = []
         self._running = False
+        self.closed = True
