@@ -108,3 +108,42 @@ def test_spread_is_noop_when_well_partitioned(spark):
 
     df = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism * 2)
     assert spread(df) is df
+
+
+def test_tfidf_topk_broadcast_and_group_limit(spark):
+    """q_tfidf_top_terms: vocabulary df-side broadcasts onto tf (no SMJ) and
+    the per-language top-5 plans WindowGroupLimit."""
+    plan = _plan(spark, REGISTRY["q_tfidf_top_terms"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_contamination_broadcasts_heldout(spark):
+    """q_ngram_contamination: the held-out shingle set is the broadcast side;
+    the training shingle stream must not sort-merge."""
+    plan = _plan(spark, REGISTRY["q_ngram_contamination"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_single_agg_pass(spark):
+    """q_stratified_sample: hash sampling is a pure map-side expression —
+    exactly one shuffle (the stratum group-by), no join, no extra exchange."""
+    plan = _plan(spark, REGISTRY["q_stratified_sample"].fn(spark, SF))
+    body = plan.split("== Physical Plan ==")[1].split("== ")[0]
+    n_shuffles = sum(
+        1
+        for line in body.splitlines()
+        if "+- Exchange" in line or line.strip().startswith("Exchange")
+    )
+    assert n_shuffles == 1, body
+    assert "Join" not in body
+
+
+def test_incremental_rollup_reaggregates_without_rescan(spark):
+    """q_incremental_rollup: daily-from-hourly must scan events exactly once
+    (rollup-of-rollup, not two passes over the fact table)."""
+    plan = _plan(spark, REGISTRY["q_incremental_rollup"].fn(spark, SF))
+    # one scan node == one "Location:" detail block in the formatted plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
