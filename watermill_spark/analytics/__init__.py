@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     extras3,
     extras4,
     extras5,
+    extras6,
     multimodal_q,
     similarity,
     text,
