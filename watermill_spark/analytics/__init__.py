@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     extras4,
     extras5,
     extras6,
+    extras7,
     multimodal_q,
     similarity,
     text,

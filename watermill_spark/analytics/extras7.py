@@ -1,0 +1,154 @@
+"""Analytics batch 10: corpus-curation operators (training-data pipeline).
+
+- denylist scrubbing: regex token redaction with per-doc hit accounting
+- repetition ratio: Gopher-style most-frequent-trigram coverage signal
+- per-label embedding centroids: the k-means/IVF building block
+
+Determinism per :mod:`watermill_spark.analytics.det` — redaction is pure
+string rewriting; repetition ratios are int/int single divisions; centroid
+sums go through decimal so accumulation order can't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount
+from .registry import load, register, spread
+
+# Word-boundary denylist (RE2-compatible: identical semantics in Java regex).
+_DENY = r"\b(customer|key|hash)\b"
+
+
+@register(
+    "q_denylist_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_DENY}', '<REDACTED>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_DENY}')) AS BIGINT) AS n_hits,
+           CAST(length(text) AS BIGINT) AS len_before,
+           CAST(length(regexp_replace(text, '{_DENY}', '<REDACTED>', 'g'))
+                AS BIGINT) AS len_after
+    FROM documents
+    """,
+)
+def q_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing (PII/contamination removal shape): redact matches,
+    account hits and size delta per document.
+
+    Scale: pure per-row string ops — map-side only, zero shuffles, fully
+    codegen'd; the same plan shape serves real PII patterns (emails, phones)
+    by swapping the regex. Spark's regexp_replace is global by default ==
+    DuckDB's 'g' flag.
+    """
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    scrubbed = F.regexp_replace("text", _DENY, "<REDACTED>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_DENY), 0)).cast("bigint").alias("n_hits"),
+        F.length("text").cast("bigint").alias("len_before"),
+        F.length(scrubbed).cast("bigint").alias("len_after"),
+    )
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) - 2 AS n_grams,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    counted AS (
+      SELECT doc_id, n_grams, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_gram_n,
+           CAST(MAX(c) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_ratio,
+           CAST(MAX(c) AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.05 AS repetitive
+    FROM counted GROUP BY doc_id, n_grams
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (Gopher/C4-style quality filter): share of a doc's
+    trigrams claimed by its single most frequent trigram.
+
+    Scale: trigram explode → per-(doc, gram) count → per-doc max. The group
+    key (doc_id, gram) partial-aggregates before its shuffle, and the per-doc
+    max reuses the same doc_id partitioning — skew-free because no gram
+    crosses documents.
+    """
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - 2).alias("n_grams"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
+            )
+        ).alias("g"),
+    )
+    counted = grams.groupBy("doc_id", "n_grams", "g").agg(F.count(F.lit(1)).alias("c"))
+    ratio = F.max("c").cast("double") / F.col("n_grams").cast("double")
+    return counted.groupBy("doc_id", "n_grams").agg(
+        F.max("c").cast("bigint").alias("top_gram_n"),
+        ratio.alias("rep_ratio"),
+        (ratio > 0.05).alias("repetitive"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "top_gram_n",
+        "rep_ratio",
+        "repetitive",
+    )
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension embedding centroids — the building block of
+    k-means/IVF coarse quantizers (q_knn_ivf computes these inline; here they
+    are a first-class, oracle-checked surface).
+
+    Sums go through DECIMAL(18,9) so the partial-aggregation order of a
+    1000-executor run produces bit-identical centroids to a single-threaded
+    one. posexplode is 0-based → +1 to match SQL's generate_subscripts.
+    """
+    tune_session(spark)
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    u = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return u.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
+        bcount("n"),
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "centroid"
+        ),
+    )
