@@ -267,3 +267,43 @@ def test_stream_session_window(ps, spark, tmp_path):
     q.awaitTermination()
     assert len(out) == 2
     assert sorted(r["count"] for r in out) == [2, 3]
+
+
+def test_exactly_once_idempotent_sink(ps, spark, tmp_path):
+    """Exactly-once recipe (SURVEY.md §7d; reference: exactly-once delivery
+    counter example): an IdempotentBatchSink commits each batch_id once —
+    replaying the stream from scratch (same source, fresh checkpoint ⇒ same
+    deterministic batch ids) must not double-write."""
+    from watermill_spark.streaming.exactly_once import IdempotentBatchSink
+
+    t = _t("eo")
+    ps.publish(t, _msgs(spark, 15))
+    out_dir = str(tmp_path / "out")
+    writes = []
+
+    def write_fn(df, batch_id):
+        writes.append(batch_id)
+        df.write.mode("append").parquet(out_dir)
+
+    sink = IdempotentBatchSink(str(tmp_path / "commits"), write_fn)
+
+    def run(ckpt):
+        q = (
+            ps.subscribe_stream(t)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    n_first = len(writes)
+    assert n_first >= 1
+    assert spark.read.parquet(out_dir).count() == 15
+
+    # full replay: fresh checkpoint re-delivers every batch (at-least-once
+    # source) — the sink's commit log makes it exactly-once end to end
+    run("ckpt2")
+    assert len(writes) == n_first  # write_fn never re-ran
+    assert spark.read.parquet(out_dir).count() == 15
