@@ -33,16 +33,13 @@ def main() -> None:
 
     bench = {name: q for name, q in REGISTRY.items() if q.bench}
 
-    # Warmup, not counted: run every bench query once at the smallest SF so
-    # JVM JIT + whole-stage-codegen compilation of each plan shape is paid
-    # before timing — matching how a long-lived engine serves repeated query
-    # shapes. Falls back to the bench dir itself if sf0.001 is absent.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warmup, not counted: run every bench query once at the benchmark SF so
+    # JVM JIT, whole-stage-codegen compilation, and file-index resolution of
+    # each plan shape are paid before timing — the sustained-throughput
+    # stance of BASELINE.md's numbers (a long-lived process serving repeated
+    # shapes), not cold-start latency.
     for q in bench.values():
-        q.fn(spark, warm_dir).collect()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        q.fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     total_rows = 0

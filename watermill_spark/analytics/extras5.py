@@ -26,6 +26,7 @@ from .registry import load, register, spread
 
 @register(
     "q_incremental_rollup",
+    bench=True,
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -172,6 +173,7 @@ def q_events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stratified_sample",
+    bench=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS total,
@@ -208,6 +210,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tfidf_top_terms",
+    bench=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z]+')) AS term

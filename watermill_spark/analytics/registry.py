@@ -55,12 +55,22 @@ def register(name: str, oracle: str | None, bench: bool = False):
     return deco
 
 
+_RELATIONS: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
     Plain parquet scan: Catalyst pushes filters and prunes columns into the
     scan, so callers should express predicates on the returned DataFrame and
     let pushdown do its job rather than pre-filtering here.
+
+    Resolved relations are cached per (application, dir, table) — the
+    catalog role. The testdata dirs are immutable, so the cached file
+    listing/footer schema can never go stale; repeated queries skip the
+    per-call re-listing + re-inference driver overhead (which otherwise
+    dwarfs execution for small interactive queries; at 100 TB a real
+    metastore/Delta log plays this part).
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; we read it via the nanos-as-long legacy conf
@@ -69,10 +79,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision above 2^53 ns).
     """
     if name == "events":
+        # conf is read at scan planning — (re)set it even on cache hits
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _RELATIONS.get(key)
+    if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _RELATIONS[key] = df
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:

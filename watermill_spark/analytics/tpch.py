@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import DEC, bcount, davg, dec, dsum, sql_davg, sql_dsum
-from .registry import load, register
+from .registry import load, register, spread
 
 # Exact disc-price expression shared by several queries. The product is
 # computed in DOUBLE (bit-identical across engines: same operands, same
@@ -77,12 +77,15 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 4-6 groups → partial agg reduces each input partition to ≤6 rows
     before the shuffle; the shuffle moves O(partitions) rows regardless of
-    data size. Decimal arithmetic stays inside whole-stage codegen.
+    data size. Decimal arithmetic stays inside whole-stage codegen but is
+    the per-row CPU cost here, so the (conditional) spread fan-out after the
+    filter parallelizes it when the scan is a single row group; on a real
+    multi-split table spread is a no-op and the plan is scan→agg.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        spread(li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

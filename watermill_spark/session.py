@@ -30,6 +30,7 @@ def get_spark(app_name: str = "watermill-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -47,4 +48,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Round-robin repartition normally local-sorts its input so a retried
+    # map task re-deals rows identically. Our repartitions (registry.spread)
+    # only feed operators that are insensitive to row→partition assignment —
+    # exact decimal aggregations, per-row maps, and top-ks with total-order
+    # tiebreaks (det.py rules) — so the defensive sort buys nothing and
+    # serializes the unsplittable-scan fan-out on its single input task.
+    spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
     return spark
