@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .det import bcount
+from .det import bcount, dsum
 from .registry import load, register, spread
 
 # Word-boundary denylist (RE2-compatible: identical semantics in Java regex).
@@ -151,4 +151,51 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "centroid"
         ),
+    )
+
+
+@register(
+    "q_events_session_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native `session_window` (batch form; the
+    same expression is the streaming operator with a watermark).
+
+    Unlike the two-window lag/running-sum formulation (q_events_sessionize),
+    this is a single merging hash aggregation — no ordinal session ids, so
+    sessions are keyed by (start, end). Merge rule: an event extends a
+    session iff ts < last_ts + gap, i.e. a new session starts at
+    ts - prev >= 30 min — the oracle spells exactly that. The ts tiebreak
+    inside the oracle's lag window uses event_id, but equal-ts events always
+    land in the same session either way.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            bcount("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
     )
