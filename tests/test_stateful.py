@@ -6,6 +6,7 @@ import time
 import uuid as _uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from watermill_spark.components import delay_for
 from watermill_spark.message import messages_df, new_message
@@ -52,3 +53,46 @@ def test_delayed_release_parks_then_delivers(ps, spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_running_counter_accumulates_across_batches(ps, spark, tmp_path):
+    """Per-key running counter (applyInPandasWithState, NoTimeout): state
+    carries totals across micro-batches; maxFilesPerTrigger=1 forces multiple
+    batches so accumulation is actually exercised."""
+    from watermill_spark.message import messages_df, new_message
+    from watermill_spark.streaming.stateful import running_counter
+
+    t = f"cnt-{_uuid.uuid4().hex[:6]}"
+    # three publishes -> three parquet files -> three micro-batches
+    for batch in range(3):
+        ps.publish(
+            t,
+            messages_df(
+                spark,
+                [new_message(f"p{batch}-{i}", metadata={"k": str(i % 2)}) for i in range(4)],
+            ),
+        )
+    stream = (
+        spark.readStream.schema(ps.subscribe(t).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ps._dir(t))
+    )
+    counted = running_counter(
+        stream.withColumn("key", F.element_at("metadata", "k")), "key"
+    )
+    out = str(tmp_path / "counts")
+    q = (
+        counted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    per_key_max = {}
+    for r in rows:
+        per_key_max[r["key"]] = max(per_key_max.get(r["key"], 0), r["running_count"])
+    # 3 batches x 4 msgs, k alternates 0/1 -> 6 per key
+    assert per_key_max == {"0": 6, "1": 6}
+    assert sum(r["batch_count"] for r in rows) == 12

@@ -199,3 +199,92 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "session_value")
     )
+
+
+@register(
+    "q_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             length(text) BETWEEN 100 AND 2000
+               AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.2 AS q_ok,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({{stoplist}}))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.08 AS lang_ok
+      FROM documents
+    ),
+    passed AS (
+      SELECT doc_id, source, text,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM scored WHERE q_ok AND lang_ok
+    ),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM passed
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE s.q_ok) AS BIGINT) AS n_quality,
+           CAST(COUNT(*) FILTER (WHERE s.q_ok AND s.lang_ok) AS BIGINT) AS n_lang,
+           CAST((SELECT COUNT(*) FROM kept k
+                 WHERE k.rn = 1 AND k.source = s.source) AS BIGINT) AS n_kept,
+           CAST((SELECT COALESCE(SUM(len(string_split(k.text, ' '))), 0)
+                 FROM kept k WHERE k.rn = 1 AND k.source = s.source)
+                AS BIGINT) AS tokens_kept
+    FROM scored s GROUP BY s.source
+    """.replace("{stoplist}", _SQL_STOPLIST_TXT := "'" + "','".join(
+        ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    ) + "'"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composed training-data pipeline:
+    quality gate (length + lexical diversity) → language gate (stopword
+    ratio) → exact dedup (md5 fingerprint, min-doc_id canonical) → per-source
+    accounting of survivors and kept token volume.
+
+    Scale: the gates are map-side expressions applied BEFORE the dedup
+    shuffle, so the only wide ops run on the filtered minority; the funnel
+    counts piggyback on one scan (no per-stage re-reads). This is the
+    composition story: every stage is an already-verified operator
+    (q_doc_quality, q_doc_langid, q_doc_fingerprint) fused by Catalyst into
+    a single plan.
+    """
+    from .text import EN_STOPWORDS
+
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    q_ok = F.length("text").between(100, 2000) & (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double") > 0.2
+    )
+    stoplist = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    lang_ok = (
+        F.expr(f"size(filter(split(text, ' '), x -> x IN ({stoplist})))").cast("double")
+        / F.size(toks).cast("double")
+        > 0.08
+    )
+    scored = docs.select("doc_id", "source", "text", q_ok.alias("q_ok"), lang_ok.alias("lang_ok"))
+    passed = scored.filter("q_ok AND lang_ok").withColumn(
+        "fp", F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    )
+    from pyspark.sql import Window as _W
+
+    kept = passed.withColumn(
+        "rn", F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    kept_stats = kept.groupBy("source").agg(
+        bcount("n_kept"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens_kept"),
+    )
+    funnel = scored.groupBy("source").agg(
+        bcount("n_total"),
+        F.count(F.when(F.col("q_ok"), 1)).cast("bigint").alias("n_quality"),
+        F.count(F.when(F.col("q_ok") & F.col("lang_ok"), 1)).cast("bigint").alias("n_lang"),
+    )
+    return (
+        funnel.join(F.broadcast(kept_stats), "source", "left")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)).cast("bigint"))
+        .withColumn("tokens_kept", F.coalesce("tokens_kept", F.lit(0)).cast("bigint"))
+        .select("source", "n_total", "n_quality", "n_lang", "n_kept", "tokens_kept")
+    )

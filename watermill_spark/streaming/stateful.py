@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    LongType,
     MapType,
     StringType,
     StructField,
@@ -143,4 +144,50 @@ def delayed_release(stream: DataFrame, key_col: str = "topic") -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+_COUNTER_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("batch_count", LongType()),
+        StructField("running_count", LongType()),
+    ]
+)
+
+_COUNTER_STATE_SCHEMA = StructType([StructField("count", LongType())])
+
+
+def _counter_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """Per-key running counter (the reference's real-time counter /
+    exactly-once delivery counter shape, consume→update-state per message,
+    here per Arrow batch)."""
+    n = 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    (prev,) = state.get if state.exists else (0,)
+    total = prev + n
+    state.update((total,))
+    yield pd.DataFrame({"key": [key[0]], "batch_count": [n], "running_count": [total]})
+
+
+def running_counter(stream: DataFrame, key_col: str) -> DataFrame:
+    """Streaming per-key running counter with arbitrary state.
+
+    Counts survive across micro-batches in the state store (checkpointed, so
+    also across restarts) — the Structured Streaming translation of the
+    reference's consume-and-increment handler. Emits one row per key per
+    batch with that batch's count and the running total.
+
+    Scale: state is one long per key; the shuffle is on `key_col` exactly
+    once per micro-batch; Arrow-batched Python touches only (key, count)
+    pairs, not payloads, because the upstream select prunes columns.
+    """
+    keyed = stream.select(F.coalesce(F.col(key_col), F.lit("")).alias("_k"))
+    return keyed.groupBy("_k").applyInPandasWithState(
+        _counter_fn,
+        outputStructType=_COUNTER_OUT_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
