@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     extras5,
     extras6,
     extras7,
+    extras8,
     multimodal_q,
     similarity,
     text,

@@ -1,0 +1,164 @@
+"""Analytics batch 11: time-series resampling with forward fill, equi-depth
+quantile buckets, referential-integrity audit.
+
+Determinism per :mod:`watermill_spark.analytics.det`; disc (not cont)
+quantiles so both engines pick actual data elements, no interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount, dsum
+from .registry import load, register
+
+
+@register(
+    "q_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    )
+    SELECT s.event_type, s.day,
+           d.day_value IS NOT NULL AS observed,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with forward fill (LOCF): a gap-free per-type series
+    where missing days carry the last observed daily total.
+
+    Scale: the spine is O(types × days) — generated, never scanned; the raw
+    table is touched once for the daily agg. The ffill window orders by day
+    within type: bounded state, one shuffle. Day totals are exact decimal
+    sums, so the carried value is engine-identical.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(dsum("value", "day_value"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+@register(
+    "q_equi_depth_deciles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucket boundaries via *discrete* percentiles — both engines
+    pick an actual data element (no interpolation arithmetic to disagree
+    on); the scale path swaps in approx_percentile with the same call shape.
+
+    Scale: percentile_disc is a sort-based aggregation per group; at 100 TB
+    this runs as a per-partition partial sort + merge, or is replaced by the
+    t-digest approximation — the declared surface stays identical.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_deciles_v")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+        FROM li_deciles_v GROUP BY 1
+    """)
+
+
+@register(
+    "q_referential_orphans",
+    oracle="""
+    SELECT 'lineitem_wo_order' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'order_wo_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_wo_nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts along the FK chain
+    (lineitem→orders→customer→nation) via left-anti joins — the ingest
+    data-quality gate of a training pipeline.
+
+    Scale: each anti join broadcasts the smaller key set where possible;
+    lineitem⟕orders anti-joins on the co-partitioned orderkey (one shuffle,
+    reused by AQE). Counting is a partial-agg collapse.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def orphans(name, child, parent, cond):
+        return child.join(parent, cond, "left_anti").agg(
+            F.lit(name).alias("check_name"), bcount("n_bad")
+        ).select("check_name", "n_bad")
+
+    return (
+        orphans("lineitem_wo_order", li, orders, li.l_orderkey == orders.o_orderkey)
+        .unionByName(
+            orphans("order_wo_customer", orders, cust, orders.o_custkey == cust.c_custkey)
+        )
+        .unionByName(
+            orphans(
+                "customer_wo_nation",
+                cust,
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+            )
+        )
+    )
