@@ -162,3 +162,88 @@ def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY yr) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY yr))
+             / lag(revenue) OVER (ORDER BY yr) AS yoy_growth
+    FROM yearly
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly exact-decimal totals + lag.
+
+    Scale: the window runs over O(years) rows — the global (unpartitioned)
+    window is safe precisely because the aggregation collapsed the data
+    first; growth is a single IEEE division on identical operands.
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        dsum("o_totalprice", "revenue"), bcount("n_orders")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+@register(
+    "q_market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 1000 AS part_bucket FROM lineitem
+    )
+    SELECT a.part_bucket AS p1, b.part_bucket AS p2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part-bucket pairs appearing together in
+    ≥3 orders (the support-counting core of association mining).
+
+    Scale: the per-order pair expansion is quadratic in basket size — safe
+    here because baskets are ≤7 lines; at 100 TB the guard is capping or
+    sampling oversized baskets BEFORE the self-join. The join is key-local
+    (same l_orderkey both sides): one shuffle co-partitions both sides, and
+    the p1 < p2 predicate halves the pair space. Bucketing parts (mod 1000)
+    bounds the output cardinality.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 1000).alias("part_bucket")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.part_bucket") < F.col("b.part_bucket")),
+        )
+        .groupBy(
+            F.col("a.part_bucket").alias("p1"), F.col("b.part_bucket").alias("p2")
+        )
+        .agg(bcount("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
