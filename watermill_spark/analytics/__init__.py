@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     extras6,
     extras7,
     extras8,
+    extras9,
     multimodal_q,
     similarity,
     text,

@@ -1,0 +1,211 @@
+"""Analytics batch 13: behavioral/statistical shapes — Markov transition
+matrix, Zipf term ranking, RFM segmentation, audience-overlap Jaccard.
+
+Determinism per :mod:`watermill_spark.analytics.det` (integer counts, single
+IEEE divisions, total-order tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount, dsum
+from .registry import load, register, spread
+
+
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM trans
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | type) with raw counts.
+
+    Scale: one lead window per user (single shuffle), then a |types|² count
+    — the matrix is tiny no matter the input size. The probability is one
+    IEEE division of exact integer counts.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(bcount("n"))
+    wt = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )
+
+
+@register(
+    "q_doc_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents
+    ),
+    counted AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tf GROUP BY 1
+    )
+    SELECT term, n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+           CAST(n AS DOUBLE)
+             * CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE) AS zipf_product
+    FROM counted
+    ORDER BY rank LIMIT 50
+    """,
+)
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: global term frequencies with rank and the
+    rank×frequency product (≈constant under Zipf) for the top-50 terms.
+
+    Scale: term counting partial-aggregates the exploded token stream; the
+    global ranking window only sees |vocabulary| rows, and LIMIT 50 plans a
+    TakeOrdered, not a full sort. Tiebreak on term keeps ranks total-ordered.
+    """
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    counted = (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term"))
+        .groupBy("term")
+        .agg(bcount("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    rank = F.row_number().over(w).cast("bigint")
+    return (
+        counted.select(
+            "term",
+            "n",
+            rank.alias("rank"),
+            (F.col("n").cast("double") * rank.cast("double")).alias("zipf_product"),
+        )
+        .orderBy("rank")
+        .limit(50)
+    )
+
+
+@register(
+    "q_customer_rfm",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+    FROM rfm
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary + quintile
+    scores (the classic marketing-analytics table).
+
+    Scale: the per-customer aggregation collapses orders first; the three
+    global ntile windows run over |customers| rows — at 100 TB these become
+    `repartitionByRange` + per-partition ranking, same declared surface.
+    Every ntile orders with a unique tiebreak (custkey) so bucket boundaries
+    are engine-identical.
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        bcount("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("bigint").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("bigint").alias("m_score"),
+    )
+
+
+@register(
+    "q_events_type_jaccard",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.t1, i.t2, i.n_inter, s1.n AS n1, s2.n AS n2,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.event_type = i.t1
+    JOIN sizes s2 ON s2.event_type = i.t2
+    """,
+)
+def q_events_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: pairwise Jaccard of user sets.
+
+    Scale: the self-join is keyed on user_id (co-partitioned, one shuffle)
+    and produces at most |types|²/2 aggregated rows; set sizes broadcast
+    back. |A∪B| is computed as n1+n2−n∩ (exact integers), so no union
+    materialization.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(bcount("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2"))
+        .agg(bcount("n_inter"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_inter",
+            "n1",
+            "n2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
