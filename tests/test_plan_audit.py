@@ -1,0 +1,57 @@
+"""Fleet-wide physical-plan audit: every registered query's plan is scanned
+for 100-TB red flags. Patterns that are *by design* are whitelisted with the
+reason; anything new fails the build, so a refactor can't silently introduce
+a cartesian product or an unexpected nested-loop join.
+
+(Heavier structural assertions for individual queries live in
+test_scale_plans.py; this is the safety net across all of them.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from watermill_spark.analytics.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# name -> allowed flags, each with a why
+BY_DESIGN = {
+    # scalar-subquery / threshold patterns: a 1-row aggregate joined to the
+    # fact side can only be a broadcast nested-loop join — O(n) work
+    "q11_important_parts": {"BNLJ"},
+    "q_scalar_subquery": {"BNLJ"},
+    # funnel ends with three 1-row stage counts cross-joined — 1x1x1 rows
+    "q_events_funnel": {"BNLJ"},
+    # brute-force similarity is deliberately all-pairs (the oracle baseline
+    # that the LSH/IVF variants beat at scale)
+    "q_knn_bruteforce": {"BNLJ"},
+    "q_dedup_embedding_cosine": {"BNLJ"},
+    # IVF probe: vectors join the (tiny, broadcast) centroid set on a
+    # non-equi nearest-cell condition
+    "q_knn_ivf": {"BNLJ"},
+    # deliberate unbucketed fact-fact joins (the shapes AQE handles):
+    "q20_potential_promotion": {"SMJ"},
+    "q21_waiting_supplier": {"SMJ"},
+}
+
+
+def _flags(plan: str) -> set[str]:
+    flags = set()
+    if "CartesianProduct" in plan:
+        flags.add("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.add("BNLJ")
+    if plan.count("SortMergeJoin") >= 2:
+        flags.add("SMJ")
+    return flags
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_unexplained_red_flags(spark, name):
+    q = REGISTRY[name]
+    plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    unexplained = _flags(plan) - BY_DESIGN.get(name, set())
+    assert not unexplained, f"{name}: new scale red flags {unexplained}"
