@@ -307,3 +307,71 @@ def test_exactly_once_idempotent_sink(ps, spark, tmp_path):
     run("ckpt2")
     assert len(writes) == n_first  # write_fn never re-ran
     assert spark.read.parquet(out_dir).count() == 15
+
+
+def test_stream_stream_join_on_correlation_id(ps, spark, tmp_path):
+    """Stream-stream inner join with watermarks (the streaming form of
+    request/reply correlation, SURVEY §2.A.41): commands and replies arrive
+    on separate topics and join on correlation_id."""
+    t_cmd, t_rep = _t("cmd"), _t("rep")
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    cmds = messages_df(
+        spark,
+        [
+            new_message(
+                f"c{i}",
+                metadata={"correlation_id": f"op{i}"},
+                event_time=t0 + _dt.timedelta(seconds=i),
+            )
+            for i in range(8)
+        ],
+    )
+    reps = messages_df(
+        spark,
+        # replies for even ops only, ~1 min after their command
+        [
+            new_message(
+                f"r{i}",
+                metadata={"correlation_id": f"op{i}"},
+                event_time=t0 + _dt.timedelta(seconds=60 + i),
+            )
+            for i in range(0, 8, 2)
+        ],
+    )
+    ps.publish(t_cmd, cmds)
+    ps.publish(t_rep, reps)
+
+    def keyed(topic, side):
+        s = (
+            spark.readStream.schema(ps.subscribe(topic).schema)
+            .parquet(ps._dir(topic))
+            .select(
+                F.element_at("metadata", "correlation_id").alias(f"corr_{side}"),
+                F.col("payload").alias(f"payload_{side}"),
+                F.col("event_time").alias(f"t_{side}"),
+            )
+            .withWatermark(f"t_{side}", "1 minute")
+        )
+        return s
+
+    joined = keyed(t_cmd, "cmd").join(
+        keyed(t_rep, "rep"),
+        F.expr(
+            "corr_cmd = corr_rep AND t_rep BETWEEN t_cmd - INTERVAL 5 MINUTES "
+            "AND t_cmd + INTERVAL 5 MINUTES"
+        ),
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # only the even ops matched
+    assert {r["corr_cmd"] for r in rows} == {"op0", "op2", "op4", "op6"}

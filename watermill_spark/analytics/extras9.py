@@ -209,3 +209,111 @@ def q_events_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_PR_EDGE_SQL = """
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+"""
+
+_PR_STEP_SQL = """
+      SELECT n.node,
+             0.15 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)
+             + 0.85 * COALESCE(CAST(SUM(CAST(
+                 {prev}.r * (CAST(e.w AS DOUBLE) / CAST(od.out_w AS DOUBLE))
+               AS DECIMAL(28,18))) AS DOUBLE), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN outdeg od ON od.src = e.src
+      LEFT JOIN {prev} ON {prev}.node = e.src
+      GROUP BY n.node
+"""
+
+
+@register(
+    "q_pagerank_nations",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGE_SQL}),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    outdeg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY 1
+    ),
+    r0 AS (
+      SELECT node, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS r
+      FROM nodes
+    ),
+    r1 AS ({_PR_STEP_SQL.format(prev="r0")}),
+    r2 AS ({_PR_STEP_SQL.format(prev="r1")}),
+    r3 AS ({_PR_STEP_SQL.format(prev="r2")})
+    SELECT CAST(node AS BIGINT) AS node, round(r, 9) AS pagerank FROM r3
+    """,
+)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 fixed iterations, damping 0.85) over the
+    nation→nation trade graph (edge weight = order lines shipped from
+    customer nation to supplier nation).
+
+    The iterative-algorithm showcase: the driver loop builds one join+agg
+    stage per iteration; every contribution sum goes through DECIMAL(28,18)
+    so partial-agg order can't change the sum; the remaining last-ulp
+    wobble (double→wide-decimal casts route through shortest-string
+    representation on the JVM) is absorbed by rounding the FINAL rank to
+    9 digits on both engines — which is what lets an *iterative* algorithm
+    hash-match a chained-CTE oracle at all. Scale: nodes/outdeg are broadcast; each iteration is one
+    shuffle over |edges|; a 100-TB edge list changes nothing structurally
+    (checkpoint every ~5 iterations to cut lineage).
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(bcount("w"))
+    ).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .cache()
+    )
+    n_nodes = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(outdeg), "src")
+            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(
+                "dst",
+                (
+                    F.col("r") * (F.col("w").cast("double") / F.col("out_w").cast("double"))
+                ).cast("decimal(28,18)").alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce(F.sum("c").cast("double"), F.lit(0.0))
+                ).alias("r")
+            )
+        )
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"), F.round("r", 9).alias("pagerank")
+    )
