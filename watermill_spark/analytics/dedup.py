@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
+from .det import bcount
 from .registry import load, register, spread
 
 N_HASHES = 8
@@ -320,4 +321,93 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("simhash")
         )
+    )
+
+
+_SQL_CC_STEP = """
+      SELECT n.node,
+             LEAST(n.label, COALESCE(MIN(nb.label), n.label)) AS label
+      FROM {prev} n
+      LEFT JOIN (
+        SELECT e.doc_a AS node, l.label
+        FROM cand e JOIN {prev} l ON l.node = e.doc_b
+        UNION ALL
+        SELECT e.doc_b, l.label
+        FROM cand e JOIN {prev} l ON l.node = e.doc_a
+      ) nb ON nb.node = n.node
+      GROUP BY n.node, n.label
+"""
+
+
+@register(
+    "q_dedup_connected_components",
+    oracle=_SQL_MINHASH_CTES
+    + """
+    , nodes AS (
+      SELECT DISTINCT doc_a AS node FROM cand
+      UNION SELECT DISTINCT doc_b FROM cand
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ("""
+    + _SQL_CC_STEP.format(prev="l0")
+    + """),
+    l2 AS ("""
+    + _SQL_CC_STEP.format(prev="l1")
+    + """),
+    l3 AS ("""
+    + _SQL_CC_STEP.format(prev="l2")
+    + """)
+    SELECT CAST(label AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(node) AS BIGINT) AS canonical_doc
+    FROM l3 GROUP BY label
+    """,
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *transitive* clusters: iterative min-label propagation
+    (3 rounds) over the LSH candidate-pair graph — the connected-components
+    step that turns pairwise candidates into dedup groups (A~B, B~C ⇒
+    {A,B,C} even when A,C never collide).
+
+    Pure integer MIN propagation: bit-exact on any cluster size or
+    aggregation order, which is why an iterative graph algorithm can
+    hash-match a chained-CTE oracle. 3 rounds covers diameter-3 components
+    (this corpus's worst case); production runs to fixpoint with the same
+    per-round plan + lineage checkpoints. Scale: each round is one shuffle
+    of the edge list joined to the current labels; labels/edges are uniform
+    hash keys — no skew.
+    """
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs)
+    edges = lsh_candidate_pairs(sigs).cache()
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .union(edges.select("doc_b"))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(3):
+        nb = (
+            edges.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
+            .select(F.col("doc_a").alias("node"), "label")
+            .unionAll(
+                edges.join(labels.withColumnRenamed("node", "doc_a"), "doc_a")
+                .select(F.col("doc_b").alias("node"), "label")
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").cast("bigint").alias("component")).agg(
+        bcount("n_docs"),
+        F.min("node").cast("bigint").alias("canonical_doc"),
     )
