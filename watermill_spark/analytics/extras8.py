@@ -247,3 +247,97 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+@register(
+    "q_gapfill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(d.v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM spine s LEFT JOIN daily d USING (event_type, day)
+      WINDOW w_prev AS (PARTITION BY s.event_type ORDER BY s.day
+                        ROWS UNBOUNDED PRECEDING),
+             w_next AS (PARTITION BY s.event_type ORDER BY s.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day, v IS NOT NULL AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                       * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END AS v_interp
+    FROM j
+    """,
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with *linear interpolation* (TimescaleDB `interpolate`
+    analog): missing days take the line between the previous and next
+    observed daily totals; edges fall back to nearest-observation.
+
+    Determinism: the interpolation is pv + (nv−pv)·(Δ/Δtotal) — single IEEE
+    ops on exact-decimal endpoints and integer day offsets, identical on
+    both engines. Scale: same spine/LOCF plan as q_resample_ffill plus one
+    mirrored backward window; both windows share the (event_type, day) sort.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(dsum("value", "v"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast("double")
+    return j.select(
+        "event_type",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("v_interp"),
+    )

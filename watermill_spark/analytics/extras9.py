@@ -317,3 +317,47 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("bigint").alias("node"), F.round("r", 9).alias("pagerank")
     )
+
+
+@register(
+    "q_user_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts GROUP BY 1
+    )
+    SELECT c.user_id, t.total, t.n_types,
+           round(-SUM((CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+                      * log2(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))), 9)
+             AS entropy_bits
+    FROM counts c JOIN totals t USING (user_id)
+    GROUP BY c.user_id, t.total, t.n_types
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy (Shannon, bits) over event-type mix — the
+    diversity signal of engagement scoring.
+
+    log2 is transcendental (not correctly rounded by IEEE), so terms may
+    differ in the last ulp between libm and the JVM; with ≤5 types the
+    accumulated wobble is « 1e-12 and round(…, 9) absorbs it (unlike sums
+    over unbounded rows, where we'd restructure to avoid logs entirely —
+    see q_tfidf_top_terms).
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(bcount("n"))
+    totals = counts.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total"), bcount("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id", "total", "n_types")
+        .agg(F.round(-F.sum(p * F.log2(p)), 9).alias("entropy_bits"))
+    )
