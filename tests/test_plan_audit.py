@@ -33,6 +33,14 @@ BY_DESIGN = {
     # deliberate unbucketed fact-fact joins (the shapes AQE handles):
     "q20_potential_promotion": {"SMJ"},
     "q21_waiting_supplier": {"SMJ"},
+    # iterative label propagation: both join sides are |graph|-sized every
+    # round — shuffle joins are the correct 100-TB plan (broadcast only
+    # applies when the frontier is small, which dedup graphs are not)
+    "q_dedup_connected_components": {"SMJ"},
+    # edge-list build is a fact-fact star (lineitem x orders SMJ) + per-round
+    # spine joins; rank contributions pre-aggregate to <=|nodes| and
+    # broadcast, but the 4-table edge build keeps two SMJs at this size
+    "q_pagerank_nations": {"SMJ"},
 }
 
 

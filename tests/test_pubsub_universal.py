@@ -111,3 +111,27 @@ def test_nonpersistent_memory_drains(spark):
     ps.publish("d", messages_df(spark, _mk_messages(4)))
     assert ps.subscribe("d").count() == 4
     assert ps.subscribe("d").count() == 0
+
+
+def test_parquet_topic_compaction(spark, tmp_path):
+    """Small-files maintenance: N micro-batch publishes -> N files; compact()
+    consolidates without changing topic contents (uuid set + payloads)."""
+    from watermill_spark.sources import ParquetPubSub
+
+    ps = ParquetPubSub(spark, str(tmp_path / "topics"))
+    t = "compactme"
+    for b in range(6):
+        ps.publish(t, messages_df(spark, [new_message(f"p{b}-{i}") for i in range(5)]))
+    before = ps.topic_file_stats(t)
+    assert before["n_files"] >= 6
+    uuids_before = {r["uuid"] for r in ps.subscribe(t).collect()}
+
+    stats = ps.compact(t, target_files=1)
+    assert stats["after"] <= 2  # 1 data file (+ possible empty-partition file)
+    after = ps.topic_file_stats(t)
+    assert after["n_files"] == stats["after"]
+    rows = ps.subscribe(t).collect()
+    assert {r["uuid"] for r in rows} == uuids_before
+    assert len(rows) == 30
+    # idempotent when already compact
+    assert ps.compact(t, target_files=stats["after"])["after"] == stats["after"]

@@ -294,6 +294,10 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(3):
+        # pre-aggregate per destination BEFORE joining the node spine: the
+        # join input shrinks from |edges| to <=|nodes| rows, so the spine
+        # join broadcasts at any scale (partial aggregation does the heavy
+        # lifting map-side)
         contrib = (
             edges.join(F.broadcast(outdeg), "src")
             .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -303,15 +307,17 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r") * (F.col("w").cast("double") / F.col("out_w").cast("double"))
                 ).cast("decimal(28,18)").alias("c"),
             )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c_sum"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .groupBy("node")
-            .agg(
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
                 (
                     F.lit(0.15 / n_nodes)
-                    + F.lit(0.85) * F.coalesce(F.sum("c").cast("double"), F.lit(0.0))
-                ).alias("r")
+                    + F.lit(0.85) * F.coalesce(F.col("c_sum").cast("double"), F.lit(0.0))
+                ).alias("r"),
             )
         )
     return ranks.select(

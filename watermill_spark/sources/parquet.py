@@ -48,3 +48,51 @@ class ParquetPubSub(PubSub):
 
     def subscribe_initialize(self, topic: str) -> None:
         os.makedirs(self._dir(topic), exist_ok=True)
+
+    def topic_file_stats(self, topic: str) -> dict:
+        """Operational surface: file count + bytes of a topic directory (the
+        small-files pressure gauge that decides when to compact)."""
+        d = self._dir(topic)
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ] if os.path.isdir(d) else []
+        return {"n_files": len(files), "bytes": sum(os.path.getsize(f) for f in files)}
+
+    def compact(self, topic: str, target_files: int = 1) -> dict:
+        """Rewrite a topic's accumulated micro-batch files into
+        `target_files` consolidated files (the streaming small-files fix:
+        every `publish`/micro-batch appends a file; scans slow down as the
+        file count grows — compaction restores scan efficiency without
+        changing topic contents).
+
+        Generation-swap protocol (no transactional log on plain parquet):
+        write the consolidated copy to a sibling `<topic>.compact-tmp` dir,
+        then atomically rename old→trash, new→live, then delete trash. A
+        reader holding the old listing keeps reading the trash generation
+        until it re-lists — the same guarantee window a Hive-style
+        non-transactional table gives; production would use Delta/Iceberg
+        `OPTIMIZE` which is this operation behind a real log.
+
+        Returns {before: n_files, after: n_files}.
+        """
+        import shutil
+
+        d = self._dir(topic)
+        before = self.topic_file_stats(topic)["n_files"]
+        if before <= target_files:
+            return {"before": before, "after": before}
+        tmp = d + ".compact-tmp"
+        trash = d + ".compact-trash"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        (
+            self.spark.read.schema(MESSAGE_SCHEMA)
+            .parquet(d)
+            .repartition(target_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(d, trash)
+        os.rename(tmp, d)
+        shutil.rmtree(trash, ignore_errors=True)
+        return {"before": before, "after": self.topic_file_stats(topic)["n_files"]}
