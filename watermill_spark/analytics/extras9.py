@@ -367,3 +367,116 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "total", "n_types")
         .agg(F.round(-F.sum(p * F.log2(p)), 9).alias("entropy_bits"))
     )
+
+
+@register(
+    "q_events_late_arrivals",
+    oracle="""
+    WITH marked AS (
+      SELECT event_type, ts, event_id,
+             MAX(ts) OVER (PARTITION BY event_type
+                           ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_watermark
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE ts < high_watermark - INTERVAL 10 MINUTE)
+                AS BIGINT) AS n_late_10m,
+           CAST(COUNT(*) FILTER (WHERE ts < high_watermark - INTERVAL 60 MINUTE)
+                AS BIGINT) AS n_late_60m
+    FROM marked GROUP BY 1
+    """,
+)
+def q_events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting: events arriving (in event_id ingest order) more
+    than 10/60 minutes behind the running event-time high watermark — the
+    measurement that justifies a streaming watermark choice (`withWatermark`
+    delay = the lateness you're willing to wait for; everything later is
+    dropped, so this query quantifies the drop rate per candidate delay).
+
+    Scale: one running-max window per type over ingest order, then a
+    filtered count — no joins; the same audit runs incrementally in the
+    streaming twin via max-aggregation per micro-batch.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_watermark")
+    )
+    late = lambda mins: F.count(
+        F.when(F.col("ts") < F.col("high_watermark") - F.expr(f"INTERVAL {mins} MINUTE"), 1)
+    ).cast("bigint")
+    return marked.groupBy("event_type").agg(
+        bcount("n_events"),
+        late(10).alias("n_late_10m"),
+        late(60).alias("n_late_60m"),
+    )
+
+
+@register(
+    "q_supplier_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,6))) AS revenue_dec
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             CAST(row_number() OVER (ORDER BY revenue_dec DESC, l_suppkey)
+                  AS BIGINT) AS rnk,
+             CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_suppkey
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST((SELECT SUM(revenue_dec) FROM rev) AS DOUBLE) AS cum_share
+      FROM rev
+    )
+    SELECT l_suppkey, revenue, rnk, cum_share, cum_share <= 0.8 AS in_top80
+    FROM ranked
+    """,
+)
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
+    share and the top-80% flag.
+
+    Determinism: the running share divides an exact-decimal cumulative sum
+    by the exact-decimal grand total — one IEEE division per row; ordering
+    ties broken by suppkey. Scale: the rank/cumsum window is global but runs
+    over |suppliers| (already aggregated) rows; at 100 TB that window uses
+    `repartitionByRange` internally, same surface.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("revenue_dec")
+    )
+    total = rev.agg(F.sum("revenue_dec").alias("t"))
+    w = Window.orderBy(F.desc("revenue_dec"), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.sum("revenue_dec").over(w).cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("revenue_dec"), "l_suppkey"))
+            .cast("bigint")
+            .alias("rnk"),
+            share.alias("cum_share"),
+            (share <= 0.8).alias("in_top80"),
+        )
+    )
