@@ -21,6 +21,7 @@ BY_DESIGN = {
     # fact side can only be a broadcast nested-loop join — O(n) work
     "q11_important_parts": {"BNLJ"},
     "q_scalar_subquery": {"BNLJ"},
+    "q_supplier_pareto": {"BNLJ"},  # 1-row grand-total joined to every rank row
     # funnel ends with three 1-row stage counts cross-joined — 1x1x1 rows
     "q_events_funnel": {"BNLJ"},
     # brute-force similarity is deliberately all-pairs (the oracle baseline
