@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     extras7,
     extras8,
     extras9,
+    extras10,
     multimodal_q,
     similarity,
     text,

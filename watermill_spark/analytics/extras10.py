@@ -1,0 +1,157 @@
+"""Analytics batch 16: operational-reporting shapes — activity heatmap,
+inter-order gaps, order-size distribution, IQR outlier detection.
+
+Determinism per :mod:`watermill_spark.analytics.det`. Day-of-week uses the
+ISO numbering on both engines (Spark ``weekday()+1`` == DuckDB ``isodow``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount, dsum
+from .registry import load, register
+
+
+@register(
+    "q_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events by ISO day-of-week × hour (the ops-dashboard
+    matrix). ≤168 output rows regardless of input size — partial aggregation
+    collapses everything map-side."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(bcount("n"), F.countDistinct("user_id").cast("bigint").alias("n_users"))
+
+
+@register(
+    "q_interorder_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(gap_days) AS DOUBLE)
+             AS avg_gap_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+    """,
+)
+def q_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase cadence: per-customer stats over day-gaps between consecutive
+    orders (lag + datediff; integer day arithmetic, exact mean as Σ/n)."""
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        bcount("n_gaps", "gap_days"),
+        (F.sum("gap_days").cast("double") / F.count("gap_days").cast("double")).alias(
+            "avg_gap_days"
+        ),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+    )
+
+
+@register(
+    "q_order_size_histogram",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM per_order) AS DOUBLE) AS share
+    FROM per_order GROUP BY 1
+    """,
+)
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: histogram of lines-per-order with shares —
+    two stacked aggregations, the second over |distinct sizes| rows only."""
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(bcount("n_lines"))
+    total = per_order.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(bcount("n_orders"))
+        .join(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("t")).alias("share"),
+        )
+    )
+
+
+@register(
+    "q_price_outliers_iqr",
+    oracle="""
+    WITH fences AS (
+      SELECT p_brand,
+             quantile_disc(p_retailprice, 0.25) AS q1,
+             quantile_disc(p_retailprice, 0.75) AS q3
+      FROM part GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           f.q1, f.q3,
+           CAST(COUNT(*) FILTER (
+             WHERE p.p_retailprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR p.p_retailprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS BIGINT)
+             AS n_outliers
+    FROM part p JOIN fences f USING (p_brand)
+    GROUP BY p.p_brand, f.q1, f.q3
+    """,
+)
+def q_price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per brand: IQR from discrete quantiles,
+    fences at 1.5×IQR (single IEEE mul/sub/add on element values — engine-
+    identical), outlier counts.
+
+    Scale: fences are |brands| rows broadcast back onto the scan; the data
+    pass is a map-side filtered count.
+    """
+    tune_session(spark)
+    part = load(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_iqr_v")
+    fences = spark.sql("""
+        SELECT p_brand,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY p_retailprice) AS q3
+        FROM part_iqr_v GROUP BY 1
+    """)
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("p_retailprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("p_retailprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        part.join(F.broadcast(fences), "p_brand")
+        .groupBy("p_brand", "q1", "q3")
+        .agg(bcount("n_parts"), F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"))
+        .select("p_brand", "n_parts", "q1", "q3", "n_outliers")
+    )
