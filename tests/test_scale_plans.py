@@ -147,3 +147,49 @@ def test_incremental_rollup_reaggregates_without_rescan(spark):
     plan = _plan(spark, REGISTRY["q_incremental_rollup"].fn(spark, SF))
     # one scan node == one "Location:" detail block in the formatted plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_layout_operators_partition_pruning_and_zone_maps(spark, tmp_path):
+    """save_partitioned → PartitionFilters prune directories at plan time;
+    save_sorted → range filter still pushed (zone maps do file skipping at
+    execution)."""
+    from watermill_spark.operators import save_partitioned, save_sorted
+
+    orders = load(spark, SF, "orders")
+    p_dir = str(tmp_path / "by_priority")
+    save_partitioned(orders, p_dir, ["o_orderpriority"])
+    pruned = spark.read.parquet(p_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan(spark, pruned)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    assert pruned.count() == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+    s_dir = str(tmp_path / "sorted")
+    save_sorted(orders, s_dir, ["o_orderdate"], n_files=4)
+    rng = spark.read.parquet(s_dir).filter(F.col("o_totalprice") > 0).filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    plan = _plan(spark, rng)
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert rng.count() > 0
+
+
+def test_layout_save_bucketed_roundtrip_no_shuffle_join(spark, tmp_path):
+    """save_bucketed/read_bucketed: the packaged writers reproduce the
+    co-located zero-Exchange sort-merge join."""
+    from watermill_spark.operators import read_bucketed, save_bucketed
+
+    tag = _uuid.uuid4().hex[:8]
+    t1, t2 = f"lb_orders_{tag}", f"lb_cust_{tag}"
+    try:
+        save_bucketed(load(spark, SF, "orders"), t1, ["o_custkey"], n_buckets=8)
+        save_bucketed(load(spark, SF, "customer"), t2, ["c_custkey"], n_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, t1).join(
+            read_bucketed(spark, t2), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = _plan(spark, j)
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

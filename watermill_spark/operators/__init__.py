@@ -6,6 +6,7 @@ multimodal decode stubs which are Arrow-batched by design.
 """
 
 from .joins import asof_join, range_join_binned
+from .layout import read_bucketed, save_bucketed, save_partitioned, save_sorted
 from .topk import topk_per_group
 from .multimodal import (
     MEDIA_SCHEMA,
