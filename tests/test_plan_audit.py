@@ -23,6 +23,7 @@ BY_DESIGN = {
     "q_scalar_subquery": {"BNLJ"},
     "q_supplier_pareto": {"BNLJ"},  # 1-row grand-total joined to every rank row
     "q_order_size_histogram": {"BNLJ"},  # 1-row total joined to histogram rows
+    "q_user_power_curve": {"BNLJ"},  # 1-row total joined to decile rows
     # funnel ends with three 1-row stage counts cross-joined — 1x1x1 rows
     "q_events_funnel": {"BNLJ"},
     # brute-force similarity is deliberately all-pairs (the oracle baseline

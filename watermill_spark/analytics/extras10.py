@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dsum
-from .registry import load, register
+from .registry import load, register, spread
 
 
 @register(
@@ -155,3 +155,144 @@ def q_price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount("n_parts"), F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"))
         .select("p_brand", "n_parts", "q1", "q3", "n_outliers")
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS quality
+      FROM documents
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(struct_extract(MAX({'q': quality, 'd': doc_id}), 'q')
+                AS BIGINT) AS best_quality,
+           CAST(struct_extract(MAX({'q': quality, 'd': doc_id}), 'd')
+                AS BIGINT) AS kept_doc
+    FROM scored GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate (highest lexical diversity),
+    not an arbitrary one — the curation-correct survivor policy.
+
+    argmax via MAX over a (quality, doc_id) struct: lexicographic struct
+    comparison gives a total order, so ties on quality resolve by doc_id
+    identically on every engine — the deterministic form of max_by (whose
+    tie behavior is unspecified). One uniform-key shuffle, same as min-id
+    dedup.
+    """
+    tune_session(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("quality"),
+    )
+    best = F.max(F.struct("quality", "doc_id"))
+    return (
+        scored.groupBy("fp")
+        .agg(
+            bcount("n_dups"),
+            best.getField("quality").cast("bigint").alias("best_quality"),
+            best.getField("doc_id").cast("bigint").alias("kept_doc"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select("fp", "n_dups", "best_quality", "kept_doc")
+    )
+
+
+@register(
+    "q_user_power_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    deciled AS (
+      SELECT user_id, n_events,
+             CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile
+      FROM per_user
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS events,
+           CAST(SUM(n_events) AS DOUBLE)
+             / CAST((SELECT SUM(n_events) FROM per_user) AS DOUBLE) AS share
+    FROM deciled GROUP BY 1
+    """,
+)
+def q_user_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage concentration: decile the users by activity, report each
+    decile's share of total events (the power-user curve).
+
+    Scale: ntile runs over |users| (post-aggregation) rows; the share is one
+    IEEE division of exact integer sums. Tiebreak user_id keeps decile
+    boundaries engine-identical.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(bcount("n_events"))
+    total = per_user.agg(F.sum("n_events").cast("double").alias("t"))
+    deciled = per_user.select(
+        "n_events",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n_events"), "user_id"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(bcount("n_users"), F.sum("n_events").cast("bigint").alias("events"))
+        .join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "events",
+            (F.col("events").cast("double") / F.col("t")).alias("share"),
+        )
+    )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer),
+         s AS (SELECT nullif(s_nationkey, 3) AS k, s_suppkey FROM supplier)
+    SELECT 'null_safe' AS mode, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    UNION ALL
+    SELECT 'plain_eq', CAST(COUNT(*) AS BIGINT)
+    FROM c JOIN s ON c.k = s.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) vs plain `=`:
+    nulls match each other under <=>, silently drop under = — the join
+    semantics a pipeline must choose consciously when keys are nullable.
+
+    Scale: <=> is still hash-joinable in Spark (null becomes an ordinary
+    key value) — same single shuffle as the equi join, no fallback to
+    nested-loop.
+    """
+    tune_session(spark)
+    c = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
+    )
+    ns = (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .agg(bcount("n_pairs"))
+        .withColumn("mode", F.lit("null_safe"))
+    )
+    eq = (
+        c.join(s, F.col("ck") == F.col("sk"))
+        .agg(bcount("n_pairs"))
+        .withColumn("mode", F.lit("plain_eq"))
+    )
+    return ns.unionByName(eq).select("mode", "n_pairs")
