@@ -296,3 +296,81 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mode", F.lit("plain_eq"))
     )
     return ns.unionByName(eq).select("mode", "n_pairs")
+
+
+@register(
+    "q_events_burst_detection",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, ts, event_id,
+             CAST(COUNT(*) OVER (PARTITION BY user_id
+                                 ORDER BY epoch(ts)
+                                 RANGE BETWEEN 60 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_1min
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(n_1min) AS BIGINT) AS peak_per_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(n_1min) >= 5 AS burst_suspect
+    FROM counted GROUP BY 1
+    """,
+)
+def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/burst detection: a user's peak event count in any trailing
+    60-second window (RANGE frame on epoch seconds) — flag ≥5/min.
+
+    Scale: one range window per user (bounded state: 60 s of events), then
+    a per-user max — no self-join against time buckets, no explode. Integer
+    counts only.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-60, 0)
+    )
+    counted = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("n_1min")
+    )
+    return counted.groupBy("user_id").agg(
+        F.max("n_1min").cast("bigint").alias("peak_per_min"),
+        bcount("n_events"),
+        (F.max("n_1min") >= 5).alias("burst_suspect"),
+    )
+
+
+@register(
+    "q_order_status_flow",
+    oracle="""
+    SELECT o.o_orderstatus, l.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'F' OR l.l_linestatus <> 'F'
+    GROUP BY 1, 2
+    """,
+)
+def q_order_status_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/line status cross-tab (the fulfillment-state flow matrix) with
+    open-value accounting; the filter drops the fully-finished bulk FIRST
+    (pushed to both scans via join-predicate inference where possible).
+
+    Scale: one orderkey-co-partitioned join; the cross-tab output is
+    |statuses|² rows.
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("o_orderstatus") != "F") | (F.col("l_linestatus") != "F"))
+        .groupBy("o_orderstatus", "l_linestatus")
+        .agg(
+            bcount("n_lines"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dsum("l_extendedprice", "value"),
+        )
+    )
