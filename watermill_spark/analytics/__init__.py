@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     extras8,
     extras9,
     extras10,
+    extras11,
     multimodal_q,
     similarity,
     text,
