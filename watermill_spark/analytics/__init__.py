@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     extras9,
     extras10,
     extras11,
+    extras12,
     multimodal_q,
     similarity,
     text,
