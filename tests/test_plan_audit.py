@@ -26,6 +26,14 @@ BY_DESIGN = {
     "q_user_power_curve": {"BNLJ"},  # 1-row total joined to decile rows
     # funnel ends with three 1-row stage counts cross-joined — 1x1x1 rows
     "q_events_funnel": {"BNLJ"},
+    # 1-row degrees-of-freedom aggregate cross-joined to the 1-row statistic
+    "q_chi2_type_dow": {"BNLJ"},
+    # 1-row corpus-size aggregate broadcast to the (≤|brands|²) pair table
+    "q_brand_affinity_lift": {"BNLJ"},
+    # two co-partitioned per-customer aggregates full-outer-joined on their
+    # shared grouping key — SMJ with no extra exchange is the right plan
+    # (neither snapshot side is broadcastable at scale)
+    "q_snapshot_diff_cdc": {"SMJ"},
     # brute-force similarity is deliberately all-pairs (the oracle baseline
     # that the LSH/IVF variants beat at scale)
     "q_knn_bruteforce": {"BNLJ"},

@@ -250,27 +250,33 @@ def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as (co·N)/(cA·cB) in one fixed double expression over exact
     counts.
 
-    Scale: the distinct (order, brand) projection shuffles once on
-    l_orderkey; the self-join reuses that partitioning (co-partitioned
-    equi-join, no extra exchange); per-brand counts are tiny and broadcast
-    back. §2.B [NS] surface.
+    Scale: a single shuffle on l_orderkey builds each order's (bounded,
+    ≤7-element) sorted brand set; pairs are expanded order-locally with
+    array HOFs instead of a fact-fact self-join — no sort-merge join
+    anywhere, and the pair fan-out is capped at C(7,2) per order. Per-brand
+    counts come off the same sets and broadcast back. §2.B [NS] surface.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    ob = (
+    sets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         .cache()
     )
-    n = ob.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
-    ca = ob.groupBy("p_brand").agg(bcount("cnt"))
-    x = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    y = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    ca = sets.select(F.explode("brands").alias("p_brand")).groupBy("p_brand").agg(
+        bcount("cnt")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) ->"
+        " transform(slice(brands, i + 2, size(brands)), y ->"
+        " struct(x AS brand_a, y AS brand_b))))"
+    )
     co = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        sets.select(F.explode(pair_expr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(bcount("co_cnt"))
     )
