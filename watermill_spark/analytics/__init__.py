@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     extras10,
     extras11,
     extras12,
+    extras13,
     multimodal_q,
     similarity,
     text,
