@@ -193,3 +193,65 @@ def test_layout_save_bucketed_roundtrip_no_shuffle_join(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def _body(plan: str) -> str:
+    return plan.split("== Physical Plan ==")[1].split("== ")[0]
+
+
+def _n_exchanges(plan: str) -> int:
+    return sum(
+        1
+        for line in _body(plan).splitlines()
+        if "+- Exchange" in line or line.strip().startswith("Exchange")
+    )
+
+
+def test_ewma_lags_share_one_window_sort(spark):
+    """q_events_ewma8: all 8 lag terms must evaluate in a single sorted
+    window frame — one exchange, one sort, no joins."""
+    plan = _plan(spark, REGISTRY["q_events_ewma8"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert _body(plan).count("Sort ") == 1
+    assert "Join" not in _body(plan)
+
+
+def test_interval_coverage_single_shuffle(spark):
+    """q_interval_coverage: both windows and both groupBys cluster on
+    user_id, so the whole gaps-and-islands pipeline rides ONE exchange
+    (the later aggregations reuse the window's hash partitioning)."""
+    plan = _plan(spark, REGISTRY["q_interval_coverage"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert "Join" not in _body(plan)
+
+
+def test_attribution_no_joins(spark):
+    """q_last_touch_attribution: carry-forward via IGNORE NULLS window, not
+    an as-of join — plan must contain no join operator at all."""
+    plan = _plan(spark, REGISTRY["q_last_touch_attribution"].fn(spark, SF))
+    assert "Join" not in _body(plan)
+
+
+def test_brand_affinity_pairs_without_selfjoin(spark):
+    """q_brand_affinity_lift: pair expansion is order-local (array HOFs on
+    collect_set) — no sort-merge self-join; marginals broadcast back."""
+    plan = _plan(spark, REGISTRY["q_brand_affinity_lift"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_stats_broadcast(spark):
+    """q_embedding_quantize_int8: the 64-row per-dim stats join back to the
+    exploded stream as a broadcast — never a shuffle join."""
+    plan = _plan(spark, REGISTRY["q_embedding_quantize_int8"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangles_all_wedge_joins_broadcast(spark):
+    """q_trade_triangles: after edge aggregation the graph is tiny — wedge
+    enumeration must be all-broadcast (no SMJ, no BNLJ: the join conditions
+    are pure equi-joins on the oriented endpoints)."""
+    plan = _plan(spark, REGISTRY["q_trade_triangles"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
