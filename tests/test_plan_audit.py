@@ -30,6 +30,9 @@ BY_DESIGN = {
     "q_chi2_type_dow": {"BNLJ"},
     # 1-row corpus-size aggregate broadcast to the (≤|brands|²) pair table
     "q_brand_affinity_lift": {"BNLJ"},
+    # 1-row grand-total broadcast to the ≤9 digit rows / ≤|types| rate rows
+    "q_benford_digit_audit": {"BNLJ"},
+    "q_event_rate_wilson_ci": {"BNLJ"},
     # two co-partitioned per-customer aggregates full-outer-joined on their
     # shared grouping key — SMJ with no extra exchange is the right plan
     # (neither snapshot side is broadcastable at scale)

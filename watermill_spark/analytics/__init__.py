@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     extras11,
     extras12,
     extras13,
+    extras14,
     multimodal_q,
     similarity,
     text,
