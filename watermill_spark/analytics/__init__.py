@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     extras12,
     extras13,
     extras14,
+    extras15,
     multimodal_q,
     similarity,
     text,
