@@ -255,3 +255,30 @@ def test_triangles_all_wedge_joins_broadcast(spark):
     plan = _plan(spark, REGISTRY["q_trade_triangles"].fn(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_pruned_scan_no_joins(spark):
+    """q_ks_two_sample: totals come from an OVER () window on the per-value
+    aggregate, not a 1-row cross join — no join operator anywhere; the
+    orders scan reads only the value + priority columns."""
+    plan = _plan(spark, REGISTRY["q_ks_two_sample"].fn(spark, SF))
+    body = _body(plan)
+    assert "Join" not in body
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "o_totalprice" in read_schema and "o_orderpriority" in read_schema
+    assert "o_orderkey" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_hhi_two_shuffles_no_joins(spark):
+    """q_hhi_concentration: (type,user) pre-agg then per-type re-agg —
+    exactly two shuffle exchanges, no joins, no windows."""
+    plan = _plan(spark, REGISTRY["q_hhi_concentration"].fn(spark, SF))
+    body = _body(plan)
+    n_shuffles = sum(
+        1
+        for line in body.splitlines()
+        if "+- Exchange" in line or line.strip().startswith("Exchange")
+    )
+    assert n_shuffles == 2, body
+    assert "Join" not in body and "Window" not in body
