@@ -33,6 +33,10 @@ BY_DESIGN = {
     # 1-row grand-total broadcast to the ≤9 digit rows / ≤|types| rate rows
     "q_benford_digit_audit": {"BNLJ"},
     "q_event_rate_wilson_ci": {"BNLJ"},
+    # pairwise-slope expansion of the ~2.4k-row DAILY aggregate (date-range
+    # bound, SF-invariant) — the non-equi self-join is a deliberate broadcast
+    # nested loop; the raw fact table is never self-joined
+    "q_theil_sen_trend": {"BNLJ"},
     # two co-partitioned per-customer aggregates full-outer-joined on their
     # shared grouping key — SMJ with no extra exchange is the right plan
     # (neither snapshot side is broadcastable at scale)
