@@ -282,3 +282,61 @@ def test_hhi_two_shuffles_no_joins(spark):
     )
     assert n_shuffles == 2, body
     assert "Join" not in body and "Window" not in body
+
+
+def _tree(plan: str) -> str:
+    """Just the indented operator tree (first block of the formatted plan),
+    without the per-node detail sections that repeat every operator name."""
+    return _body(plan).strip().split("\n\n")[0]
+
+
+def test_trimmed_mean_single_exchange(spark):
+    """q_trimmed_mean: the rank window, the count window, and the final
+    groupBy all cluster on o_orderpriority — the whole trim pipeline rides
+    ONE hash exchange, with no joins (the trim boundary is rank-math, not
+    a percentile-table join)."""
+    plan = _plan(spark, REGISTRY["q_trimmed_mean"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_ols_trend_no_joins(spark):
+    """q_ols_daily_trend: the day index comes from MIN() OVER () on the
+    ~2.4k-row daily aggregate, not a 1-row-min cross join — no join
+    operator anywhere; the only window runs AFTER the date rollup."""
+    plan = _plan(spark, REGISTRY["q_ols_daily_trend"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert tree.index("Window") < tree.index("Scan parquet")  # post-rollup
+
+
+def test_mad_outliers_all_broadcast(spark):
+    """q_mad_outliers: both per-type median tables join back to events as
+    broadcasts — three BroadcastHashJoins, zero SortMergeJoins (the fact
+    side never shuffles on a join key)."""
+    plan = _plan(spark, REGISTRY["q_mad_outliers"].fn(spark, SF))
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_theil_sen_pairs_post_aggregate(spark):
+    """q_theil_sen_trend: the pairwise-slope BNLJ must sit ABOVE the daily
+    rollup on both sides (pairs of the SF-invariant ~2.4k-day aggregate,
+    never of raw lineitem) and broadcast its build side."""
+    plan = _plan(spark, REGISTRY["q_theil_sen_trend"].fn(spark, SF))
+    tree = _tree(plan)
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    bnlj = tree.index("BroadcastNestedLoopJoin")
+    assert "HashAggregate" in tree[bnlj:]  # both inputs are aggregates
+    assert "SortMergeJoin" not in tree
+
+
+def test_cohort_ltv_no_cartesian(spark):
+    """q_cohort_ltv: cohort sizes broadcast onto the months×ages grid and
+    the first-order join is keyed on o_custkey — no nested-loop or
+    cartesian fallback anywhere."""
+    plan = _plan(spark, REGISTRY["q_cohort_ltv"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
