@@ -59,6 +59,11 @@ BY_DESIGN = {
     # spine joins; rank contributions pre-aggregate to <=|nodes| and
     # broadcast, but the 4-table edge build keeps two SMJs at this size
     "q_pagerank_nations": {"SMJ"},
+    # same 4-table trade-graph edge build as pagerank (lineitem x orders
+    # SMJ); the BFS frontier itself always joins broadcast — round 0's
+    # literal 1-row seed even constant-folds its equi-key (src=0), which
+    # Spark plans as a 1-row-build BNLJ
+    "q_bfs_nation_hops": {"SMJ", "BNLJ"},
 }
 
 

@@ -340,3 +340,45 @@ def test_cohort_ltv_no_cartesian(spark):
     tree = _tree(plan)
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_twap_single_exchange(spark):
+    """q_twap_user_value: the lead() window and the final groupBy both
+    cluster on user_id — the whole TWAP pipeline rides ONE exchange with
+    no joins."""
+    plan = _plan(spark, REGISTRY["q_twap_user_value"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_md5_sample_take_ordered(spark):
+    """q_sample_md5_topk: ORDER BY hash LIMIT k must compile to
+    TakeOrderedAndProject (per-partition local top-k, no global sort,
+    no shuffle exchange for the ordering)."""
+    plan = _plan(spark, REGISTRY["q_sample_md5_topk"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange" not in tree, tree
+
+
+def test_skyline_staircase_on_reduced_table(spark):
+    """q_skyline_customers: the single-partition staircase window must sit
+    ABOVE both rollups (it scans the per-balance table, never raw
+    customers), and the customer↔order-count join stays a hash join."""
+    plan = _plan(spark, REGISTRY["q_skyline_customers"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    # Window appears before (above) every HashAggregate in the tree text
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_kaplan_meier_windows_post_rollup(spark):
+    """q_kaplan_meier_retention: all three single-partition windows (global
+    max date, reverse-cumsum risk set, survival product) run on per-key
+    rollups — each Window node sits above at least one aggregate, and no
+    join appears anywhere."""
+    plan = _plan(spark, REGISTRY["q_kaplan_meier_retention"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
