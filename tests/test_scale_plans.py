@@ -382,3 +382,12 @@ def test_kaplan_meier_windows_post_rollup(spark):
     tree = _tree(plan)
     assert "Join" not in tree
     assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_new_vs_returning_two_shuffles(spark):
+    """q_new_vs_returning: lag() shuffles on o_custkey, the month×segment
+    rollup re-shuffles once onto the tiny grid — exactly two exchanges,
+    no joins."""
+    plan = _plan(spark, REGISTRY["q_new_vs_returning"].fn(spark, SF))
+    assert _n_exchanges(plan) == 2, _body(plan)
+    assert "Join" not in _tree(plan)
