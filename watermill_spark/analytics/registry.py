@@ -72,10 +72,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dwarfs execution for small interactive queries; at 100 TB a real
     metastore/Delta log plays this part).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it via the nanos-as-long legacy conf
-    and truncate to microseconds with *integer* division (``div``), matching
-    DuckDB's ns→µs truncation exactly (a double division would lose integer
+    ``events.ts`` ships as a parquet timestamp with isAdjustedToUTC=false.
+    The whole query surface (and the DuckDB oracle, which reads it as a naive
+    TIMESTAMP) treats those stored micros as UTC instants, so we disable NTZ
+    inference and let Spark read the column as a regular TIMESTAMP (LTZ):
+    identical micros-since-epoch values on both engines, independent of the
+    driver session's timezone. Older generator versions wrote TIMESTAMP(NANOS)
+    instead, which the vectorized reader rejects — for that layout we fall back
+    to the nanos-as-long legacy conf + integer ``div 1000`` truncation
+    (matching DuckDB's ns→µs truncation; float division would lose integer
     precision above 2^53 ns).
     """
     if name == "events":
@@ -84,9 +89,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _RELATIONS.get(key)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Scope the NTZ-disable to this one read: lineitem/orders
+            # timestamps must keep their (tz-independent) NTZ inference.
+            ntz_conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+            prev = spark.conf.get(ntz_conf)
+            spark.conf.set(ntz_conf, "false")
+            try:
+                df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            finally:
+                spark.conf.set(ntz_conf, prev)
+            if dict(df.dtypes)["ts"] == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _RELATIONS[key] = df
     return df
 
