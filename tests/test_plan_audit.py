@@ -64,6 +64,12 @@ BY_DESIGN = {
     # literal 1-row seed even constant-folds its equi-key (src=0), which
     # Spark plans as a 1-row-build BNLJ
     "q_bfs_nation_hops": {"SMJ", "BNLJ"},
+    # 1-row exact-median aggregate cross-joined back to the |days| grid
+    "q_runs_test": {"BNLJ"},
+    # same 4-table trade-graph edge build as pagerank/BFS (lineitem x
+    # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
+    # edge set where the static planner may still pick SMJ pre-AQE
+    "q_clustering_coefficient": {"SMJ"},
 }
 
 

@@ -391,3 +391,118 @@ def test_new_vs_returning_two_shuffles(spark):
     plan = _plan(spark, REGISTRY["q_new_vs_returning"].fn(spark, SF))
     assert _n_exchanges(plan) == 2, _body(plan)
     assert "Join" not in _tree(plan)
+
+
+def test_welch_ttest_moment_reduction(spark):
+    """q_welch_ttest: the fact table collapses to per-type moment rows via
+    partial aggregation before any exchange — no joins, and the event_type
+    IN-filter is pushed into the parquet scan."""
+    plan = _plan(spark, REGISTRY["q_welch_ttest"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = scan[scan.index("PushedFilters") : scan.index("ReadSchema")]
+    assert "event_type" in pushed, pushed
+
+
+def test_anova_no_joins_two_exchanges(spark):
+    """q_anova_value_by_type: per-type moments then the 5-row grid
+    reduction — exactly the type-grouping exchange plus the final
+    single-row gather, no joins."""
+    plan = _plan(spark, REGISTRY["q_anova_value_by_type"].fn(spark, SF))
+    assert _n_exchanges(plan) <= 2, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_drawdown_windows_post_rollup(spark):
+    """q_max_drawdown: both running windows (cumsum, running max) sit above
+    the |days| rollup — never on raw orders — and the top-10 compiles to
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, REGISTRY["q_max_drawdown"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_bollinger_window_post_rollup(spark):
+    """q_bollinger_daily: the 7-day rows-frame moment window runs on the
+    daily aggregate (calendar-bounded), above the fact rollup; no joins."""
+    plan = _plan(spark, REGISTRY["q_bollinger_daily"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_ccf_lead_unpivot_no_selfjoin(spark):
+    """q_ccf_click_purchase: the lag alignment is ONE lead() window pass
+    over the |hours| grid plus a stack() unpivot — no per-lag self-join of
+    the hourly series anywhere."""
+    plan = _plan(spark, REGISTRY["q_ccf_click_purchase"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    # the hourly rollup sits BELOW the lead() window
+    assert "HashAggregate" in tree[tree.index("Window") :]
+    assert "Generate" in tree or "Expand" in tree, tree  # the stack() unpivot
+
+
+def test_decile_lift_ntile_post_rollup(spark):
+    """q_decile_lift: ntile's single-partition sort ranks the |customers|
+    rollup, not raw orders — every Window sits above the first
+    HashAggregate, and no join appears."""
+    plan = _plan(spark, REGISTRY["q_decile_lift"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_abc_running_share_post_rollup(spark):
+    """q_abc_parts: the cumulative-revenue window scans the |parts| rollup
+    (dimension-sized), above the fact aggregation; no joins."""
+    plan = _plan(spark, REGISTRY["q_abc_parts"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    # the |parts| rollup sits BELOW the running-share window
+    assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_covariance_matrix_single_pass(spark):
+    """q_covariance_matrix: all nine moments come from ONE aggregation over
+    one scan — no joins, no window, at most the final gather exchange, and
+    the scan reads only the three feature columns."""
+    plan = _plan(spark, REGISTRY["q_covariance_matrix"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "Window" not in tree
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_winsorized_mean_single_exchange(spark):
+    """q_winsorized_mean: rank window and final groupBy share the
+    l_returnflag clustering — the whole winsorize pipeline rides ONE hash
+    exchange, no joins (boundaries are rank math, not a percentile join)."""
+    plan = _plan(spark, REGISTRY["q_winsorized_mean"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """q_zscore_features: the per-type stats table joins back to the fact
+    scan as a broadcast — the fact side never shuffles on the join key."""
+    plan = _plan(spark, REGISTRY["q_zscore_features"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_cms_sketch_broadcast_probe(spark):
+    """q_cms_heavy_hitters: the 4x256-counter sketch broadcasts to the
+    distinct-key probe (never the reverse), and the seed fan-out is a
+    Generate/Expand, not a join."""
+    plan = _plan(spark, REGISTRY["q_cms_heavy_hitters"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Generate" in tree or "Expand" in tree
