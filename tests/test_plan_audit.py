@@ -26,6 +26,7 @@ BY_DESIGN = {
     "q_user_power_curve": {"BNLJ"},  # 1-row total joined to decile rows
     # funnel ends with three 1-row stage counts cross-joined — 1x1x1 rows
     "q_events_funnel": {"BNLJ"},
+    "q_funnel_timebound": {"BNLJ"},
     # 1-row degrees-of-freedom aggregate cross-joined to the 1-row statistic
     "q_chi2_type_dow": {"BNLJ"},
     # 1-row corpus-size aggregate broadcast to the (≤|brands|²) pair table

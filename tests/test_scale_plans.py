@@ -506,3 +506,44 @@ def test_cms_sketch_broadcast_probe(spark):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     assert "Generate" in tree or "Expand" in tree
+
+
+def test_rolling_median_no_range_join(spark):
+    """q_rolling_median_7d: the window membership comes from an explode
+    (Generate) + anchor shuffle, and the only join is the grid-sized anchor
+    join-back — no BNLJ/cartesian from a range self-join."""
+    plan = _plan(spark, REGISTRY["q_rolling_median_7d"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Generate" in tree, tree
+
+
+def test_grubbs_stats_broadcast_back(spark):
+    """q_grubbs_outlier: per-type moments broadcast back onto the fact scan
+    (the two-pass robust-stat shape); no sort-merge join."""
+    plan = _plan(spark, REGISTRY["q_grubbs_outlier"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_top_movers_take_ordered(spark):
+    """q_top_movers_dod: part dim broadcasts; the top-15 compiles to
+    TakeOrderedAndProject (local per-partition top-k, no global sort)."""
+    plan = _plan(spark, REGISTRY["q_top_movers_dod"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_histogram_2d_single_exchange(spark):
+    """q_histogram_2d: pure map-side binning + one 25-cell aggregation
+    exchange; scan reads only the three referenced columns."""
+    plan = _plan(spark, REGISTRY["q_histogram_2d"].fn(spark, SF))
+    assert _n_exchanges(plan) <= 1, _body(plan)
+    assert "Join" not in _tree(plan)
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
