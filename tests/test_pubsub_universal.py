@@ -135,3 +135,80 @@ def test_parquet_topic_compaction(spark, tmp_path):
     assert len(rows) == 30
     # idempotent when already compact
     assert ps.compact(t, target_files=stats["after"])["after"] == stats["after"]
+
+
+def test_publisher_close_backlog_no_loss(pubsub, spark):
+    """TestPublisherClose (`test_pubsub.go:845-870`): publish a 10k-message
+    backlog in several batches, close the publisher, and a subscriber still
+    reads every message exactly once (close flushes, never drops)."""
+    topic = f"close-{_uuid.uuid4().hex[:8]}"
+    total = 10_000
+    for lo in range(0, total, 2_500):
+        batch = [
+            new_message(payload=f"p-{i}", metadata={"n": str(i)})
+            for i in range(lo, lo + 2_500)
+        ]
+        pubsub.publish(topic, messages_df(spark, batch))
+    pubsub.close()
+    df = pubsub.subscribe(topic)
+    assert df.count() == total
+    assert df.dropDuplicates(["uuid"]).count() == total
+    # and the publisher really is closed
+    with pytest.raises(Exception):
+        pubsub.publish(topic, messages_df(spark, _mk_messages(1)))
+
+
+def test_concurrent_publish_thread_safe(pubsub, spark):
+    """Publisher must be thread-safe (`message/pubsub.go:13-18`): 8 threads
+    publishing concurrently to one topic; all messages land, none mangled."""
+    import threading
+
+    topic = f"conc-{_uuid.uuid4().hex[:8]}"
+    n_threads, per_thread = 8, 50
+    errors: list[Exception] = []
+
+    def worker(t: int) -> None:
+        try:
+            batch = [
+                new_message(payload=f"t{t}-m{i}", metadata={"t": str(t)})
+                for i in range(per_thread)
+            ]
+            pubsub.publish(topic, messages_df(spark, batch))
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    rows = pubsub.subscribe(topic).collect()
+    assert len(rows) == n_threads * per_thread
+    payloads = {bytes(r["payload"]).decode() for r in rows}
+    assert payloads == {
+        f"t{t}-m{i}" for t in range(n_threads) for i in range(per_thread)
+    }
+
+
+def test_continue_after_errors(pubsub, spark):
+    """TestContinueAfterErrors (`test_pubsub.go:755`): a consumer that fails
+    mid-processing and re-subscribes still sees the full backlog — the
+    micro-batch analog of nack-then-redeliver (persistent source + replay)."""
+    topic = f"err-{_uuid.uuid4().hex[:8]}"
+    msgs = _mk_messages(100)
+    pubsub.publish(topic, messages_df(spark, msgs))
+
+    for _attempt in range(3):  # three failed consumers, each aborts mid-read
+        df = pubsub.subscribe(topic)
+        seen = 0
+        try:
+            for r in df.collect():
+                seen += 1
+                if seen >= 10:
+                    raise RuntimeError("consumer crashed")
+        except RuntimeError:
+            pass
+
+    got = {r["uuid"] for r in pubsub.subscribe(topic).collect()}
+    assert got == {m["uuid"] for m in msgs}

@@ -19,6 +19,13 @@ class PubSub(abc.ABC):
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._closed = False
+
+    def _check_open(self) -> None:
+        """Publishing on a closed Pub/Sub is an error, as in the reference
+        (`pubsub/gochannel/pubsub.go:92-94` returns ErrPubSubClosed)."""
+        if self._closed:
+            raise RuntimeError("pubsub closed")
 
     @abc.abstractmethod
     def publish(self, topic: str, df: DataFrame) -> None:
@@ -35,8 +42,12 @@ class PubSub(abc.ABC):
     def subscribe_initialize(self, topic: str) -> None:
         """Pre-create a topic (`message/pubsub.go:42-51`); default no-op."""
 
-    def close(self) -> None:  # graceful close analog
-        pass
+    def close(self) -> None:
+        """Graceful close: all prior publishes are durable (parquet writes
+        and memory appends complete synchronously in `publish`, so close
+        never drops a flushed batch — TestPublisherClose's contract);
+        subsequent publishes raise."""
+        self._closed = True
 
 
 class RetryPublisher(PubSub):

@@ -15,6 +15,8 @@ A real deployment would use Delta/Iceberg or Kafka; the contract is the same.
 from __future__ import annotations
 
 import os
+import threading
+from collections import defaultdict
 
 from pyspark.sql import DataFrame
 
@@ -27,12 +29,28 @@ class ParquetPubSub(PubSub):
     def __init__(self, spark, base_dir: str):
         super().__init__(spark)
         self.base_dir = base_dir
+        # Publish must be thread-safe (message/pubsub.go:13-18). Concurrent
+        # appends to ONE topic dir race on the FileOutputCommitter's shared
+        # `_temporary` staging dir (one writer's commit deletes the other's
+        # staging), so appends serialize per topic; distinct topics still
+        # publish in parallel. Kafka/Delta transports don't need this — their
+        # commit protocols are concurrent by design.
+        self._topic_locks: defaultdict[str, threading.Lock] = defaultdict(
+            threading.Lock
+        )
+        self._locks_guard = threading.Lock()
 
     def _dir(self, topic: str) -> str:
         return os.path.join(self.base_dir, topic)
 
+    def _lock(self, topic: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._topic_locks[topic]
+
     def publish(self, topic: str, df: DataFrame) -> None:
-        ensure_message_df(df).write.mode("append").parquet(self._dir(topic))
+        self._check_open()
+        with self._lock(topic):
+            ensure_message_df(df).write.mode("append").parquet(self._dir(topic))
 
     def subscribe(self, topic: str) -> DataFrame:
         d = self._dir(topic)
