@@ -67,6 +67,9 @@ BY_DESIGN = {
     "q_bfs_nation_hops": {"SMJ", "BNLJ"},
     # 1-row exact-median aggregate cross-joined back to the |days| grid
     "q_runs_test": {"BNLJ"},
+    # basket self-join is key-local (both sides cluster on l_orderkey, one
+    # co-partitioned shuffle, ≤7-line baskets bound the pair expansion)
+    "q_assoc_rules_types": {"SMJ"},
     # same 4-table trade-graph edge build as pagerank/BFS (lineitem x
     # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
     # edge set where the static planner may still pick SMJ pre-AQE

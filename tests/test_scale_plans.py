@@ -547,3 +547,34 @@ def test_histogram_2d_single_exchange(spark):
     scan = plan[plan.index("Scan parquet") :]
     read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
     assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_assoc_rules_counts_broadcast(spark):
+    """q_assoc_rules_types: item/antecedent/consequent count tables join
+    the rule grid as broadcasts; the only sort-merge join is the key-local
+    basket self-join on l_orderkey."""
+    plan = _plan(spark, REGISTRY["q_assoc_rules_types"].fn(spark, SF))
+    tree = _tree(plan)
+    assert tree.count("SortMergeJoin") == 1, tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_mix_shift_grid_windows(spark):
+    """q_mix_shift_decomposition: both window passes run on the
+    year×priority rollup (above the aggregate), no joins anywhere."""
+    plan = _plan(spark, REGISTRY["q_mix_shift_decomposition"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_rolling_active_users_anchor_shape(spark):
+    """q_rolling_active_users: rolling distinct rides the explode-to-anchor
+    shape — a Generate above the deduped (day,user) grid, no BNLJ/cartesian
+    from a range join."""
+    plan = _plan(spark, REGISTRY["q_rolling_active_users"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Generate" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
