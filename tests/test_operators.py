@@ -135,3 +135,45 @@ def test_multimodal_metadata_stays_jvm_side(spark, media):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_sql_interface_matches_dataframe_surface(spark):
+    """sqlapi: raw ANSI SQL over registered views plans/executes through the
+    same engine — results match the DataFrame API bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from watermill_spark.analytics.registry import load
+    from watermill_spark.analytics.sqlapi import register_views, sql
+
+    sf = "/root/testdata/sf0.001"
+    views = register_views(spark, sf)
+    assert "lineitem" in views and "events" in views
+
+    got = sql(
+        spark,
+        sf,
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ).collect()
+    want = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # events views get the same ts normalization as the DataFrame path
+    hours = sql(
+        spark, sf, "SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS h FROM events"
+    ).collect()[0]["h"]
+    assert hours > 0

@@ -578,3 +578,34 @@ def test_rolling_active_users_anchor_shape(spark):
     assert "Generate" in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_hill_top_k_take_ordered(spark):
+    """q_hill_tail_index: the top-(k+1) spender set comes from
+    TakeOrderedAndProject over the |customers| rollup (local top-k, no
+    global sort), and the Hill window runs on those 101 rows."""
+    plan = _plan(spark, REGISTRY["q_hill_tail_index"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_quintile_migration_year_partitioned_ntile(spark):
+    """q_quintile_migration: both ntile sorts partition by year (no global
+    single-partition window over raw customers), and the transition join is
+    a hash join on custkey."""
+    plan = _plan(spark, REGISTRY["q_quintile_migration"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_acf_lead_unpivot_shape(spark):
+    """q_acf_daily_revenue: all seven lags come from ONE lead-window pass
+    over the |days| grid + stack unpivot — no per-lag self-joins."""
+    plan = _plan(spark, REGISTRY["q_acf_daily_revenue"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "Generate" in tree or "Expand" in tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
