@@ -67,6 +67,11 @@ BY_DESIGN = {
     "q_bfs_nation_hops": {"SMJ", "BNLJ"},
     # 1-row exact-median aggregate cross-joined back to the |days| grid
     "q_runs_test": {"BNLJ"},
+    # 1-row control-limit aggregate cross-joined back to the |days| grid
+    "q_xmr_control_chart": {"BNLJ"},
+    # deliberate cross with the ≤|labels| (10-row) centroid table: every
+    # vector scores against every centroid, map-side
+    "q_silhouette_by_label": {"BNLJ"},
     # basket self-join is key-local (both sides cluster on l_orderkey, one
     # co-partitioned shuffle, ≤7-line baskets bound the pair expansion)
     "q_assoc_rules_types": {"SMJ"},

@@ -609,3 +609,42 @@ def test_acf_lead_unpivot_shape(spark):
     assert "Join" not in tree
     assert "Generate" in tree or "Expand" in tree
     assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_silhouette_centroids_broadcast(spark):
+    """q_silhouette_by_label: vectors never shuffle for the distance stage —
+    the ≤|labels| centroid table is the broadcast side of the cross."""
+    plan = _plan(spark, REGISTRY["q_silhouette_by_label"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastExchange" in plan
+
+
+def test_containment_join_on_shingle_key(spark):
+    """q_shingle_containment: the candidate join is shingle-keyed on the
+    deduped (doc, shingle) set — hash/sort-merge equi-join, never a
+    nested-loop over documents."""
+    plan = _plan(spark, REGISTRY["q_shingle_containment"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_token_pmi_vocab_broadcast(spark):
+    """q_token_pmi: the top-50 vocabulary cut broadcasts onto the token
+    stream (semi-filter), and the pair join is doc-keyed."""
+    plan = _plan(spark, REGISTRY["q_token_pmi"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_share_of_parent_single_fact_shuffle(spark):
+    """q_share_of_parent: all three dims broadcast; the windows run on the
+    |nations| grid above the single fact aggregation."""
+    plan = _plan(spark, REGISTRY["q_share_of_parent"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "HashAggregate" in tree[tree.index("Window") :]
