@@ -648,3 +648,35 @@ def test_share_of_parent_single_fact_shuffle(spark):
     assert "SortMergeJoin" not in tree
     assert tree.count("BroadcastHashJoin") >= 3
     assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_shipping_delay_one_exchange_after_join(spark):
+    """q_shipping_delay_percentiles: rank window and final aggregation
+    share the priority clustering — one exchange after the orderkey
+    fact-fact join; rank math, no percentile-table join."""
+    plan = _plan(spark, REGISTRY["q_shipping_delay_percentiles"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # the window must sit above the join (ranks per priority, post-join)
+    assert "Join" in tree[tree.index("Window") :]
+
+
+def test_catalog_growth_no_distinct_rescan(spark):
+    """q_catalog_growth: cumulative distinct = cumsum of first-appearance
+    months — one partkey rollup, one grid window, no join, no
+    per-month distinct rescan (single scan of lineitem)."""
+    plan = _plan(spark, REGISTRY["q_catalog_growth"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_charclass_single_pass(spark):
+    """q_charclass_audit: regexp class counting is map-side; one |langs|
+    aggregation exchange, no joins, text read exactly once."""
+    plan = _plan(spark, REGISTRY["q_charclass_audit"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert plan.count("Location: InMemoryFileIndex") == 1
