@@ -680,3 +680,28 @@ def test_charclass_single_pass(spark):
     tree = _tree(plan)
     assert "Join" not in tree
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_scd2_single_user_clustering(spark):
+    """q_scd2_history: all windows and the segment groupBy cluster on
+    user_id — the whole SCD2 build rides ONE exchange, no joins."""
+    plan = _plan(spark, REGISTRY["q_scd2_history"].fn(spark, SF))
+    assert _n_exchanges(plan) == 1, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_winback_two_exchanges(spark):
+    """q_dormancy_winback: customer-partitioned lag then the quarter
+    rollup — exactly two exchanges, no joins."""
+    plan = _plan(spark, REGISTRY["q_dormancy_winback"].fn(spark, SF))
+    assert _n_exchanges(plan) == 2, _body(plan)
+    assert "Join" not in _tree(plan)
+
+
+def test_vwap_window_post_rollup(spark):
+    """q_vwap_daily: the 5-day rolling frame runs on the |days| rollup,
+    above the fact aggregation; no joins."""
+    plan = _plan(spark, REGISTRY["q_vwap_daily"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
