@@ -75,6 +75,9 @@ BY_DESIGN = {
     # basket self-join is key-local (both sides cluster on l_orderkey, one
     # co-partitioned shuffle, ≤7-line baskets bound the pair expansion)
     "q_assoc_rules_types": {"SMJ"},
+    # day-keyed self-join of the top-5-brand daily grid (≤5 rows per day;
+    # the static planner picks SMJ before AQE sees the grid is tiny)
+    "q_brand_cannibalization": {"SMJ"},
     # same 4-table trade-graph edge build as pagerank/BFS (lineitem x
     # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
     # edge set where the static planner may still pick SMJ pre-AQE

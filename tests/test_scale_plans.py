@@ -705,3 +705,33 @@ def test_vwap_window_post_rollup(spark):
     tree = _tree(plan)
     assert "Join" not in tree
     assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_weekly_overlap_user_keyed_join(spark):
+    """q_weekly_user_overlap: the consecutive-week join is keyed on
+    user_id over the deduped (week,user) grid; week sizes broadcast."""
+    plan = _plan(spark, REGISTRY["q_weekly_user_overlap"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_missing_days_spine_from_scalars(spark):
+    """q_missing_calendar_days: the day spine is sequence()-generated from
+    the two-scalar bounds row (Generate above a 1-row aggregate), and the
+    anti-join never degenerates to a nested loop."""
+    plan = _plan(spark, REGISTRY["q_missing_calendar_days"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Generate" in tree, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_peak_detection_one_window_sort(spark):
+    """q_peak_detection: lag/lead and the trailing-mean frame share one
+    |days|-grid window sort; the top-25 is TakeOrderedAndProject."""
+    plan = _plan(spark, REGISTRY["q_peak_detection"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
