@@ -78,6 +78,10 @@ BY_DESIGN = {
     # day-keyed self-join of the top-5-brand daily grid (≤5 rows per day;
     # the static planner picks SMJ before AQE sees the grid is tiny)
     "q_brand_cannibalization": {"SMJ"},
+    # bipartite projection: the lineitem x orders incidence build plus the
+    # customer-keyed self-join of the deduped (supplier, customer) set —
+    # both are the correct co-partitioned shuffle joins at scale
+    "q_supplier_audience_overlap": {"SMJ"},
     # same 4-table trade-graph edge build as pagerank/BFS (lineitem x
     # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
     # edge set where the static planner may still pick SMJ pre-AQE

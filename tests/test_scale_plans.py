@@ -735,3 +735,32 @@ def test_peak_detection_one_window_sort(spark):
     assert "Join" not in tree
     assert "TakeOrderedAndProject" in tree, tree
     assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_basket_diversity_single_rollup(spark):
+    """q_basket_diversity: part dim broadcasts; line count and distinct
+    brand count share the orderkey clustering — no sort-merge join of the
+    fact side against a dimension."""
+    plan = _plan(spark, REGISTRY["q_basket_diversity"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_concentration_trend_quarter_partitioned(spark):
+    """q_concentration_trend: ntile partitions by quarter over per-customer
+    aggregates (never a global sort of raw orders); the share rollup sits
+    above the window."""
+    plan = _plan(spark, REGISTRY["q_concentration_trend"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
+    assert "HashAggregate" in tree[tree.index("Window") :]
+
+
+def test_burstiness_single_user_exchange(spark):
+    """q_burstiness_coefficient: the gap lag and the per-user moment
+    rollup share the user clustering — one exchange before the 1-row
+    summary, no joins."""
+    plan = _plan(spark, REGISTRY["q_burstiness_coefficient"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Join" not in tree
