@@ -764,3 +764,14 @@ def test_burstiness_single_user_exchange(spark):
     plan = _plan(spark, REGISTRY["q_burstiness_coefficient"].fn(spark, SF))
     tree = _tree(plan)
     assert "Join" not in tree
+
+
+def test_embedding_drift_grid_after_one_explode(spark):
+    """q_embedding_drift: after the single posexplode pass everything runs
+    on the |labels|×dims×2 grid — no nested-loop joins, one scan of
+    embeddings per batch-split branch at most."""
+    plan = _plan(spark, REGISTRY["q_embedding_drift"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "Generate" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
