@@ -27,6 +27,9 @@ SENSITIVE = [
     "q_events_session_native",  # session_window boundaries
     "q_date_funcs",  # extraction functions
     "q_rolling_range_frame",  # unix_timestamp range frames
+    "q_max_drawdown",  # day-trunc on NTZ orders + decimal running windows
+    "q_entropy_daily_mix",  # day-trunc on LTZ events + log terms
+    "q_rolling_active_users",  # day sequence explode + interval arithmetic
 ]
 
 
