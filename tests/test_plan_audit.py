@@ -86,6 +86,25 @@ BY_DESIGN = {
     # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
     # edge set where the static planner may still pick SMJ pre-AQE
     "q_clustering_coefficient": {"SMJ"},
+    # 1-row stats/marginal aggregates cross-joined back to a bounded grid
+    # (contingency cells, bucket grid, moment rows) — O(grid) work
+    "q_cramers_v": {"BNLJ"},
+    "q_js_divergence": {"BNLJ"},
+    "q_psi_value_drift": {"BNLJ"},
+    "q_kruskal_wallis": {"BNLJ"},
+    # post-aggregate pair expansion of the ~80-row monthly grid (a < b
+    # non-equi broadcast) + 1-row month-count cross join
+    "q_kendall_tau": {"BNLJ"},
+    # 9-row decile spine joined to ranked rows on the computed rank — a
+    # broadcast non-equi pick of 9 rows per side
+    "q_qq_deciles": {"BNLJ"},
+    # trade-graph threshold: 1-row (total_w, n_edges) aggregate broadcast
+    # to the ≤|nations|² edge list before the integer w·n > total cut
+    "q_kcore_trade": {"BNLJ"},
+    "q_label_propagation": {"BNLJ"},
+    # same 1-row threshold BNLJ, plus the 4-table trade-graph edge build
+    # (lineitem x orders SMJ) shared with pagerank/BFS
+    "q_link_prediction": {"BNLJ", "SMJ"},
 }
 
 
