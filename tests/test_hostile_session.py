@@ -30,6 +30,9 @@ SENSITIVE = [
     "q_max_drawdown",  # day-trunc on NTZ orders + decimal running windows
     "q_entropy_daily_mix",  # day-trunc on LTZ events + log terms
     "q_rolling_active_users",  # day sequence explode + interval arithmetic
+    "q_psi_value_drift",  # isodow weekday/weekend split on LTZ events
+    "q_stl_lite",  # day-trunc + dow on NTZ lineitem, 7-day frames
+    "q_kendall_tau",  # month-trunc pairing on NTZ orders
 ]
 
 
