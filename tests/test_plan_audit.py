@@ -105,6 +105,10 @@ BY_DESIGN = {
     # same 1-row threshold BNLJ, plus the 4-table trade-graph edge build
     # (lineitem x orders SMJ) shared with pagerank/BFS
     "q_link_prediction": {"BNLJ", "SMJ"},
+    # 1-row corpus-count aggregate broadcast to the ≤|sizes| histogram rows
+    "q_dedup_cluster_sizes": {"BNLJ"},
+    # per-iteration 1-row norm aggregate cross-joined to the d-row vector
+    "q_pca_power_iteration": {"BNLJ"},
 }
 
 
