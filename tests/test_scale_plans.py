@@ -775,3 +775,44 @@ def test_embedding_drift_grid_after_one_explode(spark):
     assert "Generate" in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_holt_python_boundary_after_aggregation(spark):
+    """q_holt_linear: the sequential pandas recursion must sit ABOVE the
+    daily aggregation (Python sees #days rows, never raw lineitem), and the
+    scan must prune to the two referenced columns."""
+    plan = _plan(spark, REGISTRY["q_holt_linear"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]  # root-first operator tree header
+    assert "FlatMapGroupsInPandas" in tree
+    # root-first listing: the pandas node sits ABOVE (before) the hash
+    # aggregate that builds the daily grid
+    assert tree.index("FlatMapGroupsInPandas") < tree.index("HashAggregate")
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_shipdate" in read_schema and "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_pca_no_cartesian_and_bounded_smj(spark):
+    """q_pca_power_iteration: the covariance build self-joins the exploded
+    corpus on vec_id only (never a cartesian); iteration joins run on the
+    broadcast d-row vector grid."""
+    plan = _plan(spark, REGISTRY["q_pca_power_iteration"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert tree.count("SortMergeJoin") <= 1, tree
+
+
+def test_stl_windows_on_daily_grid(spark):
+    """q_stl_lite: the ordered 7-day trend window runs on the post-aggregate
+    daily grid (Window above HashAggregate), with the scan pruned to
+    shipdate+price."""
+    plan = _plan(spark, REGISTRY["q_stl_lite"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]  # root-first operator tree header
+    # the deepest (last-listed) HashAggregate is the daily-grid build — the
+    # ordered windows must sit above it, not on raw rows
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_shipdate" in read_schema and "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema
