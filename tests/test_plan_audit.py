@@ -109,6 +109,11 @@ BY_DESIGN = {
     "q_dedup_cluster_sizes": {"BNLJ"},
     # per-iteration 1-row norm aggregate cross-joined to the d-row vector
     "q_pca_power_iteration": {"BNLJ"},
+    # k-row seed spine cross-joined map-side + 1-row member/bit counts
+    # broadcast back to the 1-row probe summary
+    "q_bloom_filter_audit": {"BNLJ"},
+    # 1-row max-ts anchor broadcast to every event (the decay reference)
+    "q_time_decay_score": {"BNLJ"},
 }
 
 
