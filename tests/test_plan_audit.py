@@ -114,6 +114,10 @@ BY_DESIGN = {
     "q_bloom_filter_audit": {"BNLJ"},
     # 1-row max-ts anchor broadcast to every event (the decay reference)
     "q_time_decay_score": {"BNLJ"},
+    # 1-row residual-RMS aggregate cross-joined back to the daily grid
+    "q_stl_anomaly_days": {"BNLJ"},
+    # 1-row (total, k) aggregate cross-joined to the |langs| rows
+    "q_class_weights": {"BNLJ"},
 }
 
 
