@@ -118,6 +118,10 @@ BY_DESIGN = {
     "q_stl_anomaly_days": {"BNLJ"},
     # 1-row (total, k) aggregate cross-joined to the |langs| rows
     "q_class_weights": {"BNLJ"},
+    # 1-row grand-mean / world-total aggregates broadcast to the demeaned
+    # fact rows (FE) or the |nations|×|types| flow grid (RCA)
+    "q_fixed_effects_ols": {"BNLJ"},
+    "q_rca_trade_index": {"BNLJ"},
 }
 
 
