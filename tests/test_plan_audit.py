@@ -122,6 +122,8 @@ BY_DESIGN = {
     # fact rows (FE) or the |nations|×|types| flow grid (RCA)
     "q_fixed_effects_ols": {"BNLJ"},
     "q_rca_trade_index": {"BNLJ"},
+    # 1-row total-spend aggregate cross-joined to the 10 decile rows
+    "q_lorenz_curve": {"BNLJ"},
 }
 
 
