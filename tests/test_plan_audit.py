@@ -124,6 +124,8 @@ BY_DESIGN = {
     "q_rca_trade_index": {"BNLJ"},
     # 1-row total-spend aggregate cross-joined to the 10 decile rows
     "q_lorenz_curve": {"BNLJ"},
+    # 1-row non-null row count broadcast to every exploded key row
+    "q_json_key_audit": {"BNLJ"},
 }
 
 
