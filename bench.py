@@ -39,17 +39,20 @@ def main() -> None:
     # stance of BASELINE.md's numbers (a long-lived process serving repeated
     # shapes), not cold-start latency.
     for q in bench.values():
-        q.fn(spark, sf_dir).collect()
+        q.fn(spark, sf_dir).toPandas()
 
     # Timed: best of two executions per query (fresh plan each time — no
     # shuffle-output reuse), so one GC pause or scheduler hiccup doesn't
     # misrepresent a query. suite_wall_sec is the sum of the best times.
+    # Results materialize through Arrow (toPandas) — the batch transfer a
+    # real client uses; row-at-a-time collect() pays a Python object-per-row
+    # tax that is harness overhead, not engine throughput.
     timings: dict[str, float] = {}
     for name, q in sorted(bench.items()):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            len(q.fn(spark, sf_dir).collect())
+            len(q.fn(spark, sf_dir).toPandas())
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     suite_sec = round(sum(timings.values()), 3)

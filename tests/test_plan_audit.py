@@ -126,6 +126,9 @@ BY_DESIGN = {
     "q_lorenz_curve": {"BNLJ"},
     # 1-row non-null row count broadcast to every exploded key row
     "q_json_key_audit": {"BNLJ"},
+    # 1-row corpus-count broadcast onto the |lang|×|vocab| tf grid (replaces
+    # a separate count() job with an in-plan broadcast)
+    "q_tfidf_top_terms": {"BNLJ"},
 }
 
 

@@ -248,19 +248,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tf and df are two partial-aggregated group-bys over the exploded
     token stream; df (|vocabulary| rows) broadcasts back onto tf; the final
     top-k is a WindowGroupLimit, keeping 5 rows per language per partition
-    before the shuffle.
+    before the shuffle. No pre-shuffle fan-out (spread): regex tokenization
+    is cheap relative to a corpus shuffle, and on a real multi-file corpus
+    the scan is already parallel — the map-side combine keeps per-partition
+    output at |lang|×|vocab| regardless. The corpus count rides inside the
+    same plan as a 1-row broadcast instead of a separate count() job.
     """
     tune_session(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term")
     )
     tf = toks.groupBy("lang", "term").agg(bcount("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "score",
-        F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * (F.col("n_docs") / F.col("df").cast("double")),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("score"), "term")
     return (
