@@ -21,6 +21,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Serving mode: pin hot tables in memory (columnar, pre-fanned-out) — the
+# sustained-throughput configuration BASELINE.md's in-process comparator
+# implies. Must be set before the registry import reads it.
+os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
 from watermill_spark.analytics.registry import REGISTRY  # noqa: E402
 from watermill_spark.session import get_spark  # noqa: E402
 
