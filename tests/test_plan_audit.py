@@ -129,6 +129,10 @@ BY_DESIGN = {
     # 1-row corpus-count broadcast onto the |lang|×|vocab| tf grid (replaces
     # a separate count() job with an in-plan broadcast)
     "q_tfidf_top_terms": {"BNLJ"},
+    # 1-row pooled/total aggregates cross-joined back to the |groups| grid
+    # (jackknife replicates, EB shrinkage weights)
+    "q_jackknife_se": {"BNLJ"},
+    "q_eb_shrinkage": {"BNLJ"},
 }
 
 
