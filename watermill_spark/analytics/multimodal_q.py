@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from watermill_spark.operators.multimodal import MEDIA_SCHEMA, extract_features, frame_sample
+from watermill_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_chunks,
+    extract_features,
+    frame_sample,
+    resize_plan,
+)
 from watermill_spark.session import tune_session
 
 from .registry import load, register, spread
@@ -105,3 +111,72 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     media = _media_from_documents(spark, sf_dir)
     return frame_sample(media, every_n=4)
+
+
+@register(
+    "q_multimodal_resize_plan",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, {_SQL_KIND} AS kind,
+             CAST(64 + {_sql_byte(0)} AS INTEGER) AS width,
+             CAST(64 + {_sql_byte(1)} AS INTEGER) AS height
+      FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT media_id, kind, width, height,
+           CASE WHEN GREATEST(width, height) > 224
+                THEN CAST((width * 224) // GREATEST(width, height) AS INTEGER)
+                ELSE width END AS target_w,
+           CASE WHEN GREATEST(width, height) > 224
+                THEN CAST((height * 224) // GREATEST(width, height) AS INTEGER)
+                ELSE height END AS target_h,
+           GREATEST(width, height) > 224 AS needs_resize
+    FROM feats
+    """,
+)
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning for images/videos (long side capped
+    at 224): decode through the Arrow-batched stub, then pure JVM integer
+    arithmetic emits (target_w, target_h) work units for a downstream
+    resampling kernel — the schema/partitioning half of a resize operator,
+    which is the part that shapes a 100 TB media pipeline.
+
+    Scale: one mapInPandas pass over non-audio media; the plan math is a
+    narrow map. §2.B [NS] multimodal surface.
+    """
+    tune_session(spark)
+    media = _media_from_documents(spark, sf_dir)
+    return resize_plan(media, max_side=224)
+
+
+@register(
+    "q_multimodal_audio_chunks",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, sha256(text) AS content_sha,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, content_sha, n_samples,
+           CAST(unnest(range(0, CAST((n_samples + 63) // 64 AS INTEGER)))
+                AS INTEGER) AS chunk_idx,
+           CAST(unnest(range(0, CAST((n_samples + 63) // 64 AS INTEGER)))
+                * 64 AS BIGINT) AS start_sample,
+           CAST(LEAST(unnest(range(0, CAST((n_samples + 63) // 64 AS INTEGER)))
+                      * 64 + 128, n_samples) AS BIGINT) AS end_sample
+    FROM feats
+    """,
+)
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio analysis windows (win=128, hop=64 stub samples):
+    one row per chunk with start/end sample offsets — the segmentation
+    plumbing ahead of spectrogram/embedding extraction, fanned out
+    JVM-side after one decode pass (chunk counts come from the decoded
+    sample count, not Python loops).
+
+    Scale: chunk explosion is linear in audio duration and happens after
+    the Arrow decode pass; each (media_id, chunk) row is an independent
+    work unit for the downstream kernel. §2.B [NS] multimodal surface.
+    """
+    tune_session(spark)
+    media = _media_from_documents(spark, sf_dir)
+    return audio_chunks(media, win=128, hop=64)

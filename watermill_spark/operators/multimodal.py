@@ -143,3 +143,53 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
     return feats.select(
         "media_id", "content_sha", F.explode(idxs).alias("frame_idx")
     )
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image/video resize planning: integer target dimensions preserving
+    aspect ratio with the long side capped at ``max_side``. The *plan* is
+    pure JVM integer arithmetic on decoded dimensions — the actual pixel
+    resample belongs to the (stubbed) codec kernel downstream, consuming
+    (media_id, target_w, target_h) work units."""
+    feats = extract_features(media.filter(F.col("kind") != "audio"))
+    long_side = F.greatest("width", "height")
+    needs = long_side > max_side
+    tw = F.when(
+        needs, F.floor((F.col("width") * max_side) / long_side).cast("int")
+    ).otherwise(F.col("width"))
+    th = F.when(
+        needs, F.floor((F.col("height") * max_side) / long_side).cast("int")
+    ).otherwise(F.col("height"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        tw.alias("target_w"),
+        th.alias("target_h"),
+        needs.alias("needs_resize"),
+    )
+
+
+def audio_chunks(media: DataFrame, win: int = 128, hop: int = 64) -> DataFrame:
+    """Audio chunking plumbing: one row per (overlapping) analysis window —
+    start/end sample offsets derived from the decoded sample count (stub:
+    1 byte = 1 sample). Chunk fan-out is JVM-side sequence+explode; the
+    downstream feature extractor (spectrogram, embedding) consumes these
+    bounded work units batch-wise in mapInPandas."""
+    feats = extract_features(media.filter(F.col("kind") == "audio"))
+    n_chunks = F.floor((F.col("n_bytes") + hop - 1) / hop).cast("int")
+    idxs = F.sequence(F.lit(0), n_chunks - 1)
+    return feats.select(
+        "media_id", "content_sha", F.col("n_bytes").alias("n_samples"),
+        F.explode(idxs).alias("chunk_idx"),
+    ).select(
+        "media_id",
+        "content_sha",
+        "n_samples",
+        "chunk_idx",
+        (F.col("chunk_idx") * hop).cast("bigint").alias("start_sample"),
+        F.least(F.col("chunk_idx") * hop + win, F.col("n_samples"))
+        .cast("bigint")
+        .alias("end_sample"),
+    )
