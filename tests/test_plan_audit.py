@@ -133,6 +133,11 @@ BY_DESIGN = {
     # (jackknife replicates, EB shrinkage weights)
     "q_jackknife_se": {"BNLJ"},
     "q_eb_shrinkage": {"BNLJ"},
+    # 1-row total-revenue broadcast to the 3×3 class matrix
+    "q_abc_xyz_matrix": {"BNLJ"},
+    # 5-row lag spine + 1-row mean/denominator broadcasts over the daily
+    # return grid (deliberate lagged pair expansion on the grid)
+    "q_ljung_box": {"BNLJ"},
 }
 
 
