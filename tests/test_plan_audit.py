@@ -138,6 +138,10 @@ BY_DESIGN = {
     # 5-row lag spine + 1-row mean/denominator broadcasts over the daily
     # return grid (deliberate lagged pair expansion on the grid)
     "q_ljung_box": {"BNLJ"},
+    # 1-row weight-total / leftover-seat aggregates over the |strata| grid
+    "q_neyman_allocation": {"BNLJ"},
+    # 1-row anchor week + three 1-row set sizes cross-joined to one row
+    "q_capture_recapture": {"BNLJ"},
 }
 
 
