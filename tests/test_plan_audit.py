@@ -142,6 +142,10 @@ BY_DESIGN = {
     "q_neyman_allocation": {"BNLJ"},
     # 1-row anchor week + three 1-row set sizes cross-joined to one row
     "q_capture_recapture": {"BNLJ"},
+    # 1-row corpus stats (n_docs/avgdl, doc count) broadcast to the
+    # (doc,term) / term grids
+    "q_bm25_top_terms": {"BNLJ"},
+    "q_token_burstiness": {"BNLJ"},
 }
 
 
