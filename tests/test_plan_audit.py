@@ -146,6 +146,11 @@ BY_DESIGN = {
     # (doc,term) / term grids
     "q_bm25_top_terms": {"BNLJ"},
     "q_token_burstiness": {"BNLJ"},
+    # 1-row class-total / grand-mean / set-size aggregates broadcast to
+    # bounded grids (threshold scan, daily grid, coverage summary)
+    "q_decision_stump": {"BNLJ"},
+    "q_cold_start_coverage": {"BNLJ"},
+    "q_eta_squared_dow": {"BNLJ"},
 }
 
 
