@@ -151,6 +151,10 @@ BY_DESIGN = {
     "q_decision_stump": {"BNLJ"},
     "q_cold_start_coverage": {"BNLJ"},
     "q_eta_squared_dow": {"BNLJ"},
+    # per-iteration 1-row coefficient state broadcast to the feature
+    # histogram; 1-row grand-mean / component aggregates for ICC
+    "q_logistic_newton": {"BNLJ"},
+    "q_design_effect_icc": {"BNLJ"},
 }
 
 
