@@ -155,6 +155,9 @@ BY_DESIGN = {
     # histogram; 1-row grand-mean / component aggregates for ICC
     "q_logistic_newton": {"BNLJ"},
     "q_design_effect_icc": {"BNLJ"},
+    # deliberately all-pairs leave-one-out eval (the exact baseline the
+    # LSH/IVF paths approximate), like q_knn_bruteforce
+    "q_knn_classifier_eval": {"BNLJ"},
 }
 
 
