@@ -158,6 +158,24 @@ BY_DESIGN = {
     # deliberately all-pairs leave-one-out eval (the exact baseline the
     # LSH/IVF paths approximate), like q_knn_bruteforce
     "q_knn_classifier_eval": {"BNLJ"},
+    # 1-row aggregate state (total, mean, OLS fit, boundary counts) cross-
+    # joined back to a calendar-bounded or constant-size grid — O(grid)
+    # work, the scalar-subquery pattern:
+    "q_kmv_distinct_estimate": {"BNLJ"},  # 1-row kth-hash x 1-row exact count
+    "q_cvar_expected_shortfall": {"BNLJ"},  # tail rows carry 1-row n/k state
+    "q_mann_kendall": {"BNLJ"},  # S/n/ties 1-row aggregates x pairwise DAILY grid
+    "q_pacf_durbin_levinson": {"BNLJ"},  # 1-row mean broadcast to daily grid
+    "q_ar2_yule_walker": {"BNLJ"},  # 1-row fit x 1-row last-obs x 1-row mean
+    "q_dft_periodogram": {"BNLJ"},  # 5-row period spine crossed to daily grid
+    "q_durbin_watson": {"BNLJ"},  # 1-row OLS fit broadcast to daily grid
+    "q_breusch_pagan": {"BNLJ"},  # same OLS-fit broadcast as durbin_watson
+    "q_chi2_hash_uniformity": {"BNLJ"},  # 1-row total x 16 bucket rows
+    "q_hurst_rs": {"BNLJ"},  # 4-row size spine x daily grid; 1-row fit x 4 sizes
+    "q_sprt_ab_sequential": {"BNLJ"},  # 1-row totals x 1-row first crossing
+    "q_price_endings": {"BNLJ"},  # 1-row total x 100 ending buckets
+    # sample-bounded pairwise distortion measurement (190 pairs by
+    # construction); the corpus-wide projection itself is equi-join only
+    "q_jl_projection_distortion": {"BNLJ"},
 }
 
 

@@ -330,7 +330,10 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa, fb = flat.alias("a"), flat.alias("b")
     orig_d2 = (
-        fa.join(fb, (F.col("b.i") == F.col("a.i")) & (F.col("b.vec_id") > F.col("a.vec_id")))
+        fa.join(
+            F.broadcast(fb),
+            (F.col("b.i") == F.col("a.i")) & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
         .groupBy(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
         .agg(
             F.sum(
@@ -345,7 +348,7 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa, pb = proj.alias("pa"), proj.alias("pb")
     proj_d2 = (
         pa.join(
-            pb,
+            F.broadcast(pb),
             (F.col("pb.j") == F.col("pa.j")) & (F.col("pb.vec_id") > F.col("pa.vec_id")),
         )
         .groupBy(F.col("pa.vec_id").alias("u"), F.col("pb.vec_id").alias("v"))
@@ -362,7 +365,7 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = (
         orig_d2.alias("o")
         .join(
-            proj_d2.alias("p"),
+            F.broadcast(proj_d2.alias("p")),
             (F.col("p.u") == F.col("o.u")) & (F.col("p.v") == F.col("o.v")),
         )
         .select(
