@@ -176,6 +176,9 @@ BY_DESIGN = {
     # sample-bounded pairwise distortion measurement (190 pairs by
     # construction); the corpus-wide projection itself is equi-join only
     "q_jl_projection_distortion": {"BNLJ"},
+    # deliberately all-pairs leave-one-out ranking eval (exact baseline),
+    # like q_knn_bruteforce / q_knn_classifier_eval
+    "q_retrieval_mrr": {"BNLJ"},
 }
 
 
