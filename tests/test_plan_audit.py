@@ -179,6 +179,8 @@ BY_DESIGN = {
     # deliberately all-pairs leave-one-out ranking eval (exact baseline),
     # like q_knn_bruteforce / q_knn_classifier_eval
     "q_retrieval_mrr": {"BNLJ"},
+    # 1-row measured-concurrency aggregate x 1-row lambda/W aggregate
+    "q_littles_law": {"BNLJ"},
 }
 
 
