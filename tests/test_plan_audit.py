@@ -181,6 +181,9 @@ BY_DESIGN = {
     "q_retrieval_mrr": {"BNLJ"},
     # 1-row measured-concurrency aggregate x 1-row lambda/W aggregate
     "q_littles_law": {"BNLJ"},
+    # 1-row total broadcast to the ≤|QI-classes| / folds×labels grid
+    "q_k_anonymity": {"BNLJ"},
+    "q_kfold_balance": {"BNLJ"},
 }
 
 
