@@ -184,6 +184,10 @@ BY_DESIGN = {
     # 1-row total broadcast to the ≤|QI-classes| / folds×labels grid
     "q_k_anonymity": {"BNLJ"},
     "q_kfold_balance": {"BNLJ"},
+    # 1-row sigma / fold aggregates cross-joined to the calendar-bounded
+    # daily grid (PH) or the ≤35-cell factorial grid (two-way ANOVA)
+    "q_page_hinkley": {"BNLJ"},
+    "q_two_way_anova": {"BNLJ"},
 }
 
 
