@@ -188,6 +188,9 @@ BY_DESIGN = {
     # daily grid (PH) or the ≤35-cell factorial grid (two-way ANOVA)
     "q_page_hinkley": {"BNLJ"},
     "q_two_way_anova": {"BNLJ"},
+    # 1-row grand-total normalization + 1-row deviation aggregates over
+    # the ≤|nations|² balanced matrix
+    "q_ipf_matrix_balancing": {"BNLJ"},
 }
 
 
