@@ -191,6 +191,10 @@ BY_DESIGN = {
     # 1-row grand-total normalization + 1-row deviation aggregates over
     # the ≤|nations|² balanced matrix
     "q_ipf_matrix_balancing": {"BNLJ"},
+    # 1-row OLS-fit/MSE broadcast to the daily grid; 30-day grid spine
+    # crossed with the per-user lifetime rollup (calendar-bounded)
+    "q_cooks_distance": {"BNLJ"},
+    "q_logrank_test": {"BNLJ"},
 }
 
 
