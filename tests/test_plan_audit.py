@@ -195,6 +195,14 @@ BY_DESIGN = {
     # crossed with the per-user lifetime rollup (calendar-bounded)
     "q_cooks_distance": {"BNLJ"},
     "q_logrank_test": {"BNLJ"},
+    # 4-table trade-graph edge build (lineitem x orders SMJ, as pagerank)
+    # + 1-row census aggregates crossed together
+    "q_graph_reciprocity": {"SMJ", "BNLJ"},
+    # order-key-local basket self-join (SMJ like q_assoc_rules_types) +
+    # 1-row normalizer over the ≤|brands| strength vector
+    "q_bradley_terry": {"SMJ", "BNLJ"},
+    # 1-row grand-total broadcast onto the ≤|states|² transition grid
+    "q_markov_entropy_rate": {"BNLJ"},
 }
 
 
