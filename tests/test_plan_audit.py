@@ -203,6 +203,8 @@ BY_DESIGN = {
     "q_bradley_terry": {"SMJ", "BNLJ"},
     # 1-row grand-total broadcast onto the ≤|states|² transition grid
     "q_markov_entropy_rate": {"BNLJ"},
+    # 1-row pooled-slope aggregate crossed onto the ≤|brands| slope grid
+    "q_simpsons_paradox": {"BNLJ"},
 }
 
 
