@@ -205,6 +205,10 @@ BY_DESIGN = {
     "q_markov_entropy_rate": {"BNLJ"},
     # 1-row pooled-slope aggregate crossed onto the ≤|brands| slope grid
     "q_simpsons_paradox": {"BNLJ"},
+    # 10-row depth spine non-equi-joined to the ≤|brands| rank table
+    "q_rbo_rank_overlap": {"BNLJ"},
+    # 1-row crude-effect aggregate crossed onto the 3-row strata grid
+    "q_stratified_adjustment": {"BNLJ"},
 }
 
 
