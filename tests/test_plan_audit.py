@@ -209,6 +209,8 @@ BY_DESIGN = {
     "q_rbo_rank_overlap": {"BNLJ"},
     # 1-row crude-effect aggregate crossed onto the 3-row strata grid
     "q_stratified_adjustment": {"BNLJ"},
+    # three 1-row ledger counts (delivered/source/merged) crossed together
+    "q_exactly_once_dedup_audit": {"BNLJ"},
 }
 
 

@@ -1,0 +1,270 @@
+"""Analytics batch 71: streaming-semantics audits — the exactly-once
+idempotent-merge ledger (duplicate delivery simulated, then collapsed by
+UUID exactly like the reference's transactional-SQL recipe), an
+out-of-order / lateness profile that sizes watermarks from data, and a
+schema-evolution union (v1 rows without the new column merged with v2).
+
+These are the §2.A delivery-semantics contracts as *auditable queries*:
+at-least-once redelivery (watermill docs/content/docs/pub-sub.md) makes
+duplicates normal; the merge-by-uuid sink and the watermark bound are the
+two mechanisms that restore correctness, and both are measured here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount, dec
+from .registry import load, register
+
+
+@register(
+    "q_exactly_once_dedup_audit",
+    oracle="""
+    WITH delivered AS (
+      SELECT event_id, ts, user_id, event_type, value, 1 AS attempt
+      FROM events
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value, 2 AS attempt
+      FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+      SELECT event_id, ts, value FROM (
+        SELECT event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY attempt) AS rn
+        FROM delivered) x
+      WHERE rn = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM delivered) AS BIGINT) AS n_delivered,
+           CAST(COUNT(*) AS BIGINT) AS n_after_merge,
+           CAST((SELECT COUNT(*) FROM delivered) - COUNT(*) AS BIGINT)
+             AS duplicates_dropped,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_source,
+           CASE WHEN COUNT(*) = (SELECT COUNT(*) FROM events)
+                THEN 1 ELSE 0 END AS exactly_once_holds,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS value_total_after_merge
+    FROM merged
+    """,
+)
+def q_exactly_once_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-via-idempotent-merge audit: simulate at-least-once
+    redelivery (every third event delivered twice — the checkpoint-replay
+    window), collapse by UUID keeping the first attempt, and verify the
+    merged ledger equals the source exactly — the queryable twin of the
+    reference's exactly-once recipe (transactional dedup by message UUID,
+    `_examples/real-world-examples/exactly-once-delivery-counter`) and of
+    `dropDuplicates("uuid")` in the streaming path.
+
+    All counts exact; the value total goes through DECIMAL so the audit
+    also proves no double-counting in the money column.
+
+    Scale: the merge is one hash-partition by event_id with rn=1 kept per
+    key (WindowGroupLimit); at 100 TB this is exactly the MERGE INTO /
+    dropDuplicatesWithinWatermark shape with state bounded by the
+    redelivery window. §2.A delivery semantics.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    redelivered = ev.filter(F.col("event_id") % 3 == 0)
+    delivered = ev.select(
+        "event_id", "ts", "value", F.lit(1).alias("attempt")
+    ).unionByName(
+        redelivered.select("event_id", "ts", "value", F.lit(2).alias("attempt"))
+    )
+    merged = (
+        delivered.select(
+            "event_id",
+            "value",
+            F.row_number()
+            .over(Window.partitionBy("event_id").orderBy("attempt"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    nd = delivered.agg(bcount("n_delivered"))
+    ns = ev.agg(bcount("n_source"))
+    m = merged.agg(
+        bcount("n_after_merge"),
+        F.round(F.sum(dec("value")).cast("double"), 4).alias(
+            "value_total_after_merge"
+        ),
+    )
+    return m.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(ns)).select(
+        "n_delivered",
+        "n_after_merge",
+        (F.col("n_delivered") - F.col("n_after_merge"))
+        .cast("bigint")
+        .alias("duplicates_dropped"),
+        "n_source",
+        F.when(F.col("n_after_merge") == F.col("n_source"), 1)
+        .otherwise(0)
+        .alias("exactly_once_holds"),
+        "value_total_after_merge",
+    )
+
+
+@register(
+    "q_out_of_order_lateness",
+    oracle="""
+    WITH arrival AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    ),
+    lateness AS (
+      SELECT CAST(date_diff('second', ts, frontier) AS BIGINT) AS late_s
+      FROM arrival
+    ),
+    ranked AS (
+      SELECT late_s,
+             ROW_NUMBER() OVER (ORDER BY late_s) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM lateness
+    )
+    SELECT MAX(n) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           round(CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(n), 6) AS late_share,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN late_s END) AS BIGINT) AS p50_lateness_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN late_s END) AS BIGINT) AS p95_lateness_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                    THEN late_s END) AS BIGINT) AS p99_lateness_s,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_s
+    FROM ranked
+    """,
+)
+def q_out_of_order_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order / lateness profile of the event stream: treating
+    event_id as arrival order, each event's lateness is the gap between
+    the event-time frontier (running max ts) and its own timestamp;
+    reports the late share and exact p50/p95/p99/max lateness — exactly
+    the measurement that sizes `withWatermark()` (a watermark at
+    p99-lateness drops ≤1% of rows; q_events_late_arrivals then counts
+    what a given bound would drop).
+
+    Determinism: lateness is integer seconds off a running max of exact
+    timestamps; percentiles are exact rank statistics (ceil(q·n)-th order
+    values), never interpolated.
+
+    Scale: the frontier is the one inherently sequential pass (stateful
+    fold in production — state is one max); ranking partitions after a
+    single sort. §2.A delivery semantics / streaming surface.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    arrival = ev.select(
+        "ts",
+        F.max("ts")
+        .over(Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("frontier"),
+    )
+    lateness = arrival.select(
+        (F.unix_timestamp("frontier") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("late_s")
+    )
+    ranked = lateness.select(
+        "late_s",
+        F.row_number().over(Window.orderBy("late_s")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+
+    def pct(q: float, alias: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    F.col("late_s"),
+                )
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return ranked.agg(
+        F.max("n").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("late_share"),
+        pct(0.5, "p50_lateness_s"),
+        pct(0.95, "p95_lateness_s"),
+        pct(0.99, "p99_lateness_s"),
+        F.max("late_s").cast("bigint").alias("max_lateness_s"),
+    )
+
+
+@register(
+    "q_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+             'v1' AS schema_version
+      FROM orders WHERE year(o_orderdate) < 1995
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             'v2' AS schema_version
+      FROM orders WHERE year(o_orderdate) >= 1995
+    ),
+    unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT schema_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           round(CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*), 6)
+             AS priority_coverage,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM unioned GROUP BY schema_version
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 extract (before the `priority` column
+    existed) merged with the v2 extract via unionByName with missing
+    columns nulled — the ingest-time reality of any long-lived pipeline
+    (old parquet partitions lack new columns), with the per-version
+    null-coverage audit the consumer needs before trusting the merged
+    column. Mirrors CQRS payload versioning (§2.A marshalers: old events
+    simply lack new fields).
+
+    All counts exact; revenue through DECIMAL.
+
+    Scale: both branches are partition-pruned scans of the same table;
+    the union is free (no shuffle); the audit is one map-side-combined
+    rollup. §2.B sources/evolution surface.
+    """
+    tune_session(spark)
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.year("o_orderdate") < 1995).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("schema_version")
+    )
+    v2 = o.filter(F.year("o_orderdate") >= 1995).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("v2").alias("schema_version"),
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("schema_version").agg(
+        bcount("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        F.round(
+            F.count("o_orderpriority").cast("double") / F.count(F.lit(1)), 6
+        ).alias("priority_coverage"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+    )
