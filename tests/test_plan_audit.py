@@ -211,6 +211,10 @@ BY_DESIGN = {
     "q_stratified_adjustment": {"BNLJ"},
     # three 1-row ledger counts (delivered/source/merged) crossed together
     "q_exactly_once_dedup_audit": {"BNLJ"},
+    # 1-row bounds/exact-quantile/max-score/ECE aggregates broadcast onto
+    # the fact rows (bucketing) or the 5-bin grid
+    "q_histogram_quantile_error": {"BNLJ"},
+    "q_calibration_ece": {"BNLJ"},
 }
 
 
