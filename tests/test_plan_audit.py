@@ -215,6 +215,9 @@ BY_DESIGN = {
     # the fact rows (bucketing) or the 5-bin grid
     "q_histogram_quantile_error": {"BNLJ"},
     "q_calibration_ece": {"BNLJ"},
+    # 1-row CV² moment aggregates crossed; |sources|×20 z-grid pair join
+    "q_bullwhip_effect": {"BNLJ"},
+    "q_burrows_delta": {"BNLJ"},
 }
 
 
