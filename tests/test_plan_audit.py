@@ -218,6 +218,10 @@ BY_DESIGN = {
     # 1-row CV² moment aggregates crossed; |sources|×20 z-grid pair join
     "q_bullwhip_effect": {"BNLJ"},
     "q_burrows_delta": {"BNLJ"},
+    # 1-row corpus-count / 15-row grid broadcasts onto the postings/fact
+    # rows — O(n·grid) map work, no pairwise stage
+    "q_tfidf_cosine_pairs": {"BNLJ"},
+    "q_gaussian_kde": {"BNLJ"},
 }
 
 
