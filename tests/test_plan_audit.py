@@ -222,6 +222,9 @@ BY_DESIGN = {
     # rows — O(n·grid) map work, no pairwise stage
     "q_tfidf_cosine_pairs": {"BNLJ"},
     "q_gaussian_kde": {"BNLJ"},
+    # 1-row pair-count / harmonic-expectation aggregates crossed together
+    "q_blocking_eval": {"BNLJ"},
+    "q_record_statistics": {"BNLJ"},
 }
 
 
