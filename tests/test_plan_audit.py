@@ -225,6 +225,8 @@ BY_DESIGN = {
     # 1-row pair-count / harmonic-expectation aggregates crossed together
     "q_blocking_eval": {"BNLJ"},
     "q_record_statistics": {"BNLJ"},
+    # 1-row max-ts anchor broadcast to every event (survivor window)
+    "q_survivorship_bias": {"BNLJ"},
 }
 
 
