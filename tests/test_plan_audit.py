@@ -227,6 +227,12 @@ BY_DESIGN = {
     "q_record_statistics": {"BNLJ"},
     # 1-row max-ts anchor broadcast to every event (survivor window)
     "q_survivorship_bias": {"BNLJ"},
+    # 1-row midpoint/moment aggregates broadcast to events; Cliff's pair
+    # count over the two arm vectors (histogram-contracted in production)
+    "q_cuped_adjustment": {"BNLJ"},
+    "q_effect_sizes": {"BNLJ"},
+    # 1-row mu/sd moments broadcast to the ≤46 PAA segments
+    "q_sax_symbolization": {"BNLJ"},
 }
 
 
