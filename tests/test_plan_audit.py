@@ -233,6 +233,8 @@ BY_DESIGN = {
     "q_effect_sizes": {"BNLJ"},
     # 1-row mu/sd moments broadcast to the ≤46 PAA segments
     "q_sax_symbolization": {"BNLJ"},
+    # 1-row covariance broadcast to the daily grid (closed-form inverse)
+    "q_mahalanobis_outliers": {"BNLJ"},
 }
 
 

@@ -1,0 +1,358 @@
+"""Analytics batch 78: Lloyd's k-means over the embedding corpus (2
+deterministic unrolled rounds), kneedle elbow detection on the user
+activity curve, and 2-D Mahalanobis outlier detection on the daily
+(revenue, order-count) plane.
+
+k-means completes the clustering family (q_label_centroids uses given
+labels; q_knn_ivf uses computed cells for search; this *fits* clusters):
+deterministic seeding (vec_id 0..k−1), argmin assignment on rounded
+distances with centroid-id tiebreak, exact-decimal centroid updates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from watermill_spark.session import tune_session
+
+from .det import bcount, dec
+from .registry import load, register
+
+_KM_K = 5
+_KM_ROUNDS = 2
+
+_KM_ASSIGN_SQL = """
+      SELECT f.vec_id, d.cid, d.d2,
+             ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                                ORDER BY d.d2, d.cid) AS rn
+      FROM (SELECT DISTINCT vec_id FROM flat) f
+      JOIN (
+        SELECT fl.vec_id, c.cid,
+               round(CAST(SUM(CAST((fl.x - c.c) * (fl.x - c.c)
+                        AS DECIMAL(28,12))) AS DOUBLE), 6) AS d2
+        FROM flat fl JOIN {cent} c ON c.i = fl.i
+        GROUP BY fl.vec_id, c.cid
+      ) d ON d.vec_id = f.vec_id
+"""
+
+_KM_UPDATE_SQL = """
+      SELECT a.cid, fl.i,
+             CAST(SUM(CAST(fl.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS c
+      FROM flat fl JOIN (SELECT vec_id, cid FROM {assign} WHERE rn = 1) a
+        ON a.vec_id = fl.vec_id
+      GROUP BY a.cid, fl.i
+"""
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=f"""
+    WITH flat AS (
+      SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings e, (SELECT UNNEST(range(1, 65)) AS i) d
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, i, x AS c FROM flat WHERE vec_id < {_KM_K}
+    ),
+    assign1 AS ({_KM_ASSIGN_SQL.format(cent="cent0")}),
+    cent1 AS ({_KM_UPDATE_SQL.format(assign="assign1")}),
+    assign2 AS ({_KM_ASSIGN_SQL.format(cent="cent1")}),
+    cent2 AS ({_KM_UPDATE_SQL.format(assign="assign2")}),
+    final_assign AS ({_KM_ASSIGN_SQL.format(cent="cent2")}),
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+      FROM final_assign WHERE rn = 1 GROUP BY cid
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster, n_members,
+           round(inertia, 4) AS inertia,
+           round(inertia / n_members, 6) AS mean_d2
+    FROM sizes
+    """,
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=5) on the embedding corpus, 2 synchronous
+    rounds from deterministic seeds (vectors 0..4): assign each vector to
+    the nearest centroid (rounded distance, centroid-id tiebreak), update
+    centroids as exact-decimal means, repeat; report final cluster sizes
+    and within-cluster inertia — the unsupervised complement to
+    q_label_centroids / q_nearest_centroid_confusion and the codebook
+    builder behind any IVF index (q_knn_ivf probes what this fits).
+
+    Determinism: rounded-distance argmin with cid tiebreak makes every
+    assignment unambiguous; centroid updates are decimal-sum means; both
+    engines run the identical unrolled recursion.
+
+    Scale: each round is (flat ⋈ broadcast centroids on dim) → per-(vec,
+    cid) distance → argmin window partitioned by vec — shuffle keys are
+    vec_id throughout and the k×64 centroid grid stays broadcast-sized;
+    rounds are fixed (production iterates to movement < ε with the same
+    plan per round). §2.B clustering surface [NS].
+    """
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("xv").cast("double").alias("x")
+    ).cache()
+    cent = flat.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "i", F.col("x").alias("c")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = (
+            flat.join(F.broadcast(cent_df), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.round(
+                    F.sum(
+                        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                            "decimal(28,12)"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("d2")
+            )
+        )
+        return d.select(
+            "vec_id",
+            "cid",
+            "d2",
+            F.row_number()
+            .over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
+            .alias("rn"),
+        )
+
+    def update(assign_df: DataFrame) -> DataFrame:
+        return (
+            flat.join(
+                assign_df.filter(F.col("rn") == 1).select("vec_id", "cid"), "vec_id"
+            )
+            .groupBy("cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+
+    for _ in range(_KM_ROUNDS):
+        cent = update(assign(cent)).localCheckpoint(eager=True)
+    final = assign(cent).filter(F.col("rn") == 1)
+    sizes = final.groupBy("cid").agg(
+        bcount("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,6)")).cast("double").alias("inertia"),
+    )
+    return sizes.select(
+        F.col("cid").cast("bigint").alias("cluster"),
+        "n_members",
+        F.round("inertia", 4).alias("inertia"),
+        F.round(F.col("inertia") / F.col("n_members"), 6).alias("mean_d2"),
+    )
+
+
+@register(
+    "q_knee_detection",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n_events,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(MAX(n_events) OVER () AS BIGINT) AS mx,
+             CAST(MIN(n_events) OVER () AS BIGINT) AS mn
+      FROM users
+    ),
+    norm AS (
+      SELECT r, n_events,
+             CAST(r - 1 AS DOUBLE) / (n - 1) AS xn,
+             CAST(n_events - mn AS DOUBLE) / (mx - mn) AS yn
+      FROM ranked WHERE n > 1 AND mx > mn
+    ),
+    kneedle AS (
+      SELECT r, n_events, xn, yn,
+             yn - (1.0 - xn) AS dist,
+             ROW_NUMBER() OVER (ORDER BY yn - (1.0 - xn) DESC, r) AS pick
+      FROM norm
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM ranked) AS n_users,
+           CAST(r AS BIGINT) AS knee_rank,
+           CAST(n_events AS BIGINT) AS knee_activity,
+           round(dist, 6) AS knee_distance,
+           round(CAST(r AS DOUBLE)
+                 / (SELECT MAX(n) FROM ranked), 6) AS knee_user_share
+    FROM kneedle WHERE pick = 1
+    """,
+)
+def q_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneedle elbow detection on the sorted user-activity curve:
+    normalize the rank-vs-activity curve to the unit square and pick the
+    point furthest above the descending diagonal (the maximum-curvature
+    knee) — the principled answer to "where does the heavy-user head
+    end?", which q_user_power_curve draws but eyeballs; the same
+    operator picks k on an inertia curve or a cutoff on any scree plot.
+
+    Determinism: the curve is exact integer ranks/counts; normalized
+    coordinates are fixed-shape ratios; the argmax tiebreaks on rank.
+
+    Scale: one user rollup, one global sort, one argmax window. §2.B
+    [NS].
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(bcount("n_events"))
+    wall = Window.partitionBy()
+    ranked = users.select(
+        "n_events",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.max("n_events").over(wall).cast("bigint").alias("mx"),
+        F.min("n_events").over(wall).cast("bigint").alias("mn"),
+    )
+    norm = ranked.filter((F.col("n") > 1) & (F.col("mx") > F.col("mn"))).select(
+        "r",
+        "n_events",
+        "n",
+        ((F.col("r") - 1).cast("double") / (F.col("n") - 1)).alias("xn"),
+        (
+            (F.col("n_events") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn"))
+        ).alias("yn"),
+    )
+    kneedle = norm.select(
+        "r",
+        "n_events",
+        "n",
+        (F.col("yn") - (1.0 - F.col("xn"))).alias("dist"),
+        F.row_number()
+        .over(Window.orderBy((F.col("yn") - (1.0 - F.col("xn"))).desc(), "r"))
+        .alias("pick"),
+    ).filter(F.col("pick") == 1)
+    return kneedle.select(
+        F.col("n").alias("n_users"),
+        F.col("r").cast("bigint").alias("knee_rank"),
+        F.col("n_events").cast("bigint").alias("knee_activity"),
+        F.round("dist", 6).alias("knee_distance"),
+        F.round(F.col("r").cast("double") / F.col("n"), 6).alias(
+            "knee_user_share"
+        ),
+    )
+
+
+@register(
+    "q_mahalanobis_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS my,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS mxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS myy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS mxy
+      FROM daily
+    ),
+    cov AS (
+      SELECT n, mx, my,
+             mxx - mx * mx AS sxx, myy - my * my AS syy,
+             mxy - mx * my AS sxy
+      FROM mom
+    ),
+    scored AS (
+      SELECT d.d, d.x, d.y,
+             ((d.x - c.mx) * (d.x - c.mx) * c.syy
+              - 2 * (d.x - c.mx) * (d.y - c.my) * c.sxy
+              + (d.y - c.my) * (d.y - c.my) * c.sxx)
+             / (c.sxx * c.syy - c.sxy * c.sxy) AS md2
+      FROM daily d, cov c
+    )
+    SELECT d, round(x, 2) AS revenue, CAST(y AS BIGINT) AS n_orders,
+           round(md2, 6) AS mahalanobis_d2,
+           CASE WHEN md2 > 13.815511 THEN 1 ELSE 0 END AS beyond_999
+    FROM scored
+    ORDER BY md2 DESC, d
+    LIMIT 10
+    """,
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Mahalanobis outliers on the daily (revenue, order count)
+    plane: D² = Δᵀ Σ⁻¹ Δ with the 2×2 covariance inverted in closed form,
+    top-10 days with the χ²(2) 99.9% flag — the correlation-aware outlier
+    detector that univariate rules (q_price_outliers_iqr, q_mad_outliers,
+    q_events_anomaly_zscore) can't replicate: a day can be normal in each
+    margin yet wildly off the joint ellipse (e.g. high revenue on very
+    few orders).
+
+    Determinism: all moments are exact decimal sums; D² is fixed-shape
+    double algebra; top-10 tiebreaks on date.
+
+    Scale: 1-row covariance broadcast to the calendar-bounded daily grid;
+    top-10 is TakeOrdered. §2.B [NS].
+    """
+    tune_session(spark)
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    mom = daily.agg(
+        bcount("n"),
+        (F.sum(dec("x")).cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum(dec("y")).cast("double") / F.count(F.lit(1))).alias("my"),
+        (
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mxx"),
+        (
+            F.sum((F.col("y") * F.col("y")).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("myy"),
+        (
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mxy"),
+    )
+    cov = mom.select(
+        "mx",
+        "my",
+        (F.col("mxx") - F.col("mx") * F.col("mx")).alias("sxx"),
+        (F.col("myy") - F.col("my") * F.col("my")).alias("syy"),
+        (F.col("mxy") - F.col("mx") * F.col("my")).alias("sxy"),
+    )
+    scored = daily.crossJoin(F.broadcast(cov))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    md2 = (
+        dx * dx * F.col("syy") - 2 * dx * dy * F.col("sxy") + dy * dy * F.col("sxx")
+    ) / det
+    return (
+        scored.select(
+            "d",
+            F.round("x", 2).alias("revenue"),
+            F.col("y").cast("bigint").alias("n_orders"),
+            F.round(md2, 6).alias("mahalanobis_d2"),
+            F.when(md2 > 13.815511, 1).otherwise(0).alias("beyond_999"),
+        )
+        .orderBy(F.col("mahalanobis_d2").desc(), "d")
+        .limit(10)
+    )
