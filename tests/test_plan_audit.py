@@ -235,6 +235,10 @@ BY_DESIGN = {
     "q_sax_symbolization": {"BNLJ"},
     # 1-row covariance broadcast to the daily grid (closed-form inverse)
     "q_mahalanobis_outliers": {"BNLJ"},
+    # 1-row corpus-total / pooled-MSE aggregates broadcast onto the
+    # (source,token) grid / 10 pair rows
+    "q_kl_coding_cost": {"BNLJ"},
+    "q_tukey_hsd": {"BNLJ"},
 }
 
 
