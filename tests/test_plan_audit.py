@@ -239,6 +239,10 @@ BY_DESIGN = {
     # (source,token) grid / 10 pair rows
     "q_kl_coding_cost": {"BNLJ"},
     "q_tukey_hsd": {"BNLJ"},
+    # 4-table trade edge build (SMJ like pagerank) + 1-row corpus-total
+    # broadcasts over bounded grids
+    "q_gravity_model": {"SMJ", "BNLJ"},
+    "q_renyi_spectrum": {"BNLJ"},
 }
 
 
