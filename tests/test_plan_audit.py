@@ -243,6 +243,9 @@ BY_DESIGN = {
     # broadcasts over bounded grids
     "q_gravity_model": {"SMJ", "BNLJ"},
     "q_renyi_spectrum": {"BNLJ"},
+    # 1-row IQR/moment/day-count aggregates crossed to 1-row outputs
+    "q_optimal_bins": {"BNLJ"},
+    "q_effective_sample_size": {"BNLJ"},
 }
 
 
