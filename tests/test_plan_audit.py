@@ -246,6 +246,8 @@ BY_DESIGN = {
     # 1-row IQR/moment/day-count aggregates crossed to 1-row outputs
     "q_optimal_bins": {"BNLJ"},
     "q_effective_sample_size": {"BNLJ"},
+    # 1-row vector-count broadcast onto the 64² covariance cells
+    "q_effective_rank": {"BNLJ"},
 }
 
 
