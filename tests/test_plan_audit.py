@@ -248,6 +248,10 @@ BY_DESIGN = {
     "q_effective_sample_size": {"BNLJ"},
     # 1-row vector-count broadcast onto the 64² covariance cells
     "q_effective_rank": {"BNLJ"},
+    # 1-row lambda-hat broadcast to the gap grid; 4-table trade edge
+    # build (SMJ) + 1-row total-mass broadcast onto ≤|regions| rows
+    "q_interarrival_exponential_ks": {"BNLJ"},
+    "q_trade_modularity": {"SMJ", "BNLJ"},
 }
 
 
