@@ -252,6 +252,9 @@ BY_DESIGN = {
     # build (SMJ) + 1-row total-mass broadcast onto ≤|regions| rows
     "q_interarrival_exponential_ks": {"BNLJ"},
     "q_trade_modularity": {"SMJ", "BNLJ"},
+    # 1-row totals/ACF aggregates crossed onto tiny grids
+    "q_good_turing": {"BNLJ"},
+    "q_mean_reversion_half_life": {"BNLJ"},
 }
 
 
