@@ -255,6 +255,8 @@ BY_DESIGN = {
     # 1-row totals/ACF aggregates crossed onto tiny grids
     "q_good_turing": {"BNLJ"},
     "q_mean_reversion_half_life": {"BNLJ"},
+    # 1-row test-total broadcast onto the parts grid
+    "q_topk_policy_regret": {"BNLJ"},
 }
 
 
