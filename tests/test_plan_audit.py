@@ -257,6 +257,8 @@ BY_DESIGN = {
     "q_mean_reversion_half_life": {"BNLJ"},
     # 1-row test-total broadcast onto the parts grid
     "q_topk_policy_regret": {"BNLJ"},
+    # 5-row k spine / 1-row positives total broadcast over the rank grid
+    "q_pr_curve": {"BNLJ"},
 }
 
 
