@@ -259,6 +259,8 @@ BY_DESIGN = {
     "q_topk_policy_regret": {"BNLJ"},
     # 5-row k spine / 1-row positives total broadcast over the rank grid
     "q_pr_curve": {"BNLJ"},
+    # 4-table trade edge build (SMJ) + per-half-step 1-row L2 normalizer
+    "q_hits_hubs_authorities": {"SMJ", "BNLJ"},
 }
 
 
