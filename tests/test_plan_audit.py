@@ -261,6 +261,10 @@ BY_DESIGN = {
     "q_pr_curve": {"BNLJ"},
     # 4-table trade edge build (SMJ) + per-half-step 1-row L2 normalizer
     "q_hits_hubs_authorities": {"SMJ", "BNLJ"},
+    # orderkey-clustered star join (SMJ); 1-row totals over tiny grids
+    "q_coupon_collector": {"SMJ", "BNLJ"},
+    "q_wasserstein_1d": {"BNLJ"},
+    "q_mg1_queue_wait": {"BNLJ"},
 }
 
 
