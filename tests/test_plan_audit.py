@@ -265,6 +265,9 @@ BY_DESIGN = {
     "q_coupon_collector": {"SMJ", "BNLJ"},
     "q_wasserstein_1d": {"BNLJ"},
     "q_mg1_queue_wait": {"BNLJ"},
+    # support-histogram cross (≤|support|² weighted grid) + 1-row totals
+    "q_hodges_lehmann": {"BNLJ"},
+    "q_youden_threshold": {"BNLJ"},
 }
 
 
