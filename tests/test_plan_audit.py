@@ -268,6 +268,11 @@ BY_DESIGN = {
     # support-histogram cross (≤|support|² weighted grid) + 1-row totals
     "q_hodges_lehmann": {"BNLJ"},
     "q_youden_threshold": {"BNLJ"},
+    # 4-table trade edge build (SMJ) + census 1-row aggregates crossed;
+    # 1-row split-point/pool aggregates broadcast over token/study grids
+    "q_smallworld_sigma": {"SMJ", "BNLJ"},
+    "q_trending_tokens": {"BNLJ"},
+    "q_meta_analysis": {"BNLJ"},
 }
 
 
