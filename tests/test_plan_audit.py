@@ -273,6 +273,8 @@ BY_DESIGN = {
     "q_smallworld_sigma": {"SMJ", "BNLJ"},
     "q_trending_tokens": {"BNLJ"},
     "q_meta_analysis": {"BNLJ"},
+    # 4-table star rollup (SMJ) + broadcast margins over the cell grid
+    "q_shift_share": {"SMJ", "BNLJ"},
 }
 
 
