@@ -275,6 +275,9 @@ BY_DESIGN = {
     "q_meta_analysis": {"BNLJ"},
     # 4-table star rollup (SMJ) + broadcast margins over the cell grid
     "q_shift_share": {"SMJ", "BNLJ"},
+    # sample-bounded pairwise sims; 1-row peak/trough/total aggregates
+    "q_similarity_histogram": {"BNLJ"},
+    "q_hour_type_volume": {"BNLJ"},
 }
 
 
