@@ -278,6 +278,9 @@ BY_DESIGN = {
     # sample-bounded pairwise sims; 1-row peak/trough/total aggregates
     "q_similarity_histogram": {"BNLJ"},
     "q_hour_type_volume": {"BNLJ"},
+    # 100-row divisor spine / 1-row VaR cutoff broadcast over grids
+    "q_dhondt_apportionment": {"BNLJ"},
+    "q_var_backtest": {"BNLJ"},
 }
 
 
