@@ -281,6 +281,9 @@ BY_DESIGN = {
     # 100-row divisor spine / 1-row VaR cutoff broadcast over grids
     "q_dhondt_apportionment": {"BNLJ"},
     "q_var_backtest": {"BNLJ"},
+    # 4-table trade edge build (SMJ) + 8-node club / 1-row load broadcasts
+    "q_rich_club": {"SMJ", "BNLJ"},
+    "q_erlang_blocking": {"BNLJ"},
 }
 
 
