@@ -284,6 +284,9 @@ BY_DESIGN = {
     # 4-table trade edge build (SMJ) + 8-node club / 1-row load broadcasts
     "q_rich_club": {"SMJ", "BNLJ"},
     "q_erlang_blocking": {"BNLJ"},
+    # 3-row window spine / 1-row interval bounds broadcast over grids
+    "q_fano_factor": {"BNLJ"},
+    "q_forecast_interval_coverage": {"BNLJ"},
 }
 
 
