@@ -287,6 +287,8 @@ BY_DESIGN = {
     # 3-row window spine / 1-row interval bounds broadcast over grids
     "q_fano_factor": {"BNLJ"},
     "q_forecast_interval_coverage": {"BNLJ"},
+    # 1-row norm/weight/ideal aggregates broadcast over the ≤|brands| grid
+    "q_topsis_ranking": {"BNLJ"},
 }
 
 
