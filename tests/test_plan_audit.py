@@ -289,6 +289,9 @@ BY_DESIGN = {
     "q_forecast_interval_coverage": {"BNLJ"},
     # 1-row norm/weight/ideal aggregates broadcast over the ≤|brands| grid
     "q_topsis_ranking": {"BNLJ"},
+    # 1-row midpoint/threshold/total aggregates broadcast over the grids
+    "q_cohort_quality_auc": {"BNLJ"},
+    "q_peak_over_threshold": {"BNLJ"},
 }
 
 
