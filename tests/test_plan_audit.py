@@ -292,6 +292,11 @@ BY_DESIGN = {
     # 1-row midpoint/threshold/total aggregates broadcast over the grids
     "q_cohort_quality_auc": {"BNLJ"},
     "q_peak_over_threshold": {"BNLJ"},
+    # 1-row entropy/variance/totals aggregates cross-joined back onto the
+    # ≤6 pattern rows / 9 lag rows / ≤50 forecast-bin grid
+    "q_permutation_entropy": {"BNLJ"},
+    "q_variogram_daily": {"BNLJ"},
+    "q_brier_decomposition": {"BNLJ"},
 }
 
 
