@@ -297,6 +297,13 @@ BY_DESIGN = {
     "q_permutation_entropy": {"BNLJ"},
     "q_variogram_daily": {"BNLJ"},
     "q_brier_decomposition": {"BNLJ"},
+    # grid-bounded pairwise template match (~2.4k-row daily grid self-join)
+    # plus the 1-row tolerance broadcast
+    "q_sample_entropy": {"BNLJ"},
+    # per-stage 1-row coefficient sets (OLS, rho) broadcast onto the grid
+    "q_cochrane_orcutt": {"BNLJ"},
+    # 1-row total-energy aggregate broadcast onto the 5 level rows
+    "q_haar_energy": {"BNLJ"},
 }
 
 
