@@ -304,6 +304,10 @@ BY_DESIGN = {
     "q_cochrane_orcutt": {"BNLJ"},
     # 1-row total-energy aggregate broadcast onto the 5 level rows
     "q_haar_energy": {"BNLJ"},
+    # 1-row full-mean/boot, total-power/entropy aggregates cross-joined
+    # onto the 1-row / 16-frequency grids
+    "q_poisson_bootstrap_ci": {"BNLJ"},
+    "q_spectral_entropy": {"BNLJ"},
 }
 
 
