@@ -308,6 +308,11 @@ BY_DESIGN = {
     # onto the 1-row / 16-frequency grids
     "q_poisson_bootstrap_ci": {"BNLJ"},
     "q_spectral_entropy": {"BNLJ"},
+    # 4-table trade edge build (lineitem x orders SMJ) shared with
+    # pagerank/BFS; per-sweep rating joins broadcast
+    "q_colley_ranking": {"SMJ"},
+    # fixed 23-point evaluation grid broadcast across customers
+    "q_kernel_regression_nw": {"BNLJ"},
 }
 
 
