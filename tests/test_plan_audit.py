@@ -315,6 +315,9 @@ BY_DESIGN = {
     "q_kernel_regression_nw": {"BNLJ"},
 }
 
+BY_DESIGN["q_granger_causality"] = set()  # pure window + 1-row moments
+BY_DESIGN["q_process_capability"] = {"SMJ"}  # lineitem x orders clustered-key star join
+
 
 def _flags(plan: str) -> set[str]:
     flags = set()
