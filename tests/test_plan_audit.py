@@ -317,6 +317,10 @@ BY_DESIGN = {
 
 BY_DESIGN["q_granger_causality"] = set()  # pure window + 1-row moments
 BY_DESIGN["q_process_capability"] = {"SMJ"}  # lineitem x orders clustered-key star join
+# 1-row mean/denominator aggregates broadcast onto the <=25-nation grid
+BY_DESIGN["q_moran_geary"] = {"BNLJ", "SMJ"}  # region-keyed self-join of the 25-row grid plans SMJ pre-AQE
+# day-keyed self-join of the bounded |brands|x|days| grid (pre-AQE SMJ)
+BY_DESIGN["q_copeland_ranking"] = {"SMJ"}
 
 
 def _flags(plan: str) -> set[str]:
