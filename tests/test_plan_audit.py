@@ -321,6 +321,10 @@ BY_DESIGN["q_process_capability"] = {"SMJ"}  # lineitem x orders clustered-key s
 BY_DESIGN["q_moran_geary"] = {"BNLJ", "SMJ"}  # region-keyed self-join of the 25-row grid plans SMJ pre-AQE
 # day-keyed self-join of the bounded |brands|x|days| grid (pre-AQE SMJ)
 BY_DESIGN["q_copeland_ranking"] = {"SMJ"}
+# per-Newton-step 1-row T broadcast onto the |users| rate table; 1-row
+# limit/moment aggregates onto the daily grid
+BY_DESIGN["q_che_lru_hit_ratio"] = {"BNLJ"}
+BY_DESIGN["q_ewma_control_chart"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
