@@ -325,6 +325,10 @@ BY_DESIGN["q_copeland_ranking"] = {"SMJ"}
 # limit/moment aggregates onto the daily grid
 BY_DESIGN["q_che_lru_hit_ratio"] = {"BNLJ"}
 BY_DESIGN["q_ewma_control_chart"] = {"BNLJ"}
+# 1-row global-mean aggregate broadcast onto the fact scan / nation grid
+BY_DESIGN["q_theil_index"] = {"BNLJ"}
+# 1-row calendar-span aggregate broadcast onto the ≤|brands| policy grid
+BY_DESIGN["q_eoq_policy"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
