@@ -329,6 +329,10 @@ BY_DESIGN["q_ewma_control_chart"] = {"BNLJ"}
 BY_DESIGN["q_theil_index"] = {"BNLJ"}
 # 1-row calendar-span aggregate broadcast onto the ≤|brands| policy grid
 BY_DESIGN["q_eoq_policy"] = {"BNLJ"}
+# 1-row N / marginal-sum aggregates crossed onto the ≤|types|×2 cell grid
+BY_DESIGN["q_gtest_independence"] = {"BNLJ"}
+# 1-row global-mean threshold broadcast onto the fact scan
+BY_DESIGN["q_mcc_stump"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
