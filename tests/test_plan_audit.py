@@ -333,6 +333,10 @@ BY_DESIGN["q_eoq_policy"] = {"BNLJ"}
 BY_DESIGN["q_gtest_independence"] = {"BNLJ"}
 # 1-row global-mean threshold broadcast onto the fact scan
 BY_DESIGN["q_mcc_stump"] = {"BNLJ"}
+# 1-row corpus-anchor broadcast onto the per-user rollup
+BY_DESIGN["q_rmst"] = {"BNLJ"}
+# 1-row anchor-month broadcast + horizon≥k non-equi join of the ≤|span-months| k-grid
+BY_DESIGN["q_retention_decay_fit"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
