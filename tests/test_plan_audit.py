@@ -337,6 +337,13 @@ BY_DESIGN["q_mcc_stump"] = {"BNLJ"}
 BY_DESIGN["q_rmst"] = {"BNLJ"}
 # 1-row anchor-month broadcast + horizon≥k non-equi join of the ≤|span-months| k-grid
 BY_DESIGN["q_retention_decay_fit"] = {"BNLJ"}
+# fixed 201-point quadrature grid crossed with the 2-arm posterior (and
+# itself for the 201² loss sum) — constant-size by construction
+BY_DESIGN["q_bayes_ab_grid"] = {"BNLJ", "CARTESIAN"}
+# per-Newton-step 1-row β broadcast onto the |users| feature rollup
+BY_DESIGN["q_poisson_glm_newton"] = {"BNLJ"}
+# 1-row pooled-stats broadcast onto the ≤|nations| means grid
+BY_DESIGN["q_james_stein"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
