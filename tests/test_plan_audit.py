@@ -344,6 +344,11 @@ BY_DESIGN["q_bayes_ab_grid"] = {"BNLJ", "CARTESIAN"}
 BY_DESIGN["q_poisson_glm_newton"] = {"BNLJ"}
 # 1-row pooled-stats broadcast onto the ≤|nations| means grid
 BY_DESIGN["q_james_stein"] = {"BNLJ"}
+# 1-row threshold broadcast onto the fact scan before the segment rollup
+BY_DESIGN["q_fairness_audit"] = {"BNLJ"}
+# customer-key-local incidence self-join (co-partitioned, |brands|-bounded
+# fan-out, as q_supplier_audience_overlap) + lineitem x orders star
+BY_DESIGN["q_item_item_cosine"] = {"SMJ"}
 
 
 def _flags(plan: str) -> set[str]:
