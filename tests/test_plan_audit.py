@@ -349,6 +349,13 @@ BY_DESIGN["q_fairness_audit"] = {"BNLJ"}
 # customer-key-local incidence self-join (co-partitioned, |brands|-bounded
 # fan-out, as q_supplier_audience_overlap) + lineitem x orders star
 BY_DESIGN["q_item_item_cosine"] = {"SMJ"}
+# 1-row max-m / dims aggregates broadcast onto the ≤|brands| rank-sum grid;
+# lineitem x orders star SMJ
+BY_DESIGN["q_kendall_w"] = {"BNLJ", "SMJ"}
+# 1-row subject-count broadcast onto the 3-category share grid
+BY_DESIGN["q_fleiss_kappa"] = {"BNLJ"}
+# 1-row total broadcast onto the ≤|types| posterior grid
+BY_DESIGN["q_dirichlet_multinomial"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
