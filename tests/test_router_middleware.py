@@ -224,13 +224,43 @@ def test_deduplicator_drops_same_payload(ps, spark):
     assert ps.subscribe(tout).count() == 2
 
 
-def test_throttle_bounds_batch(ps, spark):
+def test_throttle_bounds_invocations_without_loss(ps, spark):
+    """`middleware/throttle.go:17-31`: throttle delays, never drops — all 50
+    messages arrive, but no single handler invocation sees more than 10."""
     tin, tout = _topic("in"), _topic("out")
     ps.publish(tin, _msgs(spark, 50))
+    seen: list[int] = []
+
+    def counting_handler(df):
+        seen.append(df.count())
+        return df
+
     r = Router()
-    r.add_handler("h", tin, ps, tout, ps, passthrough_handler, middleware=[mw.throttle(10)])
+    r.add_handler(
+        "h", tin, ps, tout, ps, counting_handler, middleware=[mw.throttle(10)]
+    )
     r.run_once()
-    assert ps.subscribe(tout).count() == 10
+    assert ps.subscribe(tout).count() == 50
+    assert seen and max(seen) <= 10 and sum(seen) == 50
+
+
+def test_throttle_rate_spaces_chunks(ps, spark):
+    """Duration knob: N msgs per `per_seconds` — elapsed time reflects the
+    inter-chunk spacing (3 chunks of ≤5 over 12 msgs ⇒ ≥2 sleeps)."""
+    import time as _t
+
+    tin, tout = _topic("in"), _topic("out")
+    ps.publish(tin, _msgs(spark, 12))
+    r = Router()
+    r.add_handler(
+        "h", tin, ps, tout, ps, passthrough_handler,
+        middleware=[mw.throttle(5, per_seconds=0.2)],
+    )
+    t0 = _t.monotonic()
+    r.run_once()
+    elapsed = _t.monotonic() - t0
+    assert ps.subscribe(tout).count() == 12
+    assert elapsed >= 0.4  # two inter-chunk sleeps
 
 
 def test_correlation_id_set_and_preserved(ps, spark):
@@ -460,3 +490,52 @@ def test_signals_handler_closes_router(ps, spark):
         assert r.closed
     finally:
         restore()
+
+
+def test_recoverer_happy_path_runs_no_jobs(spark):
+    """VERDICT r1 #6: the bare recoverer must not materialize on the happy
+    path — wrapping a passthrough runs zero Spark jobs."""
+    df = messages_df(spark, [new_message("x")])
+    spark.sparkContext.setJobGroup("recoverer-lazy", "happy-path probe")
+    try:
+        out = mw.recoverer(lambda d: d)(df)
+        ids = spark.sparkContext.statusTracker().getJobIdsForGroup("recoverer-lazy")
+        assert list(ids) == []  # nothing forced at wrap time
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    assert out.count() == 1
+
+
+def test_recoverer_strict_converts_runtime_errors(spark):
+    """recoverer(strict=True) converts execution-time failures to error
+    rows; the bare (lazy) form lets them surface at the sink action."""
+    df = messages_df(spark, [new_message("x"), new_message("y")])
+
+    def runtime_bomb(d):
+        # plan builds fine; blows up only when executed
+        return d.withColumn("boom", F.raise_error(F.lit("runtime kaboom")))
+
+    out = mw.recoverer(strict=True)(runtime_bomb)(df)
+    errs = [r[ERROR_COL] for r in out.select(ERROR_COL).collect()]
+    assert len(errs) == 2 and all("kaboom" in e for e in errs)
+
+    lazy_out = mw.recoverer(runtime_bomb)(df)
+    with pytest.raises(Exception, match="kaboom"):
+        lazy_out.count()
+
+
+def test_circuit_breaker_strict_counts_error_rows(spark):
+    """strict=True sniffs `_wm_error` rows as failures; default mode stays
+    lazy and only counts raised exceptions."""
+    from watermill_spark.streaming.middleware import CircuitBreakerOpen, circuit_breaker
+
+    df = messages_df(spark, [new_message("x")]).withColumn(
+        ERROR_COL, F.lit("bad row")
+    )
+    now = {"t": 0.0}
+    cb = circuit_breaker(max_failures=2, open_seconds=30.0, clock=lambda: now["t"], strict=True)
+    wrapped = cb(lambda d: d)
+    wrapped(df)
+    wrapped(df)  # two error-rowed batches -> open
+    with pytest.raises(CircuitBreakerOpen):
+        wrapped(df)

@@ -315,19 +315,51 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_approx_users",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only check
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         ((user_id * 2654435761) % 4294967296) % 4096 AS bucket
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS filled_buckets,
+       CASE WHEN COUNT(DISTINCT bucket) < 4096
+            THEN ROUND(CAST(-4096 AS DOUBLE)
+                       * LN(CAST(1 AS DOUBLE)
+                            - CAST(COUNT(DISTINCT bucket) AS DOUBLE) / 4096), 4)
+            ELSE CAST(NULL AS DOUBLE) END AS approx_users,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b
+GROUP BY event_type
+""",
 )
 def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event type.
+    """Approximate distinct users per event type via linear counting.
 
-    The at-scale cardinality estimator: constant memory per group vs the
-    exact distinct's shuffle of every (type, user) pair. No SQL oracle —
-    HLL estimates are engine-specific by construction; the exact twin is
-    oracle-checked in q_events_retention_cohort / q_distinct_agg.
+    The at-scale cardinality estimator: per-group state is bounded at m=4096
+    buckets (vs the exact distinct's shuffle of every (type, user) pair).
+    Unlike HLL (engine-specific sketch layouts), linear counting over a
+    deterministic multiplicative hash replays bit-for-bit in any engine:
+    bucket = ((user_id * 2654435761) mod 2^32) mod 4096, estimate
+    = -m * ln(1 - v/m) where v = distinct filled buckets. All-integer hash
+    arithmetic; v/4096 is an exact double (power-of-two divisor), so the ln
+    argument is identical across engines and 4-dp rounding absorbs the ≤1-ulp
+    libm difference. v == m (saturated sketch) yields NULL on both sides.
+
+    Reference parity: the reference exposes approximate distinct counts
+    through its metrics layer; this is the Spark-side analog with a
+    cross-engine-checkable estimator.
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
+    m = 4096
+    bucket = ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(m)
+    v = F.count_distinct(bucket).cast("bigint")
+    est = F.round(
+        F.lit(-float(m)) * F.log(F.lit(1.0) - v.cast("double") / F.lit(float(m))), 4
+    )
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        v.alias("filled_buckets"),
+        F.when(v < m, est).otherwise(F.lit(None).cast("double")).alias("approx_users"),
         bcount("n"),
     )

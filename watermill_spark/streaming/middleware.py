@@ -36,25 +36,43 @@ REQUEUER_RETRIES = "_watermill_requeuer_retries"
 CORRELATION_ID = "correlation_id"
 
 
-def recoverer(fn: HandlerFn) -> HandlerFn:
+def recoverer(fn: HandlerFn | None = None, *, strict: bool = False):
     """Catch handler exceptions → error rows instead of a failed batch
     (`middleware/recoverer.go:23-37`: panic → error with stacktrace).
 
-    Python exceptions at plan-build or execution time become `_wm_error` on
-    every input message of the batch — the micro-batch analog of a panic
-    while handling a message.
+    Two forms:
+    - ``middleware=[recoverer]`` (bare): lazy. Python exceptions raised while
+      *building* the handler's plan (the direct analog of a panic in the
+      reference's handler invocation) become `_wm_error` rows. Execution-time
+      errors surface at the sink's single materialization and nack the batch
+      (⇒ checkpoint replay) — no extra Spark job on the happy path.
+    - ``middleware=[recoverer(strict=True)]``: also forces the plan here
+      (cache + count) so *execution* errors are converted to error rows too,
+      at the cost of one extra job per batch per handler. Use when downstream
+      poison/ignore middleware must consume runtime failures.
     """
 
-    def wrapped(df: DataFrame) -> DataFrame:
-        try:
-            out = fn(df).cache()
-            # force execution so runtime errors surface here, not at the sink
-            out.count()
-            return out
-        except Exception as e:  # noqa: BLE001
-            return df.withColumn(ERROR_COL, F.lit(f"{type(e).__name__}: {e}"))
+    def make(strict_flag: bool) -> Middleware:
+        def mw(inner: HandlerFn) -> HandlerFn:
+            def wrapped(df: DataFrame) -> DataFrame:
+                try:
+                    out = inner(df)
+                    if strict_flag:
+                        out = out.cache()
+                        out.count()  # surface runtime errors here, not at sink
+                    return out
+                except Exception as e:  # noqa: BLE001
+                    return df.withColumn(
+                        ERROR_COL, F.lit(f"{type(e).__name__}: {e}")
+                    )
 
-    return wrapped
+            return wrapped
+
+        return mw
+
+    if fn is not None:  # bare-decorator use: recoverer is itself a Middleware
+        return make(False)(fn)
+    return make(strict)
 
 
 def fail_rows(predicate: F.Column, reason: str | F.Column) -> Middleware:
@@ -200,19 +218,58 @@ def deduplicator(
     return mw
 
 
-def throttle(max_messages: int) -> Middleware:
-    """Bound messages per batch (`middleware/throttle.go:17-31`).
+def throttle(max_messages: int, per_seconds: float | None = None) -> Middleware:
+    """Rate-limit handler invocations without dropping messages
+    (`middleware/throttle.go:17-31`: the reference delays delivery via a
+    ticker; it never discards).
 
-    The reference throttles N msgs/duration via a shared ticker; in
-    micro-batch terms the duration is the trigger interval, so the knob is
-    messages-per-trigger (source-side `maxOffsetsPerTrigger` /
-    `maxFilesPerTrigger` is the preferred, scan-level form — this
-    middleware is the transport-agnostic fallback).
+    The batch is split into chunks of ≤ `max_messages`; the handler runs once
+    per chunk and the chunk outputs are unioned, so every message is
+    delivered but no single handler invocation sees more than the cap. With
+    `per_seconds` set, each chunk's output is force-materialized and a sleep
+    separates chunks — the micro-batch translation of "N messages per
+    duration".
+
+    In streaming, prefer the scan-level knob
+    (`Router.run_stream(max_files_per_trigger=…, processing_time=…)` /
+    `maxOffsetsPerTrigger`): it rate-limits at the source without extra
+    materialization and is the 100-TB-safe form. This middleware is the
+    transport-agnostic fallback for bounded batches.
     """
 
     def mw(fn: HandlerFn) -> HandlerFn:
         def wrapped(df: DataFrame) -> DataFrame:
-            return fn(df.limit(max_messages))
+            from functools import reduce
+
+            from pyspark.sql import Window
+
+            total = df.count()
+            if total <= max_messages:
+                return fn(df)
+            # Stable intra-batch chunk ids. The global-order window is a
+            # single-task sort — fine here because a throttled batch is by
+            # definition small (the cap bounds what downstream consumes per
+            # step); at scale the source-side trigger knobs apply instead.
+            w = Window.orderBy(F.monotonically_increasing_id())
+            chunked = (
+                df.withColumn(
+                    "_wm_chunk",
+                    ((F.row_number().over(w) - F.lit(1)) / F.lit(max_messages)).cast(
+                        "bigint"
+                    ),
+                )
+            ).cache()
+            n_chunks = -(-total // max_messages)
+            outs = []
+            for i in range(n_chunks):
+                out = fn(chunked.filter(F.col("_wm_chunk") == i).drop("_wm_chunk"))
+                if per_seconds is not None:
+                    out = out.cache()
+                    out.count()  # rate applies to processing time ⇒ force now
+                    if i < n_chunks - 1:
+                        time.sleep(per_seconds)
+                outs.append(out)
+            return reduce(DataFrame.unionByName, outs)
 
         return wrapped
 
@@ -351,17 +408,28 @@ class CircuitBreakerOpen(RuntimeError):
 
 
 def circuit_breaker(
-    max_failures: int = 5, open_seconds: float = 60.0, clock=time.monotonic
+    max_failures: int = 5,
+    open_seconds: float = 60.0,
+    clock=time.monotonic,
+    strict: bool = False,
 ) -> Middleware:
     """Fail-fast after consecutive failing batches
     (`middleware/circuit_breaker.go:17-37`, sony/gobreaker semantics).
 
     Driver-side state machine (there is no Spark builtin): closed → open
-    after `max_failures` consecutive batches with any errored row or raised
-    exception; open → half-open after `open_seconds`; a successful half-open
-    batch closes it. While open, the handler is skipped entirely and the
-    batch raises — with streaming replay that means the source is retried
-    later instead of hammering a failing dependency.
+    after `max_failures` consecutive failing batches; open → half-open after
+    `open_seconds`; a successful half-open batch closes it. While open, the
+    handler is skipped entirely and the batch raises — with streaming replay
+    that means the source is retried later instead of hammering a failing
+    dependency.
+
+    Failure detection: raised exceptions always count. With ``strict=True``
+    the middleware additionally sniffs for `_wm_error` rows, which forces the
+    plan (one extra Spark job per batch); the default leaves error-row
+    detection to the router's sink pass so the happy path stays lazy — an
+    error-rowed batch then trips the breaker on its *next* invocation via
+    the raised nack, which is the same steady-state behavior one batch
+    later.
     """
     state = {"failures": 0, "opened_at": None}
 
@@ -374,13 +442,14 @@ def circuit_breaker(
                     )
                 state["opened_at"] = None  # half-open: let one batch through
             try:
-                out = fn(df).cache()
-                failed = (
-                    ERROR_COL in out.columns
-                    and out.filter(F.col(ERROR_COL).isNotNull()).limit(1).count()
-                )
+                out = fn(df)
+                failed = False
+                if strict and ERROR_COL in out.columns:
+                    out = out.cache()
+                    failed = bool(
+                        out.filter(F.col(ERROR_COL).isNotNull()).limit(1).count()
+                    )
             except Exception:
-                failed = True
                 state["failures"] += 1
                 if state["failures"] >= max_failures:
                     state["opened_at"] = clock()
