@@ -78,6 +78,23 @@ def test_fanout_copies_to_each_subscription(ps, spark):
     }
 
 
+def test_fanout_distinct_transports(ps, spark, tmp_path):
+    """VERDICT r1 #7: each subscription keeps its own publisher — two
+    different transports (memory + parquet) both receive the source."""
+    from watermill_spark.sources import ParquetPubSub
+
+    src = _t("src")
+    ps.publish(src, _msgs(spark, 4))
+    fs = ParquetPubSub(spark, str(tmp_path / "fanout-pq"))
+    fo = FanOut(ps, src)
+    tm, tf = _t("mem"), _t("file")
+    fo.add_subscription(ps, tm)
+    fo.add_subscription(fs, tf)
+    fo.run_once()
+    assert ps.subscribe(tm).count() == 4
+    assert fs.subscribe(tf).count() == 4
+
+
 def test_envelope_roundtrip(spark):
     """`components/forwarder/envelope.go:43-75`: wrap∘unwrap = identity."""
     msgs = messages_df(

@@ -44,18 +44,18 @@ _NEWTON_STEPS = 4
       FROM per_user GROUP BY 1
     ),
     grid AS (
-      SELECT (CAST(g AS DOUBLE) + 0.5) / {_GRID_N} AS p
+      SELECT g AS gi, (CAST(g AS DOUBLE) + 0.5) / {_GRID_N} AS p
       FROM generate_series(0, {_GRID_N - 1}) AS t(g)
     ),
     lw AS (
-      SELECT a.arm, g.p,
+      SELECT a.arm, g.gi, g.p,
              CAST(a.s AS DOUBLE) * ln(g.p)
              + CAST(a.f AS DOUBLE) * ln(1.0 - g.p) AS logw
       FROM arms a, grid g
     ),
     mx AS (SELECT arm, MAX(logw) AS m FROM lw GROUP BY 1),
     w AS (
-      SELECT lw.arm, lw.p, exp(lw.logw - mx.m) AS w
+      SELECT lw.arm, lw.gi, lw.p, exp(lw.logw - mx.m) AS w
       FROM lw JOIN mx USING (arm)
     ),
     z AS (
@@ -63,10 +63,10 @@ _NEWTON_STEPS = 4
       FROM w GROUP BY 1
     ),
     nw AS (
-      SELECT w.arm, w.p, w.w / z.z AS w FROM w JOIN z USING (arm)
+      SELECT w.arm, w.gi, w.p, w.w / z.z AS w FROM w JOIN z USING (arm)
     ),
     cum_a AS (
-      SELECT p,
+      SELECT gi, p,
              CAST(COALESCE(SUM(CAST(w AS DECIMAL(38,15))) OVER (
                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
                AND 1 PRECEDING), 0) AS DOUBLE)
@@ -75,8 +75,8 @@ _NEWTON_STEPS = 4
     ),
     prob AS (
       SELECT CAST(SUM(CAST(b.w * c.ca AS DECIMAL(38,15))) AS DOUBLE) AS p_b_gt_a
-      FROM (SELECT p, w FROM nw WHERE arm = 'B') b
-      JOIN cum_a c ON c.p = b.p
+      FROM (SELECT gi, w FROM nw WHERE arm = 'B') b
+      JOIN cum_a c ON c.gi = b.gi
     ),
     loss AS (
       SELECT CAST(SUM(CAST(a.w * b.w * GREATEST(a.p - b.p, 0.0)
@@ -137,11 +137,15 @@ def q_bayes_ab_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("s"),
         (F.count(F.lit(1)) - F.sum("converted")).cast("bigint").alias("f"),
     )
+    # integer grid index `gi` rides alongside p so the B↔cum_A match-up
+    # joins on an exact integer key, never on a computed double (ADVICE r1)
     grid = spark.range(_GRID_N).select(
-        ((F.col("id").cast("double") + 0.5) / _GRID_N).alias("p")
+        F.col("id").alias("gi"),
+        ((F.col("id").cast("double") + 0.5) / _GRID_N).alias("p"),
     )
     lw = arms.crossJoin(F.broadcast(grid)).select(
         "arm",
+        "gi",
         "p",
         (
             F.col("s").cast("double") * F.log("p")
@@ -150,18 +154,18 @@ def q_bayes_ab_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = lw.groupBy("arm").agg(F.max("logw").alias("m"))
     w = lw.join(F.broadcast(mx), "arm").select(
-        "arm", "p", F.exp(F.col("logw") - F.col("m")).alias("w")
+        "arm", "gi", "p", F.exp(F.col("logw") - F.col("m")).alias("w")
     )
     z = w.groupBy("arm").agg(F.sum(F.col("w").cast(_D15)).cast("double").alias("z"))
     nw = w.join(F.broadcast(z), "arm").select(
-        "arm", "p", (F.col("w") / F.col("z")).alias("w")
+        "arm", "gi", "p", (F.col("w") / F.col("z")).alias("w")
     )
     from pyspark.sql import Window
 
     wa = nw.filter(F.col("arm") == "A")
     wb = nw.filter(F.col("arm") == "B")
     cum_a = wa.select(
-        "p",
+        "gi",
         (
             F.coalesce(
                 F.sum(F.col("w").cast(_D15)).over(
@@ -173,7 +177,7 @@ def q_bayes_ab_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ca"),
     )
     prob = (
-        wb.join(F.broadcast(cum_a), "p")
+        wb.join(F.broadcast(cum_a), "gi")
         .agg(F.sum((F.col("w") * F.col("ca")).cast(_D15)).cast("double").alias("p_b_gt_a"))
     )
     a_g = wa.select(F.col("p").alias("pa"), F.col("w").alias("wa_"))

@@ -205,10 +205,10 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc,
-             (SELECT CAST(SUM(CAST(1.0 AS DECIMAL(38,15))
-                            * n.nn / ro) AS DOUBLE) FROM rt, n) AS sr,
-             (SELECT CAST(SUM(CAST(1.0 AS DECIMAL(38,15))
-                            * n.nn / co) AS DOUBLE) FROM ct, n) AS sc
+             (SELECT CAST(SUM(CAST(CAST(n.nn AS DOUBLE) / ro
+                            AS DECIMAL(38,15))) AS DOUBLE) FROM rt, n) AS sr,
+             (SELECT CAST(SUM(CAST(CAST(n.nn AS DOUBLE) / co
+                            AS DECIMAL(38,15))) AS DOUBLE) FROM ct, n) AS sc
     )
     SELECT g.nn AS n_events,
            d.nr AS n_rows, d.nc AS n_cols,
@@ -270,10 +270,13 @@ def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nn").alias("nn"),
         )
     )
+    # each N/R term computed in DOUBLE (full precision, identical across
+    # engines) then cast DECIMAL(38,15) so the SUM is order-independent —
+    # decimal *division* would round differently per engine (det.py rule 2)
     sr = (
         rt.crossJoin(F.broadcast(n))
         .agg(
-            F.sum(F.lit(1.0).cast(_D15) * F.col("nn") / F.col("ro"))
+            F.sum((F.col("nn").cast("double") / F.col("ro")).cast(_D15))
             .cast("double")
             .alias("sr"),
             bcount("nr"),
@@ -282,7 +285,7 @@ def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (
         ct.crossJoin(F.broadcast(n))
         .agg(
-            F.sum(F.lit(1.0).cast(_D15) * F.col("nn") / F.col("co"))
+            F.sum((F.col("nn").cast("double") / F.col("co")).cast(_D15))
             .cast("double")
             .alias("sc"),
             bcount("nc"),

@@ -56,11 +56,11 @@ _US_PER_DAY = 86400000000
     ),
     surv AS (
       SELECT t, d, c, n_risk, n_total,
-             exp(CAST(COALESCE(SUM(CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+             exp(CAST(COALESCE(SUM(CAST(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE -1000000.0 END
                                         AS DECIMAL(38,15))) OVER (
                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                    AND 1 PRECEDING), 0) AS DOUBLE)) AS s_prev,
-             exp(CAST(SUM(CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+             exp(CAST(SUM(CAST(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE -1000000.0 END
                                AS DECIMAL(38,15))) OVER (
                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW) AS DOUBLE)) AS s_at,
@@ -78,7 +78,7 @@ _US_PER_DAY = 86400000000
                    * GREATEST(0.0, {_TAU_DAYS} - CAST(MAX(t) AS DOUBLE)), 6)
              AS rmst_days,
            round(CAST(SUM(CASE WHEN t <= {_TAU_DAYS}
-                               THEN CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                               THEN CAST(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE -1000000.0 END
                                          AS DECIMAL(38,15))
                                ELSE CAST(0 AS DECIMAL(38,15)) END)
                       AS DOUBLE), 10) AS log_km_at_tau
@@ -146,7 +146,13 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_risk"),
         F.sum(F.col("d") + F.col("c")).over(w_all).cast("bigint").alias("n_total"),
     )
-    lnterm = F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+    # degenerate final step (d == n_risk: everyone at risk dies) would be
+    # ln(0) — DuckDB raises, Spark returns NULL and silently drops the term.
+    # Explicit S=0 convention on both sides: sentinel -1e6 (exp ⇒ 0.0 exactly)
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(-1000000.0))
     surv = km.select(
         "t",
         "d",

@@ -49,16 +49,16 @@ class FanOut:
     def __init__(self, subscriber: PubSub, source_topic: str):
         self.subscriber = subscriber
         self.source_topic = source_topic
-        self._subscriptions: list[str] = []
-        self._publisher: PubSub | None = None
+        # (publisher, topic) pairs — each subscription keeps its own
+        # transport (fanout.go:60-77), so two subscriptions on different
+        # Pub/Subs each receive the source independently.
+        self._subscriptions: list[tuple[PubSub, str]] = []
 
     def add_subscription(self, publisher: PubSub, topic: str) -> None:
         """fanout.go:60-77 AddSubscription analog (publisher+topic pair)."""
-        self._publisher = publisher
-        self._subscriptions.append(topic)
+        self._subscriptions.append((publisher, topic))
 
     def run_once(self) -> None:
         src = self.subscriber.subscribe(self.source_topic)
-        for t in self._subscriptions:
-            assert self._publisher is not None
-            self._publisher.publish(t, src.withColumn("topic", F.lit(t)))
+        for pub, t in self._subscriptions:
+            pub.publish(t, src.withColumn("topic", F.lit(t)))

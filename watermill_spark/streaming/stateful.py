@@ -65,65 +65,81 @@ def _make_release_fn(delayed_until_key: str):
 
     def release_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         """Emit deliverable messages now; park the rest with a timeout at
-        the earliest pending delivery time."""
+        the earliest pending delivery time. Deliver/park split is a
+        vectorized pandas mask over each Arrow batch — no per-row loop."""
         import datetime as _dt
         import json as _json
 
         import pandas as _pd
 
-        def parse_until(meta):
-            v = (meta or {}).get(delayed_until_key)
-            if not v:
-                return None
-            try:
-                return _dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(
-                    tzinfo=None
-                )
-            except ValueError:
-                return None
-
         now = _dt.datetime.utcnow()
+        now_ts = _pd.Timestamp(now)
         held_u, held_p, held_t, held_m = [], [], [], []
         if state.exists:
             su, sp, st_, sm = state.get
-            for u, p, t, m in zip(su, sp, st_, sm):
-                held_u.append(u); held_p.append(p); held_t.append(t); held_m.append(m)
+            held_u, held_p, held_t, held_m = list(su), list(sp), list(st_), list(sm)
 
-        out_rows = []
+        out_frames = []
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                meta = dict(row["metadata"]) if row["metadata"] is not None else {}
-                until = parse_until(meta)
-                if until is None or until <= now:
-                    out_rows.append(
-                        (row["uuid"], meta, row["payload"], row["topic"], row["event_time"])
-                    )
-                else:
-                    held_u.append(row["uuid"])
-                    held_p.append(row["payload"])
-                    held_t.append(until.isoformat())
-                    held_m.append(_json.dumps(meta))
+            if not len(pdf):
+                continue
+            metas = pdf["metadata"].map(lambda m: dict(m) if m is not None else {})
+            raw = metas.map(lambda m: m.get(delayed_until_key) or None)
+            raw = raw.map(
+                lambda v: v.replace("Z", "+00:00") if isinstance(v, str) else None
+            )
+            # aware → UTC → naive; unparsable/absent → NaT (deliver now)
+            until = _pd.to_datetime(raw, errors="coerce", utc=True).dt.tz_localize(
+                None
+            )
+            deliver = until.isna() | (until <= now_ts)
+            if deliver.any():
+                dpdf = pdf.loc[deliver, ["uuid", "payload", "topic", "event_time"]].copy()
+                dpdf.insert(1, "metadata", metas.loc[deliver])
+                out_frames.append(
+                    dpdf[["uuid", "metadata", "payload", "topic", "event_time"]]
+                )
+            parked = ~deliver
+            if parked.any():
+                held_u += pdf.loc[parked, "uuid"].tolist()
+                held_p += pdf.loc[parked, "payload"].tolist()
+                held_t += [t.isoformat() for t in until.loc[parked]]
+                held_m += [_json.dumps(m) for m in metas.loc[parked]]
 
         # timed out or new pass: release everything whose time has come
-        still_u, still_p, still_t, still_m = [], [], [], []
-        for u, p, t, m in zip(held_u, held_p, held_t, held_m):
-            if _dt.datetime.fromisoformat(t) <= now:
-                out_rows.append((u, _json.loads(m), p, None, None))
-            else:
-                still_u.append(u); still_p.append(p); still_t.append(t); still_m.append(m)
+        if held_u:
+            ht = _pd.to_datetime(_pd.Series(held_t), errors="coerce")
+            rel = (ht <= now_ts).to_numpy()
+            if rel.any():
+                out_frames.append(
+                    _pd.DataFrame(
+                        {
+                            "uuid": [u for u, r in zip(held_u, rel) if r],
+                            "metadata": [
+                                _json.loads(m) for m, r in zip(held_m, rel) if r
+                            ],
+                            "payload": [p for p, r in zip(held_p, rel) if r],
+                            "topic": None,
+                            "event_time": _pd.NaT,
+                        }
+                    )
+                )
+            keep = ~rel
+            held_u = [u for u, k in zip(held_u, keep) if k]
+            held_p = [p for p, k in zip(held_p, keep) if k]
+            held_t = [t for t, k in zip(held_t, keep) if k]
+            held_m = [m for m, k in zip(held_m, keep) if k]
 
-        if still_u:
-            state.update((still_u, still_p, still_t, still_m))
-            earliest = min(_dt.datetime.fromisoformat(t) for t in still_t)
+        if held_u:
+            state.update((held_u, held_p, held_t, held_m))
+            earliest = min(_dt.datetime.fromisoformat(t) for t in held_t)
             ms = max(1, int((earliest - now).total_seconds() * 1000))
             state.setTimeoutDuration(ms)
         elif state.exists:
             state.remove()
 
-        if out_rows:
-            yield _pd.DataFrame(
-                out_rows, columns=["uuid", "metadata", "payload", "topic", "event_time"]
-            )
+        if out_frames:
+            yield _pd.concat(out_frames, ignore_index=True)
 
     return release_fn
 
