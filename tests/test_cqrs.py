@@ -113,3 +113,123 @@ def test_marshaler_roundtrip(ps, spark):
     typed = m.unmarshal(msgs, USER_SCHEMA)
     rows = {r["user_id"]: r["name"] for r in typed.collect()}
     assert rows == {0: "user-0", 1: "user-1"}
+
+
+# -- protobuf marshaler (`marshaler_protobuf.go:15-85` analog) --------------
+def test_protowire_golden_bytes():
+    """Wire bytes match hand-computed protobuf encoding (public spec):
+    field 1 string 'hi' -> 0x0A 0x02 'hi'; field 2 varint 150 -> 0x10 0x96 0x01."""
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    fields = [Field(1, "id", "string"), Field(2, "amount", "int64")]
+    buf = encode_message({"id": "hi", "amount": 150}, fields)
+    assert buf == b"\x0a\x02hi\x10\x96\x01"
+    assert decode_message(buf, fields) == {"id": "hi", "amount": 150}
+    # proto3 defaults: omitted on wire, materialized on decode
+    assert encode_message({"id": "", "amount": 0}, fields) == b""
+    assert decode_message(b"", fields) == {"id": "", "amount": 0}
+    # negative int64: 10-byte two's-complement varint
+    neg = encode_message({"amount": -1}, [Field(2, "amount", "int64")])
+    assert neg == b"\x10" + b"\xff" * 9 + b"\x01"
+    assert decode_message(neg, [Field(2, "amount", "int64")])["amount"] == -1
+    # unknown fields skipped
+    assert decode_message(buf, [Field(2, "amount", "int64")]) == {"amount": 150}
+
+
+def test_protobuf_marshaler_roundtrip(ps, spark):
+    """Typed rows → protobuf payload → typed rows, through the bus/processor
+    path with metadata-name dispatch intact."""
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+
+    m = ProtobufMarshaler()
+    msgs = m.marshal(_events_df(spark, 3), "UserCreated", ["user_id", "name"])
+    rows = msgs.collect()
+    assert all(dict(r["metadata"])["name"] == "UserCreated" for r in rows)
+    # payloads are real protobuf wire bytes, decodable standalone
+    from watermill_spark.components.protowire import Field, decode_message
+
+    flds = [Field(1, "user_id", "int64"), Field(2, "name", "string")]
+    decoded = {decode_message(bytes(r["payload"]), flds)["user_id"] for r in rows}
+    assert decoded == {0, 1, 2}
+    typed = m.unmarshal(msgs, USER_SCHEMA)
+    got = {r["user_id"]: r["name"] for r in typed.collect()}
+    assert got == {0: "user-0", 1: "user-1", 2: "user-2"}
+
+
+def test_protobuf_json_codec_parity(ps, spark):
+    """Same typed rows through both codecs → identical typed results
+    (codec-agnostic processor contract)."""
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+
+    jm, pm = JSONMarshaler(), ProtobufMarshaler()
+    src = _events_df(spark, 4)
+    via_json = jm.unmarshal(jm.marshal(src, "T", ["user_id", "name"]), USER_SCHEMA)
+    via_pb = pm.unmarshal(pm.marshal(src, "T", ["user_id", "name"]), USER_SCHEMA)
+    assert {tuple(r) for r in via_json.select("user_id", "name").collect()} == {
+        tuple(r) for r in via_pb.select("user_id", "name").collect()
+    }
+
+
+def test_protobuf_event_bus_end_to_end(ps, spark):
+    """EventBus publish + EventProcessor handle with the protobuf codec."""
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+
+    m = ProtobufMarshaler()
+    topic_fn = lambda name: f"pb-{name}"
+    bus = EventBus(ps, topic_fn=topic_fn, marshaler=m)
+    bus.publish(_events_df(spark, 5), "UserCreated", ["user_id", "name"])
+    seen = {}
+    proc = EventProcessor(ps, topic_fn=topic_fn, marshaler=m)
+    proc.add_handler(
+        "UserCreated", USER_SCHEMA, lambda df: seen.update({"n": df.count()})
+    )
+    proc.process_once()
+    assert seen["n"] == 5
+
+
+def test_descriptor_set_wellformed():
+    """The hand-encoded FileDescriptorSet parses with our own wire decoder
+    against descriptor.proto's public field numbers."""
+    from pyspark.sql.types import DoubleType
+
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+    from watermill_spark.components.protowire import Field, decode_message
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("amount", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    blob = ProtobufMarshaler(package="watermill").descriptor_set("Evt", schema)
+    # FileDescriptorSet.file(1) -> FileDescriptorProto
+    fds = decode_message(blob, [Field(1, "file", "bytes")])
+    fdp = decode_message(
+        fds["file"],
+        [
+            Field(1, "name", "string"),
+            Field(2, "package", "string"),
+            Field(4, "message_type", "bytes"),
+            Field(12, "syntax", "string"),
+        ],
+    )
+    assert fdp["package"] == "watermill" and fdp["syntax"] == "proto3"
+    msg = decode_message(
+        fdp["message_type"], [Field(1, "name", "string"), Field(2, "field", "bytes")]
+    )
+    assert msg["name"] == "Evt"
+    # last field wins in our single-value decode -> the 'score' field
+    last = decode_message(
+        msg["field"],
+        [
+            Field(1, "name", "string"),
+            Field(3, "number", "int64"),
+            Field(5, "type", "int64"),
+        ],
+    )
+    assert last == {"name": "score", "number": 3, "type": 1}  # TYPE_DOUBLE=1

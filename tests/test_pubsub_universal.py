@@ -20,10 +20,16 @@ from watermill_spark.message import messages_df, new_message
 from watermill_spark.sources import MemoryPubSub, ParquetPubSub
 
 
-@pytest.fixture(params=["memory", "parquet"])
+@pytest.fixture(params=["memory", "parquet", "kafka"])
 def pubsub(request, spark, tmp_path):
     if request.param == "memory":
         return MemoryPubSub(spark)
+    if request.param == "kafka":
+        # broker-free conformance double: real _to/_from_kafka_shape mapping
+        # over an in-memory broker speaking the Kafka wire schema
+        from watermill_spark.sources.kafka_testing import FakeKafkaPubSub
+
+        return FakeKafkaPubSub(spark)
     return ParquetPubSub(spark, str(tmp_path / "topics"))
 
 
@@ -212,3 +218,53 @@ def test_continue_after_errors(pubsub, spark):
 
     got = {r["uuid"] for r in pubsub.subscribe(topic).collect()}
     assert got == {m["uuid"] for m in msgs}
+
+
+def test_kafka_routed_publish_and_wire_fidelity(spark):
+    """Per-row topic routing through the real `_to_kafka_shape` plan
+    (`kafka.py:publish_routed`) and uuid/metadata round-trip through the
+    Kafka wire shape (headers array<struct> ↔ metadata map, key ↔ uuid)."""
+    from pyspark.sql import functions as F
+
+    from watermill_spark.sources.kafka_testing import FakeKafkaPubSub
+
+    ks = FakeKafkaPubSub(spark)
+    msgs = [
+        new_message(payload=f"p{i}", metadata={"n": str(i), "route": f"t{i % 2}"})
+        for i in range(6)
+    ]
+    df = messages_df(spark, msgs).withColumn(
+        "topic", F.concat(F.lit("routed-"), F.col("metadata")["route"])
+    )
+    ks.publish_routed(df)
+    a, b = ks.subscribe("routed-t0"), ks.subscribe("routed-t1")
+    assert a.count() == 3 and b.count() == 3
+    got = {r["uuid"]: r for r in a.unionByName(b).collect()}
+    assert set(got) == {m["uuid"] for m in msgs}
+    for m in msgs:
+        r = got[m["uuid"]]
+        assert bytes(r["payload"]).decode() == f"p{m['metadata']['n']}"
+        assert dict(r["metadata"]) == m["metadata"]
+    # multi-topic subscribe (FanIn-native comma list)
+    assert ks.subscribe("routed-t0,routed-t1").count() == 6
+
+
+def test_kafka_keyed_partition_order(spark):
+    """Records with the same key land on one partition in append order —
+    the per-key ordering guarantee a keyed Kafka topic provides."""
+    from watermill_spark.sources.kafka_testing import InMemoryKafkaBroker
+
+    br = InMemoryKafkaBroker(n_partitions=4)
+    for i in range(20):
+        br.append("t", f"k{i % 3}".encode(), str(i).encode(), None)
+    by_part = {}
+    for rec in br.fetch(["t"]):
+        by_part.setdefault(rec["partition"], []).append(int(rec["value"]))
+    # same key -> same partition, offsets preserve publish order
+    key_parts = {}
+    for rec in br.fetch(["t"]):
+        k = bytes(rec["key"]).decode()
+        key_parts.setdefault(k, set()).add(rec["partition"])
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    for vals in by_part.values():
+        assert vals == sorted(vals)

@@ -375,3 +375,64 @@ def test_stream_stream_join_on_correlation_id(ps, spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4  # only the even ops matched
     assert {r["corr_cmd"] for r in rows} == {"op0", "op2", "op4", "op6"}
+
+
+def test_stream_chaos_kill_replay_exactly_once(ps, spark, tmp_path):
+    """TestReconnect analog (`pubsub/tests/test_pubsub.go:1042`): the query
+    is killed mid-stream — repeatedly, after data is written but before the
+    sink commit — and restarted from the SAME checkpoint each time. Contract:
+    no message lost, none double-counted (IdempotentBatchSink + deterministic
+    per-batch overwrite = exactly-once through crashes)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from watermill_spark.streaming.exactly_once import IdempotentBatchSink
+
+    t = _t("chaos")
+    n_files, per_file = 6, 10
+    for b in range(n_files):
+        ps.publish(t, _msgs(spark, per_file, start=b * per_file))
+
+    out_root = tmp_path / "out"
+    attempts: dict[int, int] = {}
+    bombs = {1: 1, 3: 2}  # batch_id -> crashes to inject (post-write, pre-commit)
+
+    def write_fn(df, batch_id):
+        # idempotent per batch: deterministic overwrite of a batch-keyed dir
+        df.write.mode("overwrite").parquet(str(out_root / f"batch={batch_id}"))
+        n = attempts.get(batch_id, 0)
+        attempts[batch_id] = n + 1
+        if n < bombs.get(batch_id, 0):
+            raise RuntimeError(f"chaos kill at batch {batch_id}")
+
+    sink = IdempotentBatchSink(str(tmp_path / "commits"), write_fn)
+    base = ps.subscribe_stream(t)
+    ckpt = str(tmp_path / "ckpt-chaos")
+
+    def run_until_done(max_restarts=8):
+        for _ in range(max_restarts):
+            q = (
+                spark.readStream.schema(base.schema)
+                .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+                .parquet(ps._dir(t))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return  # clean completion
+            except StreamingQueryException:
+                pass  # killed mid-batch -> restart from checkpoint
+        raise AssertionError("did not converge within restart budget")
+
+    run_until_done()
+    got = spark.read.parquet(str(out_root))
+    assert got.count() == n_files * per_file
+    assert got.dropDuplicates(["uuid"]).count() == n_files * per_file
+    # bombed batches re-ran exactly bombs+1 times; committed batches once
+    for bid, crashes in bombs.items():
+        assert attempts[bid] == crashes + 1
+    assert all(
+        n == 1 for bid, n in attempts.items() if bid not in bombs
+    ), attempts

@@ -23,6 +23,8 @@ Scale design (100 TB documents):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -241,26 +243,66 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram(1) token-set Jaccard near-dup pairs, blocked by language.
+    """Token-set Jaccard near-dup pairs (J ≥ 0.9), blocked losslessly by
+    (lang, log-length bucket).
 
-    The lang equi-key is the blocking strategy: pairs are only generated
-    within a language partition (at 100 TB one blocks on lang + length
-    bucket + LSH band; the pure-Jaccard variant here is the verify kernel).
+    Scale design: J(A,B) ≥ 0.9 forces |A∩B| ≥ 0.9·max(|A|,|B|) and
+    |A∩B| ≤ min(|A|,|B|), hence min ≥ 0.9·max — qualifying pairs have
+    token-set sizes within a 0.9 ratio, so in log₁/₀.₉ buckets they sit at
+    most 1 apart. Side B is emitted under its bucket ±2 (the extra ±1
+    absorbs float fuzz at bucket edges) and the join is a pure equi-join on
+    (lang, bucket); an exact integer size-ratio pre-filter (10·min ≥ 9·max)
+    then prunes candidates before the expensive array_intersect. Result set
+    is IDENTICAL to the unblocked all-pairs form (the blocking is lossless
+    for J ≥ 0.9 — the DuckDB oracle stays the naive within-lang join), but
+    no block is quadratic in corpus size: candidates are bounded by
+    (lang × near-equal-length) populations, a constant-factor-5 emission on
+    one side. The probabilistic scale path for even hotter blocks is the
+    MinHash-LSH pipeline next door (q_dedup_minhash_lsh); this is the exact
+    kernel.
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    toksets = docs.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts"))
+    # bucket width: ratio 0.9 per bucket (ln(1/0.9))
+    toksets = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts")
+    ).select(
+        "doc_id",
+        "lang",
+        "ts",
+        F.size("ts").alias("n_tok"),
+        F.floor(F.log(F.size("ts").cast("double")) / F.lit(math.log(1.0 / 0.9)))
+        .cast("int")
+        .alias("bkt"),
+    )
     a = toksets.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang"), F.col("ts").alias("ta")
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("ts").alias("ta"),
+        F.col("n_tok").alias("na"),
+        F.col("bkt").alias("bkt"),
     )
     b = toksets.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("ts").alias("tb")
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("ts").alias("tb"),
+        F.col("n_tok").alias("nb"),
+        F.explode(
+            F.array(*[F.col("bkt") + F.lit(i) for i in range(-2, 3)])
+        ).alias("bkt"),
     )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("double") - inter
+    union = (F.col("na") + F.col("nb")).cast("double") - inter
     jac = inter / union
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            # exact integer size-ratio gate: min ≥ 0.9·max, no floats
+            & (F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 9),
+        )
         .select("doc_a", "doc_b", "lang", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
     )

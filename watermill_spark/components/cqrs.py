@@ -174,14 +174,142 @@ class EventGroupProcessor:
             h.fn(self.marshaler.unmarshal(matched, h.schema))
 
 
-def try_protobuf_marshaler():
-    """Protobuf marshaler (`marshaler_protobuf.go`): Spark's
-    from_protobuf/to_protobuf need a descriptor-set file and the
-    spark-protobuf artifact; absent in this container, so the constructor is
-    gated — call sites fall back to JSON."""
+_PROTO_TYPE_OF_SPARK = {
+    "string": "string",
+    "bigint": "int64",
+    "int": "int32",
+    "double": "double",
+    "float": "float",
+    "boolean": "bool",
+    "binary": "bytes",
+}
+
+
+def _proto_fields_of(schema: StructType):
+    """Derive the protobuf field layout from a StructType: field number =
+    1-based struct position, type mapped scalar-for-scalar. Deterministic,
+    so marshal and unmarshal agree without a separate registry."""
+    from .protowire import Field
+
+    fields = []
+    for i, f in enumerate(schema.fields):
+        t = _PROTO_TYPE_OF_SPARK.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"ProtobufMarshaler: unsupported Spark type "
+                f"{f.dataType.simpleString()!r} for field {f.name!r} "
+                f"(scalar subset: {sorted(_PROTO_TYPE_OF_SPARK)})"
+            )
+        fields.append(Field(i + 1, f.name, t))
+    return fields
+
+
+class ProtobufMarshaler(JSONMarshaler):
+    """Protobuf payload codec (`components/cqrs/marshaler_protobuf.go:15-85`).
+
+    Payloads are real protobuf wire bytes (see `protowire.py` — proto3
+    scalar subset, wire-compatible with any standard runtime), produced and
+    consumed by Arrow-batched pandas UDFs. Two execution paths:
+
+    - **Python codec (always available)**: `protowire.encode/decode_message`
+      inside a vectorized UDF — works in this container with no protobuf
+      deps.
+    - **JVM-native (`native=True`)**: Spark's `to_protobuf`/`from_protobuf`
+      against a descriptor set generated by `descriptor_set()` — the
+      whole-stage-codegen path on clusters shipping the spark-protobuf
+      artifact (not bundled with vanilla pyspark, so gated).
+
+    metadata["name"] carries the message name exactly as the JSON marshaler
+    does, so processors' name-filter dispatch is codec-agnostic.
+    """
+
+    def __init__(self, package: str = "watermill", native: bool = False):
+        self.package = package
+        self.native = native
+
+    def marshal(self, df: DataFrame, name: str, struct_cols: list[str]) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from .protowire import encode_message
+
+        sub_schema = StructType(
+            [df.schema[c] for c in struct_cols]
+        )
+        flds = _proto_fields_of(sub_schema)
+        if self.native:
+            from pyspark.sql.protobuf.functions import to_protobuf
+
+            payload = to_protobuf(
+                F.struct(*[F.col(c) for c in struct_cols]),
+                f"{self.package}.{name}" if self.package else name,
+                binaryDescriptorSet=self.descriptor_set(name, sub_schema),
+            )
+        else:
+            # no type hints: a struct column arrives as pd.DataFrame in a
+            # SCALAR pandas UDF (hint inference can't express that shape)
+            def _enc(s):
+                return s.apply(
+                    lambda row: encode_message(row.to_dict(), flds), axis=1
+                )
+
+            enc = F.pandas_udf(_enc, BinaryType())
+            payload = enc(F.struct(*[F.col(c) for c in struct_cols]))
+        out = df.select(
+            F.expr("uuid()").alias("uuid"),
+            F.create_map(F.lit(NAME_KEY), F.lit(name)).alias("metadata"),
+            payload.alias("payload"),
+        )
+        return ensure_message_df(out)
+
+    def unmarshal(self, df: DataFrame, schema: StructType) -> DataFrame:
+        import pandas as pd
+
+        from .protowire import decode_message
+
+        flds = _proto_fields_of(schema)
+        names = [f.name for f in flds]
+        if self.native:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            # message name is positional-layout-determined; any registered
+            # name with the same schema decodes identically
+            parsed = from_protobuf(
+                F.col("payload"),
+                f"{self.package}.Message" if self.package else "Message",
+                binaryDescriptorSet=self.descriptor_set("Message", schema),
+            )
+        else:
+
+            def _dec(s):
+                return pd.DataFrame(
+                    [decode_message(b, flds) for b in s], columns=names
+                )
+
+            dec = F.pandas_udf(_dec, schema)
+            parsed = dec(F.col("payload"))
+        return df.select(
+            F.struct(*[F.col(c) for c in MESSAGE_COLUMNS]).alias("_msg"),
+            parsed.alias("_data"),
+        ).select("_msg", "_data.*")
+
+    def descriptor_set(self, name: str, schema: StructType) -> bytes:
+        """FileDescriptorSet bytes for `name` — feed to Spark's native
+        protobuf functions or write out for external consumers."""
+        from .protowire import build_descriptor_set
+
+        return build_descriptor_set(self.package, name, _proto_fields_of(schema))
+
+
+def try_protobuf_marshaler(native: bool = False):
+    """Construct a ProtobufMarshaler; `native=True` additionally requires
+    the spark-protobuf artifact (returns None when the JVM side is absent —
+    call sites fall back to JSON or the Python-codec marshaler)."""
+    if not native:
+        return ProtobufMarshaler()
     try:
         from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf  # noqa: F401
 
-        return {"from_protobuf": from_protobuf, "to_protobuf": to_protobuf}
+        return ProtobufMarshaler(native=True)
     except Exception:  # noqa: BLE001
         return None

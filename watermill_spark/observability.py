@@ -97,6 +97,85 @@ def observe_counts(df: DataFrame, observation="wm_metrics") -> DataFrame:
     )
 
 
+# -- Prometheus export bridge ----------------------------------------------
+def prometheus_text(listener: RouterMetricsListener) -> str:
+    """Render the listener's metrics in Prometheus text exposition format
+    0.0.4 — the same series the reference registers
+    (`components/metrics/builder.go:52-56`): per-handler message counters
+    and execution-time totals, labeled by query name."""
+    per_query: dict[str, dict[str, float]] = {}
+    for b in listener.batches:
+        q = per_query.setdefault(
+            str(b.query_name), {"messages": 0, "batches": 0, "ms": 0}
+        )
+        q["messages"] += b.num_input_rows
+        q["batches"] += 1
+        q["ms"] += b.duration_ms
+    lines = [
+        "# HELP watermill_messages_received_total Messages consumed per handler query",
+        "# TYPE watermill_messages_received_total counter",
+    ]
+    for name, q in sorted(per_query.items()):
+        lines.append(
+            f'watermill_messages_received_total{{handler_name="{name}"}} '
+            f"{int(q['messages'])}"
+        )
+    lines += [
+        "# HELP watermill_handler_execution_time_seconds_total Cumulative batch execution time per handler query",
+        "# TYPE watermill_handler_execution_time_seconds_total counter",
+    ]
+    for name, q in sorted(per_query.items()):
+        lines.append(
+            f'watermill_handler_execution_time_seconds_total{{handler_name="{name}"}} '
+            f"{q['ms'] / 1000.0:.6f}"
+        )
+    lines += [
+        "# HELP watermill_batches_total Micro-batches processed per handler query",
+        "# TYPE watermill_batches_total counter",
+    ]
+    for name, q in sorted(per_query.items()):
+        lines.append(
+            f'watermill_batches_total{{handler_name="{name}"}} {int(q["batches"])}'
+        )
+    return "\n".join(lines) + "\n"
+
+
+def serve_metrics_http(
+    listener: RouterMetricsListener, port: int = 0, addr: str = "127.0.0.1"
+):
+    """`components/metrics/http.go` CreateRegistryAndServeHTTP analog:
+    serve `prometheus_text(listener)` at /metrics on a daemon thread.
+
+    Returns (server, actual_port); call `server.shutdown()` to stop. Uses
+    only the stdlib http.server — no prometheus client dependency. Runs on
+    the DRIVER (metrics are driver-side listener state), which is also
+    where a Spark-cluster scrape target belongs.
+    """
+    import http.server
+    import threading
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.rstrip("/") not in ("", "/metrics"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = prometheus_text(listener).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = http.server.ThreadingHTTPServer((addr, port), _Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
+
+
 # -- logging ---------------------------------------------------------------
 class CaptureLogger(logging.Handler):
     """CaptureLoggerAdapter analog (`log.go:189-272`): records every record
