@@ -42,6 +42,26 @@ BY_DESIGN = {
     # shared grouping key — SMJ with no extra exchange is the right plan
     # (neither snapshot side is broadcastable at scale)
     "q_snapshot_diff_cdc": {"SMJ"},
+    # 1-row iterative state (Newton β / power-iteration normalizer / grid
+    # means) broadcast back to the bounded aggregate — O(grid) work
+    "q_cox_ph_newton": {"BNLJ"},
+    # 1-row margins + broadcast log-factorial array joined to the O(margin)
+    # pmf support grid — linear in the margin, never in the fact table
+    "q_fisher_exact": {"BNLJ"},
+    # 1-row count broadcast to the bounded day grid for plotting positions
+    "q_shapiro_francia": {"BNLJ"},
+    # deliberate |days|² range join over the BOUNDED (SF-invariant) day
+    # grid — the minimax isotonic closed form; facts are rolled up first
+    "q_isotonic_regression": {"BNLJ"},
+    "q_dfa_exponent": {"BNLJ"},
+    "q_eigenvector_centrality": {"BNLJ"},
+    # keyed per-user self-join for rating pairs: fan-out bounded by the
+    # ≤25-brand catalog per user; neither ratings side is broadcastable at
+    # scale so the shuffle-merge join is the right plan
+    "q_slope_one": {"SMJ"},
+    # per-class x 10-bucket dense grid: the 10-row global distribution is
+    # broadcast-cross-joined to the class list — O(classes x 10) by design
+    "q_t_closeness": {"BNLJ"},
     # brute-force similarity is deliberately all-pairs (the oracle baseline
     # that the LSH/IVF variants beat at scale)
     "q_knn_bruteforce": {"BNLJ"},
