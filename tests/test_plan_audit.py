@@ -53,6 +53,19 @@ BY_DESIGN = {
     # deliberate |days|² range join over the BOUNDED (SF-invariant) day
     # grid — the minimax isotonic closed form; facts are rolled up first
     "q_isotonic_regression": {"BNLJ"},
+    # day-range self-joins over the bounded day grid (rolling median/MAD)
+    "q_hampel_filter": {"BNLJ"},
+    # 5-row lambda grid / per-lambda mean broadcast to one fact pass
+    "q_boxcox_lambda_grid": {"BNLJ"},
+    # <=16 candidate models broadcast to a single scoring pass
+    "q_ransac_line": {"BNLJ"},
+    # 1-row OLS coefs / calibration count / conformal radius broadcast to
+    # the bounded day grid
+    "q_conformal_interval": {"BNLJ"},
+    # 1-row medians + 8-row histogram margins broadcast over the hour grid
+    "q_transfer_entropy": {"BNLJ"},
+    # 41-row slope grid and its candidate table broadcast to two fact passes
+    "q_lad_regression_grid": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
