@@ -66,6 +66,14 @@ BY_DESIGN = {
     "q_transfer_entropy": {"BNLJ"},
     # 41-row slope grid and its candidate table broadcast to two fact passes
     "q_lad_regression_grid": {"BNLJ"},
+    # query-bounded brute-force ideal ranking (the NDCG denominator) +
+    # 10-row per-query DCG/IDCG join — the LSH side stays the bucket join
+    "q_ndcg_at_k": {"BNLJ", "SMJ"},
+    # 3x3 margin grid + 1-row total broadcast
+    "q_weighted_kappa": {"BNLJ"},
+    # 1-row calendar-span / SES-level / trend state broadcast to bounded grids
+    "q_safety_stock": {"BNLJ"},
+    "q_theta_forecast": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
