@@ -74,6 +74,8 @@ BY_DESIGN = {
     # 1-row calendar-span / SES-level / trend state broadcast to bounded grids
     "q_safety_stock": {"BNLJ"},
     "q_theta_forecast": {"BNLJ"},
+    # 4-row horizon grid joined to the bounded hour-grid CIF by range
+    "q_competing_risks": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
