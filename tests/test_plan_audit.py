@@ -76,6 +76,12 @@ BY_DESIGN = {
     "q_theta_forecast": {"BNLJ"},
     # 4-row horizon grid joined to the bounded hour-grid CIF by range
     "q_competing_risks": {"BNLJ"},
+    # |days|² pair expansion over the bounded day grid (repeated medians)
+    "q_siegel_repeated_medians": {"BNLJ"},
+    # 3-row gap-parameter grid broadcast to one conditional aggregation
+    "q_sessionization_gap_sweep": {"BNLJ"},
+    # 1-row block-count broadcast to the 1-row L statistic
+    "q_page_trend_test": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
