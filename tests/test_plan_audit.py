@@ -82,6 +82,12 @@ BY_DESIGN = {
     "q_sessionization_gap_sweep": {"BNLJ"},
     # 1-row block-count broadcast to the 1-row L statistic
     "q_page_trend_test": {"BNLJ"},
+    # audit-sample pair probe (40 md5-ranked vectors) + 3-row k grid
+    "q_matryoshka_truncation": {"BNLJ"},
+    # 1-row cell-count/total broadcasts over per-vector error sums
+    "q_pq_distortion": {"BNLJ"},
+    # 1-row grand-median + k-row margins broadcast to the group cells
+    "q_moods_median_test": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
