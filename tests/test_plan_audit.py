@@ -88,6 +88,10 @@ BY_DESIGN = {
     "q_pq_distortion": {"BNLJ"},
     # 1-row grand-median + k-row margins broadcast to the group cells
     "q_moods_median_test": {"BNLJ"},
+    # |labels|² centroid grid (<=25 rows) via broadcast non-equi pair join
+    "q_embedding_class_separation": {"BNLJ"},
+    # 1-row lognormal fit broadcast to the ECDF pass
+    "q_doc_length_lognormal_ks": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
