@@ -92,6 +92,10 @@ BY_DESIGN = {
     "q_embedding_class_separation": {"BNLJ"},
     # 1-row lognormal fit broadcast to the ECDF pass
     "q_doc_length_lognormal_ks": {"BNLJ"},
+    # 5-row threshold grid broadcast to one conditional aggregation
+    "q_mean_excess_function": {"BNLJ"},
+    # 1-row MLE fit broadcast to the per-user scoring pass
+    "q_model_selection_aic": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
