@@ -96,6 +96,12 @@ BY_DESIGN = {
     "q_mean_excess_function": {"BNLJ"},
     # 1-row MLE fit broadcast to the per-user scoring pass
     "q_model_selection_aic": {"BNLJ"},
+    # 1-row centerline broadcast to the bounded day grid
+    "q_p_chart": {"BNLJ"},
+    # keyed basket self-join (<=25 brands/user) + broadcast support tables
+    "q_rule_metrics_extended": {"SMJ"},
+    # 3-row shingle-size grid broadcast to the blocked candidate pairs
+    "q_shingle_size_sweep": {"BNLJ"},
     "q_dfa_exponent": {"BNLJ"},
     "q_eigenvector_centrality": {"BNLJ"},
     # keyed per-user self-join for rating pairs: fan-out bounded by the
