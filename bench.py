@@ -46,16 +46,18 @@ def main() -> None:
     for q in bench.values():
         q.fn(spark, sf_dir).toPandas()
 
-    # Timed: best of two executions per query (fresh plan each time — no
+    # Timed: best of three executions per query (fresh plan each time — no
     # shuffle-output reuse), so one GC pause or scheduler hiccup doesn't
-    # misrepresent a query. suite_wall_sec is the sum of the best times.
+    # misrepresent a query — min-of-3 keeps round-over-round comparisons
+    # from being noise-bound (r2's uniform +12% drift was single-run noise).
+    # suite_wall_sec is the sum of the best times.
     # Results materialize through Arrow (toPandas) — the batch transfer a
     # real client uses; row-at-a-time collect() pays a Python object-per-row
     # tax that is harness overhead, not engine throughput.
     timings: dict[str, float] = {}
     for name, q in sorted(bench.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             len(q.fn(spark, sf_dir).toPandas())
             best = min(best, time.perf_counter() - t0)

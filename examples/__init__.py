@@ -1,0 +1,26 @@
+"""Import shim: the example scripts are numbered for reading order
+(`01_...py`), which isn't a legal module name — expose them as
+`examples.example_01_router_dlq` etc. for the test suite."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+_DIR = pathlib.Path(__file__).parent
+_ALIASES = {
+    "example_01_router_dlq": "01_router_dlq.py",
+    "example_02_cqrs": "02_cqrs.py",
+    "example_03_delayed_delivery": "03_delayed_delivery.py",
+}
+
+
+def __getattr__(name: str):
+    fname = _ALIASES.get(name)
+    if fname is None:
+        raise AttributeError(name)
+    spec = importlib.util.spec_from_file_location(f"examples.{name}", _DIR / fname)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    globals()[name] = mod
+    return mod

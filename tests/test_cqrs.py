@@ -233,3 +233,222 @@ def test_descriptor_set_wellformed():
         ],
     )
     assert last == {"name": "score", "number": 3, "type": 1}  # TYPE_DOUBLE=1
+
+
+# -- protobuf nested / repeated / map (marshaler_protobuf.go marshals ANY
+# proto.Message; round 3 closes the scalar-subset gap) ----------------------
+def test_protowire_repeated_packed_golden():
+    """Repeated int64 uses packed encoding (proto3 default): field 1
+    [3,270] -> 0x0A 0x03 0x03 0x8E 0x02; parser also accepts unpacked."""
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    f = [Field(1, "xs", "int64", repeated=True)]
+    buf = encode_message({"xs": [3, 270]}, f)
+    assert buf == b"\x0a\x03\x03\x8e\x02"
+    assert decode_message(buf, f) == {"xs": [3, 270]}
+    # unpacked form of the same data decodes identically (spec requirement)
+    unpacked = b"\x08\x03\x08\x8e\x02"
+    assert decode_message(unpacked, f) == {"xs": [3, 270]}
+    # repeated string: one length-delimited record per element, never packed
+    fs = [Field(1, "ss", "string", repeated=True)]
+    buf = encode_message({"ss": ["a", "bc"]}, fs)
+    assert buf == b"\x0a\x01a\x0a\x02bc"
+    assert decode_message(buf, fs) == {"ss": ["a", "bc"]}
+    # absent repeated decodes to [] (never None)
+    assert decode_message(b"", fs) == {"ss": []}
+
+
+def test_protowire_nested_message_golden():
+    """Nested message: field 1 Msg{field 1 varint 5} -> 0x0A 0x02 0x08 0x05.
+    None = unset (absent, decodes to None); {} = set-empty (zero-length)."""
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    sub = (Field(1, "n", "int64"),)
+    f = [Field(1, "inner", "message", message=sub)]
+    buf = encode_message({"inner": {"n": 5}}, f)
+    assert buf == b"\x0a\x02\x08\x05"
+    assert decode_message(buf, f) == {"inner": {"n": 5}}
+    assert encode_message({"inner": None}, f) == b""
+    assert decode_message(b"", f) == {"inner": None}
+    assert encode_message({"inner": {}}, f) == b"\x0a\x00"
+    assert decode_message(b"\x0a\x00", f) == {"inner": {"n": 0}}
+    # repeated message
+    fr = [Field(1, "rs", "message", repeated=True, message=sub)]
+    buf = encode_message({"rs": [{"n": 1}, {"n": 2}]}, fr)
+    assert buf == b"\x0a\x02\x08\x01\x0a\x02\x08\x02"
+    assert decode_message(buf, fr) == {"rs": [{"n": 1}, {"n": 2}]}
+
+
+def test_protowire_map_golden():
+    """map<string,int64> {'a': 1} -> entry submessage
+    0x0A 0x05 (0x0A 0x01 'a') (0x10 0x01); sorted-key determinism."""
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    f = [Field(1, "m", "map", key_type="string", value_type="int64")]
+    buf = encode_message({"m": {"a": 1}}, f)
+    assert buf == b"\x0a\x05\x0a\x01a\x10\x01"
+    assert decode_message(buf, f) == {"m": {"a": 1}}
+    # deterministic regardless of dict insertion order
+    b1 = encode_message({"m": {"b": 2, "a": 1}}, f)
+    b2 = encode_message({"m": {"a": 1, "b": 2}}, f)
+    assert b1 == b2
+    assert decode_message(b1, f) == {"m": {"a": 1, "b": 2}}
+    # default-valued entry: zero-length entry payload, decodes to defaults
+    buf = encode_message({"m": {"": 0}}, f)
+    assert buf == b"\x0a\x00"
+    assert decode_message(buf, f) == {"m": {"": 0}}
+    # absent map decodes to {}
+    assert decode_message(b"", f) == {"m": {}}
+    # message-valued map
+    sub = (Field(1, "n", "int64"),)
+    fm = [
+        Field(
+            1, "m", "map", key_type="string", value_type="message", message=sub
+        )
+    ]
+    buf = encode_message({"m": {"k": {"n": 7}}}, fm)
+    assert decode_message(buf, fm) == {"m": {"k": {"n": 7}}}
+
+
+def test_protobuf_marshaler_nested_roundtrip(ps, spark):
+    """Typed rows with struct / array / map columns survive the protobuf
+    codec through Spark (Arrow-batched pandas UDF both directions)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tags", ArrayType(StringType())),
+            StructField("attrs", MapType(StringType(), LongType())),
+            StructField(
+                "addr",
+                StructType(
+                    [
+                        StructField("city", StringType()),
+                        StructField("zip", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    src = spark.createDataFrame(
+        [
+            (1, ["a", "b"], {"x": 1}, ("metropolis", 12345)),
+            (2, [], {}, ("gotham", 0)),
+            (3, None, None, None),
+        ],
+        schema,
+    )
+    m = ProtobufMarshaler()
+    typed = m.unmarshal(
+        m.marshal(src, "Evt", ["user_id", "tags", "attrs", "addr"]), schema
+    )
+    got = {r["user_id"]: r for r in typed.collect()}
+    assert list(got[1]["tags"]) == ["a", "b"]
+    assert dict(got[1]["attrs"]) == {"x": 1}
+    assert got[1]["addr"]["city"] == "metropolis"
+    assert got[1]["addr"]["zip"] == 12345
+    # empty list/map round-trip as empty (proto3: absent == empty)
+    assert list(got[2]["tags"]) == [] and dict(got[2]["attrs"]) == {}
+    assert got[2]["addr"]["city"] == "gotham"
+    # None list/map coerce to empty; None message stays None (unset)
+    assert list(got[3]["tags"]) == [] and dict(got[3]["attrs"]) == {}
+    assert got[3]["addr"] is None
+
+
+def test_protobuf_null_scalar_coerces_to_default(ps, spark):
+    """Pinned null contract (protowire.py module docstring): protobuf has
+    no null scalars — None encodes as absent and decodes to the proto3
+    default, unlike JSONMarshaler which preserves null."""
+    src = spark.createDataFrame(
+        [(1, "alice"), (2, None)], ["user_id", "name"]
+    )
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+
+    jm, pm = JSONMarshaler(), ProtobufMarshaler()
+    via_pb = {
+        r["user_id"]: r["name"]
+        for r in pm.unmarshal(
+            pm.marshal(src, "T", ["user_id", "name"]), USER_SCHEMA
+        ).collect()
+    }
+    via_json = {
+        r["user_id"]: r["name"]
+        for r in jm.unmarshal(
+            jm.marshal(src, "T", ["user_id", "name"]), USER_SCHEMA
+        ).collect()
+    }
+    assert via_pb == {1: "alice", 2: ""}  # null -> proto3 default
+    assert via_json == {1: "alice", 2: None}  # JSON keeps null
+
+
+def test_descriptor_set_nested_map_wellformed():
+    """Descriptor set for a nested+map schema: nested_type entries exist and
+    the map entry carries MessageOptions.map_entry=true."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from watermill_spark.components.cqrs import ProtobufMarshaler
+    from watermill_spark.components.protowire import Field, decode_message
+
+    schema = StructType(
+        [
+            StructField("tags", ArrayType(StringType())),
+            StructField("attrs", MapType(StringType(), LongType())),
+            StructField(
+                "addr", StructType([StructField("city", StringType())])
+            ),
+        ]
+    )
+    blob = ProtobufMarshaler(package="watermill").descriptor_set("Evt", schema)
+    fds = decode_message(blob, [Field(1, "file", "bytes")])
+    fdp = decode_message(
+        fds["file"],
+        [Field(2, "package", "string"), Field(4, "message_type", "bytes")],
+    )
+    msg = decode_message(
+        fdp["message_type"],
+        [
+            Field(1, "name", "string"),
+            Field(2, "field", "bytes", repeated=True),
+            Field(3, "nested_type", "bytes", repeated=True),
+        ],
+    )
+    assert msg["name"] == "Evt"
+    assert len(msg["field"]) == 3
+    nested_names = []
+    map_entry_flags = []
+    for nt in msg["nested_type"]:
+        d = decode_message(
+            nt,
+            [Field(1, "name", "string"), Field(7, "options", "bytes")],
+        )
+        nested_names.append(d["name"])
+        if d["options"]:
+            opts = decode_message(d["options"], [Field(7, "map_entry", "bool")])
+            map_entry_flags.append((d["name"], opts["map_entry"]))
+    assert "AttrsEntry" in nested_names and "Addr" in nested_names
+    assert ("AttrsEntry", True) in map_entry_flags
+    # the repeated-scalar field is LABEL_REPEATED(3), type TYPE_STRING(9)
+    first = decode_message(
+        msg["field"][0],
+        [
+            Field(1, "name", "string"),
+            Field(4, "label", "int64"),
+            Field(5, "type", "int64"),
+        ],
+    )
+    assert first == {"name": "tags", "label": 3, "type": 9}

@@ -1,0 +1,34 @@
+"""Examples-as-tests: the `dev/validate-examples` analog — every script in
+`examples/` runs green or CI fails, so the gallery can't drift from the
+library (`/root/reference/dev/validate-examples`, `_examples/` with 26
+validated apps)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def test_example_router_dlq(spark, tmp_path):
+    from examples import example_01_router_dlq as mod  # noqa: F401 — see import shim below
+
+    assert mod.main(spark, str(tmp_path / "topics")) == {
+        "processed": 7,
+        "poisoned": 3,
+        "requeued": 3,
+    }
+
+
+def test_example_cqrs(spark):
+    from examples import example_02_cqrs as mod
+
+    assert mod.main(spark) == {"total_revenue": 850, "bookings": 3}
+
+
+def test_example_delayed_delivery(spark, tmp_path):
+    from examples import example_03_delayed_delivery as mod
+
+    out = mod.main(spark, str(tmp_path / "topics"))
+    assert out["released_total"] == 4

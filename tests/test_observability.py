@@ -123,3 +123,26 @@ def test_prometheus_export_bridge():
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_prometheus_label_escaping():
+    """Label values escape backslash / quote / newline per the text
+    exposition format 0.0.4 — a hostile handler name must not produce an
+    exposition scrapers reject."""
+    from watermill_spark.observability import (
+        BatchMetric,
+        RouterMetricsListener,
+        prometheus_text,
+    )
+
+    lst = RouterMetricsListener()
+    lst.batches.append(
+        BatchMetric('evil"name\\with\nnewline', 0, 5, 1.0, 10)
+    )
+    text = prometheus_text(lst)
+    assert 'handler_name="evil\\"name\\\\with\\nnewline"' in text
+    for line in text.splitlines():
+        if line.startswith("#"):
+            continue
+        # exactly one unescaped quote pair around the label value
+        assert line.count('"') - line.count('\\"') == 2

@@ -425,6 +425,21 @@ BY_DESIGN["q_kendall_w"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_fleiss_kappa"] = {"BNLJ"}
 # 1-row total broadcast onto the ≤|types| posterior grid
 BY_DESIGN["q_dirichlet_multinomial"] = {"BNLJ"}
+# batch 134: three 1-row closed-form RSS aggregates cross-joined into the
+# 1-row F statistic (extras126.py:161) — verified each broadcast side is
+# the output of _rss_closed (a single .agg, always exactly 1 row)
+BY_DESIGN["q_chow_test"] = {"BNLJ"}
+# batch 134: two 1-row segment-RSS aggregates crossed into the 1-row GQ
+# F ratio (extras126.py:238) — same _rss_closed 1-row broadcasts
+BY_DESIGN["q_goldfeld_quandt"] = {"BNLJ"}
+# batch 134: 1-row (n, mu) moment aggregate broadcast onto the bounded
+# day grid, then the 1-row sd re-broadcast (extras126.py:315,336)
+BY_DESIGN["q_buishand_range"] = {"BNLJ"}
+# batch 135: shared _daily_z helper broadcasts the 1-row (n, mu) moments
+# and the 1-row sd onto the bounded day grid (extras127.py:70,84)
+BY_DESIGN["q_cramer_von_mises"] = {"BNLJ"}
+BY_DESIGN["q_watson_u2"] = {"BNLJ"}
+BY_DESIGN["q_anderson_darling_normal"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:

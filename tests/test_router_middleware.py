@@ -521,7 +521,9 @@ def test_recoverer_strict_converts_runtime_errors(spark):
 
     lazy_out = mw.recoverer(runtime_bomb)(df)
     with pytest.raises(Exception, match="kaboom"):
-        lazy_out.count()
+        # collect = the sink's full-column materialization (count() would
+        # prune the erroring column and legitimately succeed)
+        lazy_out.collect()
 
 
 def test_circuit_breaker_strict_counts_error_rows(spark):
@@ -539,3 +541,35 @@ def test_circuit_breaker_strict_counts_error_rows(spark):
     wrapped(df)  # two error-rowed batches -> open
     with pytest.raises(CircuitBreakerOpen):
         wrapped(df)
+
+
+def test_circuit_breaker_default_catches_recoverer_error_rows(spark):
+    """Default config (strict=True) must see failures that inner middleware
+    converts to `_wm_error` rows instead of raising — the
+    recoverer/fail_rows composition. In lax mode those rows are invisible
+    (the router's error-row raise happens outside the wrapper), so lax mode
+    grants NO breaker protection to error-rowed handlers; the default does.
+    """
+    from watermill_spark.streaming.middleware import (
+        CircuitBreakerOpen,
+        circuit_breaker,
+        recoverer,
+    )
+
+    def bomb(df):
+        raise RuntimeError("dependency down")  # plan-build-time failure
+
+    df = messages_df(spark, [new_message("x")]).withColumn(
+        ERROR_COL, F.lit(None).cast("string")
+    )
+    now = {"t": 0.0}
+    cb = circuit_breaker(max_failures=2, open_seconds=30.0, clock=lambda: now["t"])
+    pipeline = cb(recoverer()(bomb))  # breaker outside recoverer
+    pipeline(df)
+    pipeline(df)  # two error-rowed batches -> open
+    with pytest.raises(CircuitBreakerOpen):
+        pipeline(df)
+    now["t"] = 31.0  # half-open: a clean batch closes it
+    cb(lambda d: d)  # fresh wrap shares state dict? no — same cb instance
+    out = cb(recoverer()(lambda d: d))(df)
+    assert out.filter(F.col(ERROR_COL).isNotNull()).count() == 0

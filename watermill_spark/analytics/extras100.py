@@ -219,11 +219,76 @@ def q_bayes_ab_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pois_step_sql(k: int, prev: str) -> str:
+    """One Newton-scoring step on the Poisson GLM: 1-row normal-equation
+    accumulators (every term DECIMAL(38,15)-cast per row, matching the
+    Spark side op-for-op) then the closed-form 2x2 solve."""
+    return f"""
+    a{k} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(exp(b.b0 + b.b1 * u.x)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS w0,
+             CAST(SUM(CAST(exp(b.b0 + b.b1 * u.x) * u.x
+                           AS DECIMAL(38,15))) AS DOUBLE) AS w1,
+             CAST(SUM(CAST(exp(b.b0 + b.b1 * u.x) * u.x * u.x
+                           AS DECIMAL(38,15))) AS DOUBLE) AS w2,
+             CAST(SUM(CAST(u.y - exp(b.b0 + b.b1 * u.x)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS g0,
+             CAST(SUM(CAST((u.y - exp(b.b0 + b.b1 * u.x)) * u.x
+                           AS DECIMAL(38,15))) AS DOUBLE) AS g1,
+             MAX(b.b0) AS b0, MAX(b.b1) AS b1
+      FROM per_user u, {prev} b
+    ),
+    n{k} AS MATERIALIZED (
+      SELECT b0 + (w2 * g0 - w1 * g1) / (w0 * w2 - w1 * w1) AS b0,
+             b1 + (w0 * g1 - w1 * g0) / (w0 * w2 - w1 * w1) AS b1
+      FROM a{k}
+    )"""
+
+
+_POIS_CHAIN = ",".join(
+    _pois_step_sql(k, f"n{k - 1}" if k > 1 else "bini")
+    for k in range(1, 4 + 1)  # _NEWTON_STEPS
+)
+
+
 @register(
     "q_poisson_glm_newton",
-    oracle=None,  # chained-CTE form exists but the 4-step β state is clearer
-    # as a rows-only check; the logistic twin q_logistic_newton carries the
-    # oracle-checked IRLS pattern.
+    oracle=f"""
+    WITH per_user AS MATERIALIZED (
+      SELECT ln(CAST(COUNT(*) AS DOUBLE)) AS x,
+             CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) AS BIGINT) AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    ybar AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS yb
+      FROM per_user
+    ),
+    bini AS (SELECT ln(yb + 1e-12) AS b0, CAST(0.0 AS DOUBLE) AS b1
+             FROM ybar),
+    {_POIS_CHAIN},
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             MAX(b.b0) AS b0, MAX(b.b1) AS b1,
+             2.0 * CAST(SUM(CAST(
+               (CASE WHEN u.y > 0
+                     THEN u.y * ln(u.y / exp(b.b0 + b.b1 * u.x))
+                     ELSE 0.0 END)
+               - (u.y - exp(b.b0 + b.b1 * u.x)) AS DECIMAL(38,15)))
+               AS DOUBLE) AS dev,
+             2.0 * CAST(SUM(CAST(
+               (CASE WHEN u.y > 0 THEN u.y * ln(u.y / w.yb) ELSE 0.0 END)
+               - (u.y - w.yb) AS DECIMAL(38,15))) AS DOUBLE) AS dev0
+      FROM per_user u, n4 b, ybar w
+    )
+    SELECT n_users,
+           round(b0, 6) AS beta0,
+           round(b1, 6) AS beta1,
+           round(dev, 6) AS deviance,
+           round(dev0, 6) AS null_deviance,
+           round(1.0 - dev / dev0, 6) AS mcfadden_r2
+    FROM fit
+    """,
 )
 def q_poisson_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-feature Poisson GLM fit by 4 Newton-scoring steps: per-user
@@ -241,7 +306,8 @@ def q_poisson_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: iteration count fixed at 4; each step is one map-side-
     combined aggregation over the |users| feature rollup (at 100 TB
     you'd materialize that rollup once — here the scan is the cached
-    testdata relation). §2.B [NS] (rows-only: iterative state).
+    testdata relation). §2.B [NS]. Oracle: 4-step chained-CTE Newton
+    (the q_cox_ph_newton pattern) — full value-hash parity.
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")

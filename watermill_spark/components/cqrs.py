@@ -162,7 +162,7 @@ class EventGroupProcessor:
             self._handlers.append(_TypedHandler(name, schema, fn))
 
     def process_once(self) -> None:
-        msgs = self.subscriber.subscribe(self.group_topic).cache()
+        msgs = self.subscriber.subscribe(self.group_topic).localCheckpoint(eager=True)
         known = [h.name for h in self._handlers]
         if not self.ack_on_unknown_event:
             unknown = msgs.filter(~self.marshaler.name_of().isin(known))
@@ -187,21 +187,73 @@ _PROTO_TYPE_OF_SPARK = {
 
 def _proto_fields_of(schema: StructType):
     """Derive the protobuf field layout from a StructType: field number =
-    1-based struct position, type mapped scalar-for-scalar. Deterministic,
-    so marshal and unmarshal agree without a separate registry."""
+    1-based struct position, type mapped recursively — scalars
+    scalar-for-scalar, `struct` -> nested message, `array<T>` -> repeated,
+    `map<K,V>` -> protobuf map. Deterministic, so marshal and unmarshal
+    agree without a separate registry (reference marshals any proto.Message,
+    `components/cqrs/marshaler_protobuf.go:15-85`)."""
+    from pyspark.sql.types import ArrayType, MapType
+
     from .protowire import Field
 
-    fields = []
-    for i, f in enumerate(schema.fields):
-        t = _PROTO_TYPE_OF_SPARK.get(f.dataType.simpleString())
+    def scalar_of(dt, fname: str) -> str:
+        t = _PROTO_TYPE_OF_SPARK.get(dt.simpleString())
         if t is None:
             raise ValueError(
                 f"ProtobufMarshaler: unsupported Spark type "
-                f"{f.dataType.simpleString()!r} for field {f.name!r} "
-                f"(scalar subset: {sorted(_PROTO_TYPE_OF_SPARK)})"
+                f"{dt.simpleString()!r} for field {fname!r} "
+                f"(scalars: {sorted(_PROTO_TYPE_OF_SPARK)}, plus "
+                "struct / array / map thereof)"
             )
-        fields.append(Field(i + 1, f.name, t))
-    return fields
+        return t
+
+    def field_of(i: int, name: str, dt) -> Field:
+        if isinstance(dt, StructType):
+            return Field(
+                i, name, "message", message=tuple(walk(dt))
+            )
+        if isinstance(dt, ArrayType):
+            el = dt.elementType
+            if isinstance(el, StructType):
+                return Field(
+                    i, name, "message", repeated=True, message=tuple(walk(el))
+                )
+            if isinstance(el, (ArrayType, MapType)):
+                raise ValueError(
+                    f"ProtobufMarshaler: array of {el.simpleString()!r} has "
+                    f"no protobuf shape for field {name!r} (wrap the element "
+                    "in a struct)"
+                )
+            return Field(i, name, scalar_of(el, name), repeated=True)
+        if isinstance(dt, MapType):
+            kt = scalar_of(dt.keyType, name)
+            if kt not in ("string", "int32", "int64", "bool"):
+                raise ValueError(
+                    f"ProtobufMarshaler: map key type {kt!r} invalid for "
+                    f"field {name!r} (protobuf map keys: integral/string/bool)"
+                )
+            vt = dt.valueType
+            if isinstance(vt, StructType):
+                return Field(
+                    i, name, "map", key_type=kt, value_type="message",
+                    message=tuple(walk(vt)),
+                )
+            if isinstance(vt, (ArrayType, MapType)):
+                raise ValueError(
+                    f"ProtobufMarshaler: map value {vt.simpleString()!r} has "
+                    f"no protobuf shape for field {name!r} (wrap it in a "
+                    "struct)"
+                )
+            return Field(i, name, "map", key_type=kt, value_type=scalar_of(vt, name))
+        return Field(i, name, scalar_of(dt, name))
+
+    def walk(st: StructType) -> list:
+        return [
+            field_of(i + 1, f.name, f.dataType)
+            for i, f in enumerate(st.fields)
+        ]
+
+    return walk(schema)
 
 
 class ProtobufMarshaler(JSONMarshaler):

@@ -88,7 +88,7 @@ class Forwarder:
         publish each message to its embedded destination topic."""
         unwrapped = envelope_unwrap(
             self.subscriber.subscribe(self.forwarder_topic)
-        ).cache()
+        ).localCheckpoint(eager=True)
         # per-row routing: enumerate the (small) set of destinations, one
         # filtered publish each; Kafka transports route natively instead
         if hasattr(self.publisher, "publish_routed"):

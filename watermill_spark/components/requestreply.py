@@ -56,7 +56,8 @@ def replying(handler: HandlerFn, publisher: PubSub, reply_topic: str) -> Handler
     (`backend_pubsub.go:220-260` OnCommandProcessed)."""
 
     def wrapped(df: DataFrame) -> DataFrame:
-        out = handler(df).cache()
+        # snapshot: re-read for the notification and the return path
+        out = handler(df).localCheckpoint(eager=True)
         has_err = (
             F.col(ERROR_COL).isNotNull()
             if ERROR_COL in out.columns

@@ -54,7 +54,9 @@ class Requeuer:
         )
         if self.delay_sec:
             df = delay_for(df, self.delay_sec)
-        df = df.cache()
+        # snapshot: the per-destination publish loop re-reads df; blocks are
+        # GC-released after the pass (no CacheManager entry left behind)
+        df = df.localCheckpoint(eager=True)
         if self.destination_topic is not None:
             self.publisher.publish(self.destination_topic, df.select(*MESSAGE_COLUMNS))
             return

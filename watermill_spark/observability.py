@@ -98,6 +98,13 @@ def observe_counts(df: DataFrame, observation="wm_metrics") -> DataFrame:
 
 
 # -- Prometheus export bridge ----------------------------------------------
+def _prom_label_escape(value: str) -> str:
+    """Escape a label value per the Prometheus text exposition format 0.0.4:
+    backslash, double-quote, and newline must be backslash-escaped or
+    scrapers reject the whole exposition."""
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def prometheus_text(listener: RouterMetricsListener) -> str:
     """Render the listener's metrics in Prometheus text exposition format
     0.0.4 — the same series the reference registers
@@ -106,7 +113,8 @@ def prometheus_text(listener: RouterMetricsListener) -> str:
     per_query: dict[str, dict[str, float]] = {}
     for b in listener.batches:
         q = per_query.setdefault(
-            str(b.query_name), {"messages": 0, "batches": 0, "ms": 0}
+            _prom_label_escape(str(b.query_name)),
+            {"messages": 0, "batches": 0, "ms": 0},
         )
         q["messages"] += b.num_input_rows
         q["batches"] += 1

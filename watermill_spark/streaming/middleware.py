@@ -47,9 +47,9 @@ def recoverer(fn: HandlerFn | None = None, *, strict: bool = False):
       errors surface at the sink's single materialization and nack the batch
       (⇒ checkpoint replay) — no extra Spark job on the happy path.
     - ``middleware=[recoverer(strict=True)]``: also forces the plan here
-      (cache + count) so *execution* errors are converted to error rows too,
-      at the cost of one extra job per batch per handler. Use when downstream
-      poison/ignore middleware must consume runtime failures.
+      (eager localCheckpoint) so *execution* errors are converted to error
+      rows too, at the cost of one extra job per batch per handler. Use when
+      downstream poison/ignore middleware must consume runtime failures.
     """
 
     def make(strict_flag: bool) -> Middleware:
@@ -58,8 +58,10 @@ def recoverer(fn: HandlerFn | None = None, *, strict: bool = False):
                 try:
                     out = inner(df)
                     if strict_flag:
-                        out = out.cache()
-                        out.count()  # surface runtime errors here, not at sink
+                        # localCheckpoint surfaces runtime errors here (not
+                        # at the sink) AND snapshots the result without a
+                        # CacheManager entry leaking per micro-batch
+                        out = out.localCheckpoint(eager=True)
                     return out
                 except Exception as e:  # noqa: BLE001
                     return df.withColumn(
@@ -101,7 +103,9 @@ def poison_queue(publisher: PubSub, topic: str) -> Middleware:
 
     def mw(fn: HandlerFn) -> HandlerFn:
         def wrapped(df: DataFrame) -> DataFrame:
-            out = fn(df).cache()
+            # snapshot (not cache): inspected twice, and blocks GC-release
+            # after the batch instead of leaking per micro-batch
+            out = fn(df).localCheckpoint(eager=True)
             errs = out.filter(F.col(ERROR_COL).isNotNull())
             if errs.limit(1).count():
                 stamped = errs.withColumn(
@@ -159,9 +163,14 @@ def retry(
 
     def mw(fn: HandlerFn) -> HandlerFn:
         def wrapped(df: DataFrame) -> DataFrame:
-            out = fn(df).cache()
+            # localCheckpoint, not cache(): each attempt's result is a
+            # frozen snapshot (chaos middleware can't re-roll between the
+            # failed-probe and the union) and its blocks are GC-released
+            # after the batch instead of leaking CacheManager entries in a
+            # long-running stream. Filters over a snapshot need no own cache.
+            out = fn(df).localCheckpoint(eager=True)
             ok = out.filter(F.col(ERROR_COL).isNull())
-            failed_out = out.filter(F.col(ERROR_COL).isNotNull()).cache()
+            failed_out = out.filter(F.col(ERROR_COL).isNotNull())
             interval = initial_interval_sec
             start = time.time()
             attempt = 0
@@ -173,9 +182,9 @@ def retry(
                 interval *= multiplier
                 attempt += 1
                 failed_in = df.join(failed_out.select("uuid"), "uuid", "left_semi")
-                retried = fn(failed_in).cache()
+                retried = fn(failed_in).localCheckpoint(eager=True)
                 ok = ok.unionByName(retried.filter(F.col(ERROR_COL).isNull()))
-                failed_out = retried.filter(F.col(ERROR_COL).isNotNull()).cache()
+                failed_out = retried.filter(F.col(ERROR_COL).isNotNull())
             # rows still failing after all attempts keep their last error
             return ok.unionByName(failed_out)
 
@@ -246,26 +255,36 @@ def throttle(max_messages: int, per_seconds: float | None = None) -> Middleware:
             total = df.count()
             if total <= max_messages:
                 return fn(df)
-            # Stable intra-batch chunk ids. The global-order window is a
-            # single-task sort — fine here because a throttled batch is by
-            # definition small (the cap bounds what downstream consumes per
-            # step); at scale the source-side trigger knobs apply instead.
-            w = Window.orderBy(F.monotonically_increasing_id())
-            chunked = (
-                df.withColumn(
-                    "_wm_chunk",
-                    ((F.row_number().over(w) - F.lit(1)) / F.lit(max_messages)).cast(
-                        "bigint"
-                    ),
-                )
-            ).cache()
+            # Stable intra-batch chunk ids. Ordering is on (uuid, payload
+            # md5) — deterministic message content, never
+            # monotonically_increasing_id, so chunk membership is identical
+            # on any recomputation. The global-order window is a single-task
+            # sort — fine here because a throttled batch is by definition
+            # small (the cap bounds what downstream consumes per step); at
+            # scale the source-side trigger knobs apply instead.
+            w = Window.orderBy(
+                "uuid", F.md5(F.coalesce(F.col("payload"), F.lit(b"")))
+            )
+            # localCheckpoint, not cache(): (a) the chunk assignment is
+            # frozen as a materialized snapshot, so per-chunk jobs and the
+            # final union can never disagree; (b) checkpoint blocks are
+            # released by the ContextCleaner once the returned union is
+            # dereferenced, so a long-running stream doesn't accumulate
+            # CacheManager entries batch after batch.
+            chunked = df.withColumn(
+                "_wm_chunk",
+                ((F.row_number().over(w) - F.lit(1)) / F.lit(max_messages)).cast(
+                    "bigint"
+                ),
+            ).localCheckpoint(eager=True)
             n_chunks = -(-total // max_messages)
             outs = []
             for i in range(n_chunks):
                 out = fn(chunked.filter(F.col("_wm_chunk") == i).drop("_wm_chunk"))
                 if per_seconds is not None:
-                    out = out.cache()
-                    out.count()  # rate applies to processing time ⇒ force now
+                    # rate applies to processing time ⇒ force now; the
+                    # snapshot doubles as the chunk's result cache
+                    out = out.localCheckpoint(eager=True)
                     if i < n_chunks - 1:
                         time.sleep(per_seconds)
                 outs.append(out)
@@ -411,7 +430,7 @@ def circuit_breaker(
     max_failures: int = 5,
     open_seconds: float = 60.0,
     clock=time.monotonic,
-    strict: bool = False,
+    strict: bool = True,
 ) -> Middleware:
     """Fail-fast after consecutive failing batches
     (`middleware/circuit_breaker.go:17-37`, sony/gobreaker semantics).
@@ -423,13 +442,17 @@ def circuit_breaker(
     that means the source is retried later instead of hammering a failing
     dependency.
 
-    Failure detection: raised exceptions always count. With ``strict=True``
-    the middleware additionally sniffs for `_wm_error` rows, which forces the
-    plan (one extra Spark job per batch); the default leaves error-row
-    detection to the router's sink pass so the happy path stays lazy — an
-    error-rowed batch then trips the breaker on its *next* invocation via
-    the raised nack, which is the same steady-state behavior one batch
-    later.
+    Failure detection: raised exceptions always count. The default
+    ``strict=True`` additionally sniffs for `_wm_error` rows emitted by
+    inner middleware (recoverer / fail_rows), which forces the plan (one
+    extra Spark job per batch — amortized, since the row is cached and the
+    router's own sink-pass error check reuses the cache). ``strict=False``
+    keeps the happy path fully lazy but then error-*rowed* batches are
+    invisible to the breaker: the router's error-row raise happens at the
+    sink pass, outside this wrapper, and on checkpoint replay the handler
+    plan builds cleanly again without raising — so handlers that convert
+    failures to `_wm_error` rows get NO breaker protection in lax mode.
+    Only opt out when every inner failure surfaces as a raised exception.
     """
     state = {"failures": 0, "opened_at": None}
 
@@ -445,7 +468,11 @@ def circuit_breaker(
                 out = fn(df)
                 failed = False
                 if strict and ERROR_COL in out.columns:
-                    out = out.cache()
+                    # localCheckpoint, not cache(): the snapshot serves the
+                    # error sniff AND the router's sink pass, and its blocks
+                    # are GC-released after the batch (a cache() entry would
+                    # leak in the CacheManager for the stream's lifetime)
+                    out = out.localCheckpoint(eager=True)
                     failed = bool(
                         out.filter(F.col(ERROR_COL).isNotNull()).limit(1).count()
                     )
@@ -490,8 +517,9 @@ def timeout(seconds: float) -> Middleware:
             def run():
                 try:
                     sc.setJobGroup(group, f"timeout({seconds}s) handler", True)
-                    out = fn(df).cache()
-                    out.count()  # force under the cancellable group
+                    # eager snapshot = the forced run under the cancellable
+                    # group; GC-released after the batch
+                    out = fn(df).localCheckpoint(eager=True)
                     result["out"] = out
                 except Exception as e:  # noqa: BLE001 — includes cancellation
                     result["err"] = e
