@@ -440,6 +440,14 @@ BY_DESIGN["q_buishand_range"] = {"BNLJ"}
 BY_DESIGN["q_cramer_von_mises"] = {"BNLJ"}
 BY_DESIGN["q_watson_u2"] = {"BNLJ"}
 BY_DESIGN["q_anderson_darling_normal"] = {"BNLJ"}
+# batch 137: 1-row (n, mu) moment aggregate broadcast onto the bounded day
+# grid for the central 2nd/3rd/4th power sums (extras129.py) — verified the
+# broadcast side is a single .agg (always exactly 1 row)
+BY_DESIGN["q_dagostino_k2"] = {"BNLJ"}
+# batch 137: non-equi g<g' pair join of the ≤(5 priorities × 50 quantities)
+# count grid with itself, plus two 1-row moment aggregates crossed into the
+# statistic (extras129.py) — the fact table is never self-joined
+BY_DESIGN["q_jonckheere_terpstra"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
