@@ -448,6 +448,10 @@ BY_DESIGN["q_dagostino_k2"] = {"BNLJ"}
 # count grid with itself, plus two 1-row moment aggregates crossed into the
 # statistic (extras129.py) — the fact table is never self-joined
 BY_DESIGN["q_jonckheere_terpstra"] = {"BNLJ"}
+# batch 138: two 1-row corpus-total aggregates crossed onto the ≤256-row
+# hashed-bucket model table (extras130.py) — the document scan only ever
+# hash-joins the broadcast 256-row log-ratio model
+BY_DESIGN["q_dsir_importance_weights"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
