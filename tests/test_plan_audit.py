@@ -452,6 +452,9 @@ BY_DESIGN["q_jonckheere_terpstra"] = {"BNLJ"}
 # hashed-bucket model table (extras130.py) — the document scan only ever
 # hash-joins the broadcast 256-row log-ratio model
 BY_DESIGN["q_dsir_importance_weights"] = {"BNLJ"}
+# batch 139: three 1-row k-th-hash sketch outputs (rn == k filter on the
+# bottom-k window) crossed into the 1-row estimate row (extras131.py)
+BY_DESIGN["q_kmv_set_ops"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
