@@ -455,6 +455,15 @@ BY_DESIGN["q_dsir_importance_weights"] = {"BNLJ"}
 # batch 139: three 1-row k-th-hash sketch outputs (rn == k filter on the
 # bottom-k window) crossed into the 1-row estimate row (extras131.py)
 BY_DESIGN["q_kmv_set_ops"] = {"BNLJ"}
+# batch 140: unigram and bigram clipped-precision aggregates of the same
+# candidate-pair set joined on their shared (da, db) grouping key — SMJ is
+# the right plan (neither side broadcastable at scale); plus the pre a/b
+# prefix-hash self-join (extras132.py)
+BY_DESIGN["q_bleu_pairs"] = {"SMJ"}
+# batch 140: three unrolled ESD rounds, each broadcasting a 1-row mean/sd
+# aggregate onto the bounded day grid (extras132.py — esd_round's m and s
+# are single .agg outputs, always exactly 1 row)
+BY_DESIGN["q_generalized_esd"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
