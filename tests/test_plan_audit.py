@@ -464,6 +464,12 @@ BY_DESIGN["q_bleu_pairs"] = {"SMJ"}
 # aggregate onto the bounded day grid (extras132.py — esd_round's m and s
 # are single .agg outputs, always exactly 1 row)
 BY_DESIGN["q_generalized_esd"] = {"BNLJ"}
+# batch 141: 1-row OLS-slope aggregate crossed into the 21-row slope grid,
+# which broadcasts onto the bounded day grid (extras133.py)
+BY_DESIGN["q_quantile_regression_grid"] = {"BNLJ"}
+# batch 141: 1-row grand-total moment aggregate broadcast onto the
+# ≤|nations| per-nation moment grid (extras133.py)
+BY_DESIGN["q_benjamini_yekutieli"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
