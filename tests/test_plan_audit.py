@@ -470,6 +470,13 @@ BY_DESIGN["q_quantile_regression_grid"] = {"BNLJ"}
 # batch 141: 1-row grand-total moment aggregate broadcast onto the
 # ≤|nations| per-nation moment grid (extras133.py)
 BY_DESIGN["q_benjamini_yekutieli"] = {"BNLJ"}
+# batch 142: fixed 200-row permutation grid + 1-row size/observed-diff
+# aggregates crossed onto the bounded day grid (extras134.py) — B is a
+# constant, never scales with the fact table
+BY_DESIGN["q_permutation_test_mean"] = {"BNLJ"}
+# batch 142: bigram and unigram test-vs-train distinct-set equi-joins on
+# (lang, gram) — co-keyed SMJs, neither side broadcastable at corpus scale
+BY_DESIGN["q_ngram_novelty"] = {"SMJ"}
 
 
 def _flags(plan: str) -> set[str]:
