@@ -477,6 +477,10 @@ BY_DESIGN["q_permutation_test_mean"] = {"BNLJ"}
 # batch 142: bigram and unigram test-vs-train distinct-set equi-joins on
 # (lang, gram) — co-keyed SMJs, neither side broadcastable at corpus scale
 BY_DESIGN["q_ngram_novelty"] = {"SMJ"}
+# batch 143: the 1-row OLS fit (global .agg -> fit -> prese, each exactly
+# 1 row) broadcast onto the bounded day grid for residual scoring
+# (extras135.py:428,441) — same 1-row-model-broadcast shape as q_chow_test
+BY_DESIGN["q_causal_impact_lite"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
