@@ -481,6 +481,12 @@ BY_DESIGN["q_ngram_novelty"] = {"SMJ"}
 # 1 row) broadcast onto the bounded day grid for residual scoring
 # (extras135.py:428,441) — same 1-row-model-broadcast shape as q_chow_test
 BY_DESIGN["q_causal_impact_lite"] = {"BNLJ"}
+# batch 144: 1-row total broadcast onto the 9 digit rows (benford); 1-row
+# (n, mu, sd) moment aggregate broadcast onto the bounded day grid
+# (cusum / ewma) — each broadcast side is a single .agg, always 1 row
+BY_DESIGN["q_benford_law"] = {"BNLJ"}
+BY_DESIGN["q_cusum_mean_shift"] = {"BNLJ"}
+BY_DESIGN["q_ewma_chart"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
