@@ -487,6 +487,9 @@ BY_DESIGN["q_causal_impact_lite"] = {"BNLJ"}
 BY_DESIGN["q_benford_law"] = {"BNLJ"}
 BY_DESIGN["q_cusum_mean_shift"] = {"BNLJ"}
 BY_DESIGN["q_ewma_chart"] = {"BNLJ"}
+# batch 145: 1-row global max-order-date aggregate broadcast onto the
+# customer grain for recency (extras137.py) — single .agg, always 1 row
+BY_DESIGN["q_rfm_segmentation"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
