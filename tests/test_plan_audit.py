@@ -490,6 +490,11 @@ BY_DESIGN["q_ewma_chart"] = {"BNLJ"}
 # batch 145: 1-row global max-order-date aggregate broadcast onto the
 # customer grain for recency (extras137.py) — single .agg, always 1 row
 BY_DESIGN["q_rfm_segmentation"] = {"BNLJ"}
+# batch 147: the 15-row lag dimension broadcast-crossed onto the bounded
+# day grid before the rn+lag equi-join (ccf); 1-row grand-total and 1-row
+# Monday-reference aggregates broadcast onto the 7 DOW rows (dow_effect)
+BY_DESIGN["q_ccf_lead_lag"] = {"BNLJ"}
+BY_DESIGN["q_dow_effect_ols"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
