@@ -495,6 +495,11 @@ BY_DESIGN["q_rfm_segmentation"] = {"BNLJ"}
 # Monday-reference aggregates broadcast onto the 7 DOW rows (dow_effect)
 BY_DESIGN["q_ccf_lead_lag"] = {"BNLJ"}
 BY_DESIGN["q_dow_effect_ols"] = {"BNLJ"}
+# batch 148: 1-row distinct-day count broadcast onto the 1-row peak-hour
+# aggregate (erlang); 1-row distinct-year count broadcast onto the part
+# grain (eoq) — each broadcast side is a single .agg, always 1 row
+BY_DESIGN["q_erlang_c_staffing"] = {"BNLJ"}
+BY_DESIGN["q_eoq_order_quantity"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
