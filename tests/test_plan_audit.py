@@ -500,6 +500,12 @@ BY_DESIGN["q_dow_effect_ols"] = {"BNLJ"}
 # grain (eoq) — each broadcast side is a single .agg, always 1 row
 BY_DESIGN["q_erlang_c_staffing"] = {"BNLJ"}
 BY_DESIGN["q_eoq_order_quantity"] = {"BNLJ"}
+# batch 149: 5-row tau dimension broadcast onto the bounded day grid
+# (allan); bounded-grid self-product for the pairwise |dx| V-stat
+# (energy — ~2.4k² cells regardless of SF, facts collapse to the
+# calendar first, same family as the Hampel/DFA bounded quadratics)
+BY_DESIGN["q_allan_variance"] = {"BNLJ"}
+BY_DESIGN["q_energy_distance"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
