@@ -506,6 +506,13 @@ BY_DESIGN["q_eoq_order_quantity"] = {"BNLJ"}
 # calendar first, same family as the Hampel/DFA bounded quadratics)
 BY_DESIGN["q_allan_variance"] = {"BNLJ"}
 BY_DESIGN["q_energy_distance"] = {"BNLJ"}
+# batch 150: 1-row mean + 29-row period dimension broadcast onto the
+# bounded day grid (periodogram); bounded-grid self-product for the
+# z-score pair plot (recurrence — same family as energy_distance); 1-row
+# beta prior broadcast onto the part grain (shrinkage)
+BY_DESIGN["q_periodogram_peak"] = {"BNLJ"}
+BY_DESIGN["q_recurrence_rate"] = {"BNLJ"}
+BY_DESIGN["q_beta_binomial_shrinkage"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
