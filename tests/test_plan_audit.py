@@ -513,6 +513,13 @@ BY_DESIGN["q_energy_distance"] = {"BNLJ"}
 BY_DESIGN["q_periodogram_peak"] = {"BNLJ"}
 BY_DESIGN["q_recurrence_rate"] = {"BNLJ"}
 BY_DESIGN["q_beta_binomial_shrinkage"] = {"BNLJ"}
+# batch 151: 4-row depth dimension broadcast-crossed onto events / the
+# key list for the sketch build+probe — bounded, and the counter table
+# is a fixed 1024 cells
+BY_DESIGN["q_countmin_sketch"] = {"BNLJ"}
+# batch 151: bounded cross-group day-grid pair count (broadcast one
+# side) for the pair-count effect sizes — same family as energy_distance
+BY_DESIGN["q_cliffs_delta"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
