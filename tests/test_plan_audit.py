@@ -520,6 +520,9 @@ BY_DESIGN["q_countmin_sketch"] = {"BNLJ"}
 # batch 151: bounded cross-group day-grid pair count (broadcast one
 # side) for the pair-count effect sizes — same family as energy_distance
 BY_DESIGN["q_cliffs_delta"] = {"BNLJ"}
+# batch 153: 1-row exact-median aggregate broadcast next to the 1-row
+# metric panel (median_absolute_pct_error) — single .agg, always 1 row
+BY_DESIGN["q_median_absolute_pct_error"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
