@@ -523,6 +523,9 @@ BY_DESIGN["q_cliffs_delta"] = {"BNLJ"}
 # batch 153: 1-row exact-median aggregate broadcast next to the 1-row
 # metric panel (median_absolute_pct_error) — single .agg, always 1 row
 BY_DESIGN["q_median_absolute_pct_error"] = {"BNLJ"}
+# batch 154: 1-row (bias, sd) limits aggregate broadcast back onto the
+# part-grain pairs for the outside-LoA count — single .agg, always 1 row
+BY_DESIGN["q_bland_altman"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
