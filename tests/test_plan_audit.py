@@ -526,6 +526,9 @@ BY_DESIGN["q_median_absolute_pct_error"] = {"BNLJ"}
 # batch 154: 1-row (bias, sd) limits aggregate broadcast back onto the
 # part-grain pairs for the outside-LoA count — single .agg, always 1 row
 BY_DESIGN["q_bland_altman"] = {"BNLJ"}
+# batch 155: 1-row calendar-period count broadcast onto the part grain
+# for ADI — single .agg, always 1 row
+BY_DESIGN["q_intermittency_profile"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
