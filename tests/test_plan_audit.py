@@ -529,6 +529,9 @@ BY_DESIGN["q_bland_altman"] = {"BNLJ"}
 # batch 155: 1-row calendar-period count broadcast onto the part grain
 # for ADI — single .agg, always 1 row
 BY_DESIGN["q_intermittency_profile"] = {"BNLJ"}
+# batch 156: 1-row population total broadcast onto the cumulative-value
+# rows for the interval-crossing selection — single .agg, always 1 row
+BY_DESIGN["q_monetary_unit_sampling"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
