@@ -532,6 +532,9 @@ BY_DESIGN["q_intermittency_profile"] = {"BNLJ"}
 # batch 156: 1-row population total broadcast onto the cumulative-value
 # rows for the interval-crossing selection — single .agg, always 1 row
 BY_DESIGN["q_monetary_unit_sampling"] = {"BNLJ"}
+# batch 157: 2-row group moments x 1-row pooled slope / grand mean
+# broadcasts (ancova) — each broadcast side a single bounded .agg
+BY_DESIGN["q_ancova"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
