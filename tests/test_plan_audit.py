@@ -535,6 +535,9 @@ BY_DESIGN["q_monetary_unit_sampling"] = {"BNLJ"}
 # batch 157: 2-row group moments x 1-row pooled slope / grand mean
 # broadcasts (ancova) — each broadcast side a single bounded .agg
 BY_DESIGN["q_ancova"] = {"BNLJ"}
+# batch 158: 5-row context-budget dimension broadcast onto the doc
+# token counts — bounded dimension cross
+BY_DESIGN["q_context_budget_fit"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
