@@ -538,6 +538,12 @@ BY_DESIGN["q_ancova"] = {"BNLJ"}
 # batch 158: 5-row context-budget dimension broadcast onto the doc
 # token counts — bounded dimension cross
 BY_DESIGN["q_context_budget_fit"] = {"BNLJ"}
+# batch 159: 1-row calendar/max-month broadcasts onto the customer or
+# age grain (life_table, clv); 270-row SES weight table broadcast onto
+# the bounded day grid before the rn-1-k equi-join (ses_grid)
+BY_DESIGN["q_life_table"] = {"BNLJ"}
+BY_DESIGN["q_customer_lifetime_value"] = {"BNLJ"}
+BY_DESIGN["q_ses_grid_search"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
