@@ -544,6 +544,11 @@ BY_DESIGN["q_context_budget_fit"] = {"BNLJ"}
 BY_DESIGN["q_life_table"] = {"BNLJ"}
 BY_DESIGN["q_customer_lifetime_value"] = {"BNLJ"}
 BY_DESIGN["q_ses_grid_search"] = {"BNLJ"}
+# batch 160: 5-row cut dimension onto the bounded day grid (placebo);
+# 1-row date-range / event-date / baseline broadcasts (did, event_study)
+BY_DESIGN["q_placebo_cutpoints"] = {"BNLJ"}
+BY_DESIGN["q_difference_in_differences"] = {"BNLJ"}
+BY_DESIGN["q_event_study_car"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
