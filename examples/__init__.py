@@ -12,6 +12,8 @@ _ALIASES = {
     "example_01_router_dlq": "01_router_dlq.py",
     "example_02_cqrs": "02_cqrs.py",
     "example_03_delayed_delivery": "03_delayed_delivery.py",
+    "example_04_metrics": "04_metrics.py",
+    "example_05_exactly_once_counter": "05_exactly_once_counter.py",
 }
 
 

@@ -32,3 +32,19 @@ def test_example_delayed_delivery(spark, tmp_path):
 
     out = mod.main(spark, str(tmp_path / "topics"))
     assert out["released_total"] == 4
+
+
+def test_example_metrics(spark, tmp_path):
+    from examples import example_04_metrics as mod
+
+    out = mod.main(spark, str(tmp_path / "ex4"))
+    assert out["messages_total"] == 40
+    assert out["exposition_has_counter"]
+
+
+def test_example_exactly_once_counter(spark, tmp_path):
+    from examples import example_05_exactly_once_counter as mod
+
+    out = mod.main(spark, str(tmp_path / "ex5"))
+    assert out["counter_value"] == 12
+    assert out["replay_batches_applied"] == 0
