@@ -549,6 +549,10 @@ BY_DESIGN["q_ses_grid_search"] = {"BNLJ"}
 BY_DESIGN["q_placebo_cutpoints"] = {"BNLJ"}
 BY_DESIGN["q_difference_in_differences"] = {"BNLJ"}
 BY_DESIGN["q_event_study_car"] = {"BNLJ"}
+# batch 161: 1-row C(n,2)-sum aggregates crossed into the ARI (rand);
+# 1-row (mu, sd) moments broadcast onto the day grid (westgard)
+BY_DESIGN["q_cluster_rand_index"] = {"BNLJ"}
+BY_DESIGN["q_westgard_rules"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
