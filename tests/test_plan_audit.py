@@ -553,6 +553,9 @@ BY_DESIGN["q_event_study_car"] = {"BNLJ"}
 # 1-row (mu, sd) moments broadcast onto the day grid (westgard)
 BY_DESIGN["q_cluster_rand_index"] = {"BNLJ"}
 BY_DESIGN["q_westgard_rules"] = {"BNLJ"}
+# batch 162: 1-row node/edge/reach count aggregates crossed into the
+# summary row (two_hop)
+BY_DESIGN["q_two_hop_reachability"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
