@@ -556,6 +556,9 @@ BY_DESIGN["q_westgard_rules"] = {"BNLJ"}
 # batch 162: 1-row node/edge/reach count aggregates crossed into the
 # summary row (two_hop)
 BY_DESIGN["q_two_hop_reachability"] = {"BNLJ"}
+# batch 163: 7-row octile dimension broadcast onto the ranked bounded
+# day grid for the rank-selection pivot
+BY_DESIGN["q_quantile_skew_kurtosis"] = {"BNLJ"}
 
 
 def _flags(plan: str) -> set[str]:
