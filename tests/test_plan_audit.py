@@ -559,6 +559,13 @@ BY_DESIGN["q_two_hop_reachability"] = {"BNLJ"}
 # batch 163: 7-row octile dimension broadcast onto the ranked bounded
 # day grid for the rank-selection pivot
 BY_DESIGN["q_quantile_skew_kurtosis"] = {"BNLJ"}
+# batch 164: 1-row max-revenue / date-range broadcasts (bcg); the
+# 12-round hitting iteration chains broadcast joins on the bounded
+# nation graph (hitting)
+BY_DESIGN["q_bcg_matrix"] = {"BNLJ"}
+BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
+# lineage re-derives the one fact equi-join under nodes/outw/probs, so
+# the plan string repeats that SMJ; at runtime the cache serves it once
 
 
 def _flags(plan: str) -> set[str]:
