@@ -563,6 +563,11 @@ BY_DESIGN["q_quantile_skew_kurtosis"] = {"BNLJ"}
 # 12-round hitting iteration chains broadcast joins on the bounded
 # nation graph (hitting)
 BY_DESIGN["q_bcg_matrix"] = {"BNLJ"}
+# batch 165: 1-row model-constant broadcasts onto the test bigrams
+# (kneser_ney); bounded-graph P.P self-join lineage repeats the fact
+# SMJ under the cache (burt, same shape as q_random_walk_hitting)
+BY_DESIGN["q_ngram_lm_kneser_ney"] = {"BNLJ"}
+BY_DESIGN["q_burt_constraint"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
