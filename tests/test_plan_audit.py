@@ -568,6 +568,14 @@ BY_DESIGN["q_bcg_matrix"] = {"BNLJ"}
 # SMJ under the cache (burt, same shape as q_random_walk_hitting)
 BY_DESIGN["q_ngram_lm_kneser_ney"] = {"BNLJ"}
 BY_DESIGN["q_burt_constraint"] = {"BNLJ", "SMJ"}
+# batch 166: removal dimension broadcast-crossed onto the bounded
+# transition matrix + 1-row base-conversion broadcast (removal attr);
+# 1-row diameter/radius summary crossed onto per-node rows (ecc);
+# fixed-200-vector pair expansion + 1-row count broadcast (isotropy);
+# the cached bounded-graph lineage repeats the fact SMJ (ecc, attr)
+BY_DESIGN["q_markov_removal_attribution"] = {"BNLJ", "SMJ"}
+BY_DESIGN["q_eccentricity_diameter"] = {"BNLJ", "SMJ"}
+BY_DESIGN["q_embedding_isotropy"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
