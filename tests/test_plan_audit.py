@@ -576,6 +576,13 @@ BY_DESIGN["q_burt_constraint"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_markov_removal_attribution"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_eccentricity_diameter"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_embedding_isotropy"] = {"BNLJ"}
+# batch 167: quarantined bounded brute-force recall oracles over the
+# fixed 10-query set (probe sweep truth, RRF rankings — same rationale
+# as q_knn_bruteforce) + 1-row db-count / moment broadcasts
+BY_DESIGN["q_ivf_probe_sweep"] = {"BNLJ", "SMJ"}  # cached candidate
+# lineage re-derives the cell-assignment join under ivf_top/scanned
+BY_DESIGN["q_reciprocal_rank_fusion"] = {"BNLJ"}
+BY_DESIGN["q_embedding_outlier_scan"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
