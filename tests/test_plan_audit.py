@@ -583,6 +583,13 @@ BY_DESIGN["q_ivf_probe_sweep"] = {"BNLJ", "SMJ"}  # cached candidate
 # lineage re-derives the cell-assignment join under ivf_top/scanned
 BY_DESIGN["q_reciprocal_rank_fusion"] = {"BNLJ"}
 BY_DESIGN["q_embedding_outlier_scan"] = {"BNLJ"}
+# batch 168: 1-row max-weight broadcast + threshold dimension onto the
+# bounded edge list (percolation); chained 1-row fit/scale broadcasts
+# onto the day grid (huber); 1-row totals onto the 5 quintile rows
+# (concentration); percolation/huber lineage repeats fact SMJs
+BY_DESIGN["q_percolation_threshold"] = {"BNLJ", "SMJ"}
+BY_DESIGN["q_huber_regression_irls"] = {"BNLJ"}
+BY_DESIGN["q_concentration_curve"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
