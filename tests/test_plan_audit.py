@@ -590,6 +590,11 @@ BY_DESIGN["q_embedding_outlier_scan"] = {"BNLJ"}
 BY_DESIGN["q_percolation_threshold"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_huber_regression_irls"] = {"BNLJ"}
 BY_DESIGN["q_concentration_curve"] = {"BNLJ"}
+# batch 169: quarantined bounded all-pairs miner (hard negatives, same
+# rationale as q_knn_bruteforce; production restricts to ANN buckets);
+# 1-row pooled-count/moment broadcasts (fligner)
+BY_DESIGN["q_hard_negative_mining"] = {"BNLJ"}
+BY_DESIGN["q_fligner_killeen"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
