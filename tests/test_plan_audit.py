@@ -595,6 +595,12 @@ BY_DESIGN["q_concentration_curve"] = {"BNLJ"}
 # 1-row pooled-count/moment broadcasts (fligner)
 BY_DESIGN["q_hard_negative_mining"] = {"BNLJ"}
 BY_DESIGN["q_fligner_killeen"] = {"BNLJ"}
+# batch 170: 1-row mean / 12-row lag dimension onto the bounded day
+# grid (kpss); 1-row fit/rho broadcasts (engle_granger); 1-row
+# threshold/count broadcasts (extremal)
+BY_DESIGN["q_kpss_stationarity"] = {"BNLJ"}
+BY_DESIGN["q_engle_granger_coint"] = {"BNLJ"}
+BY_DESIGN["q_extremal_index"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
