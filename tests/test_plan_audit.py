@@ -601,6 +601,9 @@ BY_DESIGN["q_fligner_killeen"] = {"BNLJ"}
 BY_DESIGN["q_kpss_stationarity"] = {"BNLJ"}
 BY_DESIGN["q_engle_granger_coint"] = {"BNLJ"}
 BY_DESIGN["q_extremal_index"] = {"BNLJ"}
+# batch 171: 1-row Cramer fit broadcast back onto the bounded grid for
+# the SSE pass (adf)
+BY_DESIGN["q_adf_test"] = {"BNLJ"}
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
