@@ -604,6 +604,10 @@ BY_DESIGN["q_extremal_index"] = {"BNLJ"}
 # batch 171: 1-row Cramer fit broadcast back onto the bounded grid for
 # the SSE pass (adf)
 BY_DESIGN["q_adf_test"] = {"BNLJ"}
+# batch 172: 1-row catalog/total broadcasts onto the rec rows (novelty)
+BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
+# join + customer-keyed co-purchase self-join are both co-keyed SMJs;
+# neither side broadcastable at catalog scale
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
