@@ -605,6 +605,10 @@ BY_DESIGN["q_extremal_index"] = {"BNLJ"}
 # the SSE pass (adf)
 BY_DESIGN["q_adf_test"] = {"BNLJ"}
 # batch 172: 1-row catalog/total broadcasts onto the rec rows (novelty)
+# batch 173: 1-row mean/crossing-point broadcasts (lorenz_asymmetry);
+# 1-row mean + 20-row lag dimension onto the bounded grid (acf)
+BY_DESIGN["q_lorenz_asymmetry"] = {"BNLJ"}
+BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
 # neither side broadcastable at catalog scale
