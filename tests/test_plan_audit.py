@@ -608,6 +608,10 @@ BY_DESIGN["q_adf_test"] = {"BNLJ"}
 # batch 173: 1-row mean/crossing-point broadcasts (lorenz_asymmetry);
 # 1-row mean + 20-row lag dimension onto the bounded grid (acf)
 BY_DESIGN["q_lorenz_asymmetry"] = {"BNLJ"}
+# batch 174: 1-row slope / total broadcasts onto the bounded month or
+# digit grids (null trend, benford second digit)
+BY_DESIGN["q_null_rate_trend"] = {"BNLJ"}
+BY_DESIGN["q_benford_second_digit"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
