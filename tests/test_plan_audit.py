@@ -612,6 +612,10 @@ BY_DESIGN["q_lorenz_asymmetry"] = {"BNLJ"}
 # digit grids (null trend, benford second digit)
 BY_DESIGN["q_null_rate_trend"] = {"BNLJ"}
 BY_DESIGN["q_benford_second_digit"] = {"BNLJ"}
+# batch 175: 1-row pi0/fit broadcasts onto the <=|nations| study rows
+# (qvalues) and the day grid (mediation SSE pass)
+BY_DESIGN["q_storey_qvalues"] = {"BNLJ"}
+BY_DESIGN["q_mediation_sobel"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
