@@ -616,6 +616,10 @@ BY_DESIGN["q_benford_second_digit"] = {"BNLJ"}
 # (qvalues) and the day grid (mediation SSE pass)
 BY_DESIGN["q_storey_qvalues"] = {"BNLJ"}
 BY_DESIGN["q_mediation_sobel"] = {"BNLJ"}
+# batch 176: 1-row fit/sd/total broadcasts onto the bounded day grid or
+# customer grain (cusum residuals, hoover)
+BY_DESIGN["q_cusum_ols_residuals"] = {"BNLJ"}
+BY_DESIGN["q_hoover_index"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
