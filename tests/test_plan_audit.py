@@ -620,6 +620,11 @@ BY_DESIGN["q_mediation_sobel"] = {"BNLJ"}
 # customer grain (cusum residuals, hoover)
 BY_DESIGN["q_cusum_ols_residuals"] = {"BNLJ"}
 BY_DESIGN["q_hoover_index"] = {"BNLJ"}
+# batch 177: 1-row VaR / fit / day-count broadcasts onto the bounded
+# day grid (expected shortfall, harmonic SSE pass, drawdown summary)
+BY_DESIGN["q_expected_shortfall"] = {"BNLJ"}
+BY_DESIGN["q_harmonic_regression"] = {"BNLJ"}
+BY_DESIGN["q_drawdown_duration"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
