@@ -625,6 +625,12 @@ BY_DESIGN["q_hoover_index"] = {"BNLJ"}
 BY_DESIGN["q_expected_shortfall"] = {"BNLJ"}
 BY_DESIGN["q_harmonic_regression"] = {"BNLJ"}
 BY_DESIGN["q_drawdown_duration"] = {"BNLJ"}
+# batch 178: chained 1-row EM parameter broadcasts (gmm); 1-row mean +
+# 21-row band table onto the bounded grid (coherence); 1-row mean +
+# 3-row lag dimension (yule_walker)
+BY_DESIGN["q_gaussian_mixture_em"] = {"BNLJ"}
+BY_DESIGN["q_spectral_coherence"] = {"BNLJ"}
+BY_DESIGN["q_yule_walker_ar2"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
