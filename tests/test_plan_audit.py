@@ -631,6 +631,9 @@ BY_DESIGN["q_drawdown_duration"] = {"BNLJ"}
 BY_DESIGN["q_gaussian_mixture_em"] = {"BNLJ"}
 BY_DESIGN["q_spectral_coherence"] = {"BNLJ"}
 BY_DESIGN["q_yule_walker_ar2"] = {"BNLJ"}
+# batch 179: 1-row pooled-effect broadcast onto the <=|nations| study
+# rows (i2)
+BY_DESIGN["q_i2_heterogeneity"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
