@@ -634,6 +634,11 @@ BY_DESIGN["q_yule_walker_ar2"] = {"BNLJ"}
 # batch 179: 1-row pooled-effect broadcast onto the <=|nations| study
 # rows (i2)
 BY_DESIGN["q_i2_heterogeneity"] = {"BNLJ"}
+# batch 180: 4-row fraction dimension onto the ranked token stream
+# (rarefaction); nation-keyed fact star repeats SMJs under the cached
+# distinct grain (assortment)
+BY_DESIGN["q_rarefaction_curve"] = {"BNLJ"}
+BY_DESIGN["q_assortment_overlap_nations"] = {"BNLJ", "SMJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
