@@ -639,6 +639,9 @@ BY_DESIGN["q_i2_heterogeneity"] = {"BNLJ"}
 # distinct grain (assortment)
 BY_DESIGN["q_rarefaction_curve"] = {"BNLJ"}
 BY_DESIGN["q_assortment_overlap_nations"] = {"BNLJ", "SMJ"}
+# batch 181: 1-row capacity broadcast onto the ranked part grain
+# (knapsack)
+BY_DESIGN["q_fractional_knapsack"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
