@@ -642,6 +642,9 @@ BY_DESIGN["q_assortment_overlap_nations"] = {"BNLJ", "SMJ"}
 # batch 181: 1-row capacity broadcast onto the ranked part grain
 # (knapsack)
 BY_DESIGN["q_fractional_knapsack"] = {"BNLJ"}
+# batch 182: 1-row zero-discount baseline broadcast onto the ~12
+# bucket rows (discount curve)
+BY_DESIGN["q_discount_uplift_curve"] = {"BNLJ"}
 BY_DESIGN["q_acf_significance"] = {"BNLJ"}
 BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 # join + customer-keyed co-purchase self-join are both co-keyed SMJs;
