@@ -47,9 +47,20 @@ def main(spark=None, base_dir: str | None = None) -> dict:
         r.add_handler("meter_me", tin, ps, tout, ps, passthrough_handler)
         r.run_stream(base_dir + "/ckpt", available_now=True)
         r.await_termination()
-        # listener delivery is async — wait for the progress events
-        deadline = time.time() + 10
-        while time.time() < deadline and not listener.batches:
+        # listener delivery is async and the availableNow run may split into
+        # several micro-batches — wait until the counter reaches the expected
+        # total, or stabilizes across consecutive polls (not merely non-empty)
+        expected = 40
+        deadline = time.time() + 30
+        prev, stable = -1, 0
+        while time.time() < deadline:
+            total = listener.snapshot()["messages_total"]
+            if total >= expected:
+                break
+            stable = stable + 1 if total == prev and total > 0 else 0
+            if stable >= 5:  # ~1s with no new progress events: drained
+                break
+            prev = total
             time.sleep(0.2)
         snap = listener.snapshot()
         text = prometheus_text(listener)

@@ -3,11 +3,23 @@ for 100-TB red flags. Patterns that are *by design* are whitelisted with the
 reason; anything new fails the build, so a refactor can't silently introduce
 a cartesian product or an unexpected nested-loop join.
 
+Two layers (ADVICE r3: presence-only whitelisting would let a regression add
+a *second*, fact-scaled nested loop to an already-whitelisted query):
+
+- ``BY_DESIGN``: name -> flag set, each entry carrying the WHY — the
+  human-auditable rationale for every excused join shape.
+- ``MAX_COUNTS``: name -> exact per-flag occurrence *maxima* measured from
+  the current plans (tools_gen_plan_counts.py). The audit fails if a plan
+  exceeds its pinned count, so only the documented bounded joins are
+  excused; a new occurrence of the same flag in the same query still fails.
+
 (Heavier structural assertions for individual queries live in
 test_scale_plans.py; this is the safety net across all of them.)
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -652,17 +664,312 @@ BY_DESIGN["q_recommendation_novelty"] = {"BNLJ", "SMJ"}  # basket fact
 BY_DESIGN["q_random_walk_hitting"] = {"BNLJ", "SMJ"}  # cached edge
 # lineage re-derives the one fact equi-join under nodes/outw/probs, so
 # the plan string repeats that SMJ; at runtime the cache serves it once
+# r4: min/max-year bounds ride a broadcast 1-row cross join (re-derived
+# once per ntile branch), replacing the driver-side collect
+BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
+
+# name -> exact per-flag occurrence maxima measured from the current plans
+# at sf0.001 (regenerate with tools_gen_plan_counts.py after intentional
+# plan changes). Unlisted flags default to CARTESIAN 0 / BNLJ 0 / SMJ 1.
+MAX_COUNTS = {
+    "q11_important_parts": {"BNLJ": 1},
+    "q_abc_xyz_matrix": {"BNLJ": 1},
+    "q_acf_significance": {"BNLJ": 2},
+    "q_adf_test": {"BNLJ": 1},
+    "q_allan_variance": {"BNLJ": 1},
+    "q_ancova": {"BNLJ": 3},
+    "q_anderson_darling_normal": {"BNLJ": 2},
+    "q_ar2_yule_walker": {"BNLJ": 6},
+    "q_bayes_ab_grid": {"CARTESIAN": 1, "BNLJ": 23},
+    "q_bcg_matrix": {"BNLJ": 3},
+    "q_benford_digit_audit": {"BNLJ": 1},
+    "q_benford_law": {"BNLJ": 1},
+    "q_benford_second_digit": {"BNLJ": 2},
+    "q_benjamini_yekutieli": {"BNLJ": 1},
+    "q_beta_binomial_shrinkage": {"BNLJ": 1},
+    "q_bfs_nation_hops": {"BNLJ": 4},
+    "q_bland_altman": {"BNLJ": 1},
+    "q_blocking_eval": {"BNLJ": 3},
+    "q_bloom_filter_audit": {"BNLJ": 5},
+    "q_bm25_top_terms": {"BNLJ": 1},
+    "q_boxcox_lambda_grid": {"BNLJ": 7},
+    "q_bradley_terry": {"BNLJ": 1},
+    "q_brand_affinity_lift": {"BNLJ": 1},
+    "q_breusch_pagan": {"BNLJ": 1},
+    "q_brier_decomposition": {"BNLJ": 1},
+    "q_buishand_range": {"BNLJ": 2},
+    "q_bullwhip_effect": {"BNLJ": 1},
+    "q_burrows_delta": {"BNLJ": 4},
+    "q_calibration_ece": {"BNLJ": 5},
+    "q_capture_recapture": {"BNLJ": 2},
+    "q_causal_impact_lite": {"BNLJ": 2},
+    "q_ccf_lead_lag": {"BNLJ": 1},
+    "q_che_lru_hit_ratio": {"BNLJ": 10},
+    "q_chi2_hash_uniformity": {"BNLJ": 1},
+    "q_chi2_type_dow": {"BNLJ": 1},
+    "q_chow_test": {"BNLJ": 2},
+    "q_class_weights": {"BNLJ": 1},
+    "q_cliffs_delta": {"BNLJ": 2},
+    "q_cluster_rand_index": {"BNLJ": 2},
+    "q_clustering_coefficient": {"SMJ": 2},
+    "q_cochrane_orcutt": {"BNLJ": 4},
+    "q_cold_start_coverage": {"BNLJ": 2},
+    "q_colley_ranking": {"SMJ": 4},
+    "q_competing_risks": {"BNLJ": 1},
+    "q_concentration_curve": {"BNLJ": 1},
+    "q_conformal_interval": {"BNLJ": 5},
+    "q_context_budget_fit": {"BNLJ": 1},
+    "q_cooks_distance": {"BNLJ": 3},
+    "q_copeland_ranking": {"SMJ": 2},
+    "q_countmin_sketch": {"BNLJ": 2},
+    "q_cox_ph_newton": {"BNLJ": 3},
+    "q_cramer_von_mises": {"BNLJ": 2},
+    "q_cramers_v": {"BNLJ": 1},
+    "q_cuped_adjustment": {"BNLJ": 1},
+    "q_customer_lifetime_value": {"BNLJ": 1},
+    "q_cusum_mean_shift": {"BNLJ": 1},
+    "q_cusum_ols_residuals": {"BNLJ": 3},
+    "q_dagostino_k2": {"BNLJ": 1},
+    "q_decision_stump": {"BNLJ": 1},
+    "q_dedup_cluster_sizes": {"BNLJ": 1},
+    "q_dedup_connected_components": {"SMJ": 39},
+    "q_dedup_embedding_cosine": {"BNLJ": 1},
+    "q_design_effect_icc": {"BNLJ": 4},
+    "q_dfa_exponent": {"BNLJ": 6},
+    "q_dft_periodogram": {"BNLJ": 2},
+    "q_dhondt_apportionment": {"BNLJ": 2},
+    "q_difference_in_differences": {"BNLJ": 1},
+    "q_dirichlet_multinomial": {"BNLJ": 1},
+    "q_discount_uplift_curve": {"BNLJ": 1},
+    "q_doc_length_lognormal_ks": {"BNLJ": 2},
+    "q_dow_effect_ols": {"BNLJ": 2},
+    "q_drawdown_duration": {"BNLJ": 1},
+    "q_dsir_importance_weights": {"BNLJ": 2},
+    "q_durbin_watson": {"BNLJ": 1},
+    "q_eb_shrinkage": {"BNLJ": 3},
+    "q_eccentricity_diameter": {"BNLJ": 1},
+    "q_effect_sizes": {"BNLJ": 2},
+    "q_effective_rank": {"BNLJ": 1},
+    "q_effective_sample_size": {"BNLJ": 3},
+    "q_embedding_class_separation": {"BNLJ": 2},
+    "q_embedding_isotropy": {"BNLJ": 1},
+    "q_embedding_outlier_scan": {"BNLJ": 1},
+    "q_energy_distance": {"BNLJ": 2},
+    "q_engle_granger_coint": {"BNLJ": 5},
+    "q_eoq_order_quantity": {"BNLJ": 1},
+    "q_eoq_policy": {"BNLJ": 1},
+    "q_erlang_blocking": {"BNLJ": 1},
+    "q_erlang_c_staffing": {"BNLJ": 1},
+    "q_eta_squared_dow": {"BNLJ": 4},
+    "q_event_rate_wilson_ci": {"BNLJ": 1},
+    "q_event_study_car": {"BNLJ": 3},
+    "q_events_funnel": {"BNLJ": 2},
+    "q_ewma_chart": {"BNLJ": 1},
+    "q_ewma_control_chart": {"BNLJ": 1},
+    "q_exactly_once_dedup_audit": {"BNLJ": 2},
+    "q_expected_shortfall": {"BNLJ": 1},
+    "q_extremal_index": {"BNLJ": 4},
+    "q_fairness_audit": {"BNLJ": 1},
+    "q_fano_factor": {"BNLJ": 1},
+    "q_fisher_exact": {"BNLJ": 4},
+    "q_fixed_effects_ols": {"BNLJ": 3},
+    "q_fleiss_kappa": {"BNLJ": 2},
+    "q_fligner_killeen": {"BNLJ": 3},
+    "q_forecast_interval_coverage": {"BNLJ": 1},
+    "q_fractional_knapsack": {"BNLJ": 1},
+    "q_funnel_timebound": {"BNLJ": 2},
+    "q_gaussian_kde": {"BNLJ": 2},
+    "q_gaussian_mixture_em": {"BNLJ": 5},
+    "q_generalized_esd": {"BNLJ": 42},
+    "q_goldfeld_quandt": {"BNLJ": 1},
+    "q_good_turing": {"BNLJ": 2},
+    "q_graph_reciprocity": {"BNLJ": 2},
+    "q_gtest_independence": {"BNLJ": 5},
+    "q_haar_energy": {"BNLJ": 3},
+    "q_hampel_filter": {"BNLJ": 2},
+    "q_hard_negative_mining": {"BNLJ": 1},
+    "q_harmonic_regression": {"BNLJ": 1},
+    "q_histogram_quantile_error": {"BNLJ": 2},
+    "q_hodges_lehmann": {"BNLJ": 5},
+    "q_hoover_index": {"BNLJ": 1},
+    "q_hour_type_volume": {"BNLJ": 2},
+    "q_huber_regression_irls": {"BNLJ": 21},
+    "q_hurst_rs": {"BNLJ": 5},
+    "q_i2_heterogeneity": {"BNLJ": 1},
+    "q_interarrival_exponential_ks": {"BNLJ": 1},
+    "q_intermittency_profile": {"BNLJ": 1},
+    "q_ipf_matrix_balancing": {"BNLJ": 2},
+    "q_isotonic_regression": {"BNLJ": 1},
+    "q_ivf_probe_sweep": {"BNLJ": 5, "SMJ": 2},
+    "q_jackknife_se": {"BNLJ": 3},
+    "q_james_stein": {"BNLJ": 2},
+    "q_jl_projection_distortion": {"BNLJ": 2},
+    "q_jonckheere_terpstra": {"BNLJ": 3},
+    "q_js_divergence": {"BNLJ": 1},
+    "q_json_key_audit": {"BNLJ": 1},
+    "q_k_anonymity": {"BNLJ": 1},
+    "q_kcore_trade": {"BNLJ": 2},
+    "q_kendall_tau": {"BNLJ": 2},
+    "q_kendall_w": {"BNLJ": 2},
+    "q_kernel_regression_nw": {"BNLJ": 1},
+    "q_kfold_balance": {"BNLJ": 1},
+    "q_kl_coding_cost": {"BNLJ": 1},
+    "q_kmv_distinct_estimate": {"BNLJ": 1},
+    "q_kmv_set_ops": {"BNLJ": 2},
+    "q_knn_bruteforce": {"BNLJ": 1},
+    "q_knn_classifier_eval": {"BNLJ": 1},
+    "q_knn_ivf": {"BNLJ": 2},
+    "q_kpss_stationarity": {"BNLJ": 3},
+    "q_kruskal_wallis": {"BNLJ": 1},
+    "q_label_propagation": {"BNLJ": 2},
+    "q_lad_regression_grid": {"BNLJ": 1},
+    "q_life_table": {"BNLJ": 3},
+    "q_link_prediction": {"BNLJ": 2},
+    "q_littles_law": {"BNLJ": 1},
+    "q_ljung_box": {"BNLJ": 3},
+    "q_logistic_newton": {"BNLJ": 3},
+    "q_logrank_test": {"BNLJ": 1},
+    "q_lorenz_asymmetry": {"BNLJ": 5},
+    "q_lorenz_curve": {"BNLJ": 1},
+    "q_mahalanobis_outliers": {"BNLJ": 1},
+    "q_mann_kendall": {"BNLJ": 3},
+    "q_markov_entropy_rate": {"BNLJ": 1},
+    "q_markov_removal_attribution": {"BNLJ": 4},
+    "q_matryoshka_truncation": {"BNLJ": 1},
+    "q_mcc_stump": {"BNLJ": 1},
+    "q_mean_excess_function": {"BNLJ": 1},
+    "q_mean_reversion_half_life": {"BNLJ": 3},
+    "q_median_absolute_pct_error": {"BNLJ": 1},
+    "q_mediation_sobel": {"BNLJ": 2},
+    "q_meta_analysis": {"BNLJ": 1},
+    "q_mg1_queue_wait": {"BNLJ": 1},
+    "q_model_selection_aic": {"BNLJ": 1},
+    "q_monetary_unit_sampling": {"BNLJ": 1},
+    "q_moods_median_test": {"BNLJ": 3},
+    "q_moran_geary": {"BNLJ": 4},
+    "q_ndcg_at_k": {"BNLJ": 1},
+    "q_neyman_allocation": {"BNLJ": 3},
+    "q_ngram_lm_kneser_ney": {"BNLJ": 3},
+    "q_null_rate_trend": {"BNLJ": 1},
+    "q_optimal_bins": {"BNLJ": 1},
+    "q_order_size_histogram": {"BNLJ": 1},
+    "q_p_chart": {"BNLJ": 1},
+    "q_pacf_durbin_levinson": {"BNLJ": 1},
+    "q_page_hinkley": {"BNLJ": 5},
+    "q_page_trend_test": {"BNLJ": 1},
+    "q_pca_power_iteration": {"BNLJ": 11},
+    "q_peak_over_threshold": {"BNLJ": 2},
+    "q_periodogram_peak": {"BNLJ": 2},
+    "q_permutation_entropy": {"BNLJ": 1},
+    "q_permutation_test_mean": {"BNLJ": 4},
+    "q_placebo_cutpoints": {"BNLJ": 3},
+    "q_poisson_bootstrap_ci": {"BNLJ": 2},
+    "q_poisson_glm_newton": {"BNLJ": 6},
+    "q_pq_distortion": {"BNLJ": 1},
+    "q_pr_curve": {"BNLJ": 2},
+    "q_price_endings": {"BNLJ": 1},
+    "q_psi_value_drift": {"BNLJ": 1},
+    "q_qq_deciles": {"BNLJ": 1},
+    "q_quantile_regression_grid": {"BNLJ": 2},
+    "q_quantile_skew_kurtosis": {"BNLJ": 1},
+    "q_quintile_migration": {"BNLJ": 2},
+    "q_ransac_line": {"BNLJ": 1},
+    "q_rarefaction_curve": {"BNLJ": 1},
+    "q_rbo_rank_overlap": {"BNLJ": 1},
+    "q_rca_trade_index": {"BNLJ": 1},
+    "q_reciprocal_rank_fusion": {"BNLJ": 1},
+    "q_recommendation_novelty": {"BNLJ": 2},
+    "q_record_statistics": {"BNLJ": 1},
+    "q_recurrence_rate": {"BNLJ": 10},
+    "q_renyi_spectrum": {"BNLJ": 1},
+    "q_retention_decay_fit": {"BNLJ": 2},
+    "q_retrieval_mrr": {"BNLJ": 1},
+    "q_rfm_segmentation": {"BNLJ": 1},
+    "q_rich_club": {"BNLJ": 2},
+    "q_rmst": {"BNLJ": 1},
+    "q_runs_test": {"BNLJ": 1},
+    "q_safety_stock": {"BNLJ": 1},
+    "q_sample_entropy": {"BNLJ": 3},
+    "q_sax_symbolization": {"BNLJ": 1},
+    "q_scalar_subquery": {"BNLJ": 1},
+    "q_ses_grid_search": {"BNLJ": 1},
+    "q_sessionization_gap_sweep": {"BNLJ": 1},
+    "q_shapiro_francia": {"BNLJ": 1},
+    "q_shift_share": {"BNLJ": 1},
+    "q_shingle_size_sweep": {"BNLJ": 1},
+    "q_siegel_repeated_medians": {"BNLJ": 3},
+    "q_silhouette_by_label": {"BNLJ": 1},
+    "q_similarity_histogram": {"BNLJ": 3},
+    "q_simpsons_paradox": {"BNLJ": 1},
+    "q_smallworld_sigma": {"BNLJ": 4},
+    "q_spectral_coherence": {"BNLJ": 2},
+    "q_spectral_entropy": {"BNLJ": 11},
+    "q_sprt_ab_sequential": {"BNLJ": 1},
+    "q_stl_anomaly_days": {"BNLJ": 1},
+    "q_storey_qvalues": {"BNLJ": 1},
+    "q_stratified_adjustment": {"BNLJ": 2},
+    "q_supplier_pareto": {"BNLJ": 1},
+    "q_survivorship_bias": {"BNLJ": 1},
+    "q_t_closeness": {"BNLJ": 2},
+    "q_tfidf_cosine_pairs": {"BNLJ": 4},
+    "q_tfidf_top_terms": {"BNLJ": 1},
+    "q_theil_index": {"BNLJ": 3},
+    "q_theil_sen_trend": {"BNLJ": 1},
+    "q_theta_forecast": {"BNLJ": 2},
+    "q_time_decay_score": {"BNLJ": 1},
+    "q_token_burstiness": {"BNLJ": 1},
+    "q_topk_policy_regret": {"BNLJ": 1},
+    "q_topsis_ranking": {"BNLJ": 11},
+    "q_trade_modularity": {"BNLJ": 1},
+    "q_transfer_entropy": {"BNLJ": 1},
+    "q_trending_tokens": {"BNLJ": 5},
+    "q_tukey_hsd": {"BNLJ": 2},
+    "q_two_hop_reachability": {"BNLJ": 2},
+    "q_two_way_anova": {"BNLJ": 2},
+    "q_user_power_curve": {"BNLJ": 1},
+    "q_var_backtest": {"BNLJ": 1},
+    "q_variogram_daily": {"BNLJ": 1},
+    "q_wasserstein_1d": {"BNLJ": 3},
+    "q_weighted_kappa": {"BNLJ": 2},
+    "q_westgard_rules": {"BNLJ": 5},
+    "q_xmr_control_chart": {"BNLJ": 1},
+    "q_youden_threshold": {"BNLJ": 1},
+    "q_yule_walker_ar2": {"BNLJ": 1},
+}
+
+_DEFAULT_MAX = {"CARTESIAN": 0, "BNLJ": 0, "SMJ": 1}
+
+_FLAG_PAT = {
+    # detail-section operator headers: exactly one "(<id>) <Op>" line per
+    # physical operator instance (the tree section puts the id *after* the
+    # name, so it never double-counts)
+    "CARTESIAN": re.compile(r"\(\d+\) CartesianProduct"),
+    "BNLJ": re.compile(r"\(\d+\) BroadcastNestedLoopJoin"),
+    "SMJ": re.compile(r"\(\d+\) SortMergeJoin"),
+}
 
 
-def _flags(plan: str) -> set[str]:
-    flags = set()
-    if "CartesianProduct" in plan:
-        flags.add("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan:
-        flags.add("BNLJ")
-    if plan.count("SortMergeJoin") >= 2:
-        flags.add("SMJ")
-    return flags
+def _flag_counts(plan: str) -> dict[str, int]:
+    return {f: len(p.findall(plan)) for f, p in _FLAG_PAT.items()}
+
+
+def test_whitelists_are_consistent():
+    """Every pinned count above the defaults must carry a documented WHY in
+    BY_DESIGN, and every BY_DESIGN name must be a registered query — the
+    count table can't silently excuse an undocumented shape, and stale
+    entries can't linger after a rename."""
+    for name, ent in MAX_COUNTS.items():
+        implied = {
+            f
+            for f, n in ent.items()
+            if n > _DEFAULT_MAX[f]
+        }
+        assert implied <= BY_DESIGN.get(name, set()), (
+            f"{name}: MAX_COUNTS allows {implied} without a BY_DESIGN reason"
+        )
+        assert name in REGISTRY, f"{name}: stale MAX_COUNTS entry"
+    for name in BY_DESIGN:
+        assert name in REGISTRY, f"{name}: stale BY_DESIGN entry"
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -671,5 +978,13 @@ def test_plan_has_no_unexplained_red_flags(spark, name):
     plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    unexplained = _flags(plan) - BY_DESIGN.get(name, set())
-    assert not unexplained, f"{name}: new scale red flags {unexplained}"
+    allowed = MAX_COUNTS.get(name, {})
+    over = {
+        f: (c, max(allowed.get(f, 0), _DEFAULT_MAX[f]))
+        for f, c in _flag_counts(plan).items()
+        if c > max(allowed.get(f, 0), _DEFAULT_MAX[f])
+    }
+    assert not over, (
+        f"{name}: red-flag operators exceed their pinned maxima "
+        f"{{flag: (observed, allowed)}} = {over}"
+    )

@@ -1,0 +1,48 @@
+"""One-off: measure exact red-flag operator counts per registered query plan.
+
+Writes /tmp/plan_counts.json = {name: {"CARTESIAN": n, "BNLJ": n, "SMJ": n}}
+for every query with any nonzero count. Used to pin per-flag maxima in
+tests/test_plan_audit.py (ADVICE r3: the allowlist must bound occurrence
+counts, not just flag presence).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from watermill_spark.analytics.registry import REGISTRY
+from watermill_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+PAT = {
+    "CARTESIAN": re.compile(r"\(\d+\) CartesianProduct"),
+    "BNLJ": re.compile(r"\(\d+\) BroadcastNestedLoopJoin"),
+    "SMJ": re.compile(r"\(\d+\) SortMergeJoin"),
+}
+
+
+def main() -> None:
+    spark = get_spark("plan-counts")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for i, (name, q) in enumerate(sorted(REGISTRY.items())):
+        plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = {f: len(p.findall(plan)) for f, p in PAT.items()}
+        if any(counts.values()):
+            out[name] = counts
+        if i % 50 == 0:
+            print(f"{i}/{len(REGISTRY)} {name}", flush=True)
+    with open("/tmp/plan_counts.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"done: {len(out)} queries with nonzero counts")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

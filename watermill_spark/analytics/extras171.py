@@ -125,18 +125,22 @@ def q_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (w.diff - p.theta)
                            AS DECIMAL(38,10))) AS DOUBLE) AS qstat
       FROM w, pooled p GROUP BY 1, 2
+    ),
+    i AS (
+      SELECT k, theta, qstat,
+             CASE WHEN qstat > 0
+                  THEN GREATEST(0.0, (qstat - (k - 1.0)) / qstat)
+                  ELSE 0.0 END AS i2
+      FROM q
     )
     SELECT k AS n_studies,
            round(theta, 4) AS pooled_effect,
            round(qstat, 6) AS cochran_q,
-           round(GREATEST(0.0, (qstat - (k - 1.0)) / qstat) * 100.0, 4)
-             AS i2_pct,
-           CASE WHEN GREATEST(0.0, (qstat - (k - 1.0)) / qstat)
-                     < 0.25 THEN 'low'
-                WHEN GREATEST(0.0, (qstat - (k - 1.0)) / qstat)
-                     < 0.5 THEN 'moderate'
+           round(i2 * 100.0, 4) AS i2_pct,
+           CASE WHEN i2 < 0.25 THEN 'low'
+                WHEN i2 < 0.5 THEN 'moderate'
                 ELSE 'substantial' END AS heterogeneity
-    FROM q
+    FROM i
     """,
 )
 def q_i2_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,9 +188,14 @@ def q_i2_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qstat")
         )
     )
-    i2 = F.greatest(
-        F.lit(0.0), (F.col("qstat") - (F.col("k") - 1.0)) / F.col("qstat")
-    )
+    # Q == 0 (all study effects equal the pooled effect) must yield the
+    # conventional I² = 0, not -inf/NaN from the 0/0 division
+    i2 = F.when(
+        F.col("qstat") > 0,
+        F.greatest(
+            F.lit(0.0), (F.col("qstat") - (F.col("k") - 1.0)) / F.col("qstat")
+        ),
+    ).otherwise(F.lit(0.0))
     return q.select(
         F.col("k").alias("n_studies"),
         F.round("theta", 4).alias("pooled_effect"),

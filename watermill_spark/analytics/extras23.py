@@ -135,29 +135,38 @@ def q_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-(customer, year) rollup is one fact shuffle; the two ntile
     sorts run per year-partition over |active customers| (the documented
     100-TB swap is approx-quantile boundaries, as q_decile_lift); the
-    transition join is keyed on custkey. §2.B [NS].
+    transition join is keyed on custkey. The min/max-year bounds ride a
+    broadcast 1-row cross join (one Spark job, no driver collect). §2.B
+    [NS].
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
     yy = orders.agg(
         F.min(F.year("o_orderdate")).alias("y0"),
         F.max(F.year("o_orderdate")).alias("y1"),
-    ).collect()[0]
-    y0, y1 = yy["y0"], yy["y1"]
+    )
     per = (
-        orders.filter(F.year("o_orderdate").isin(y0, y1))
-        .groupBy("o_custkey", F.year("o_orderdate").alias("y"))
+        orders.crossJoin(F.broadcast(yy))
+        .withColumn("y", F.year("o_orderdate"))
+        .filter((F.col("y") == F.col("y0")) | (F.col("y") == F.col("y1")))
+        .groupBy("o_custkey", "y", "y0", "y1")
         .agg(F.sum(dec("o_totalprice")).alias("s"))
     )
     q = per.select(
         "o_custkey",
         "y",
+        "y0",
+        "y1",
         F.ntile(5)
         .over(Window.partitionBy("y").orderBy(F.col("s").desc(), "o_custkey"))
         .alias("qt"),
     )
-    a = q.filter(F.col("y") == y0).select("o_custkey", F.col("qt").alias("q_old"))
-    b = q.filter(F.col("y") == y1).select("o_custkey", F.col("qt").alias("q_new"))
+    a = q.filter(F.col("y") == F.col("y0")).select(
+        "o_custkey", F.col("qt").alias("q_old")
+    )
+    b = q.filter(F.col("y") == F.col("y1")).select(
+        "o_custkey", F.col("qt").alias("q_new")
+    )
     c = a.join(b, "o_custkey").groupBy("q_old", "q_new").agg(
         F.count(F.lit(1)).alias("n")
     )
