@@ -24,8 +24,8 @@ from watermill_spark.session import tune_session
 
 from .det import bcount, dec
 from .extras107 import phi_inv_col, phi_inv_sql
-from .registry import load, register
-from .similarity import cosine
+from .registry import load, register, spread
+from .similarity import _SQL_BUCKET, cosine, lsh_bucket
 
 _D15 = "decimal(38,15)"
 
@@ -122,6 +122,119 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select(F.lit("hard_positive").alias("kind"), "rank", "id_a",
                 "id_b", "label_a", "label_b", "cos")
+    )
+    return neg.unionAll(pos).orderBy("kind", "rank")
+
+
+@register(
+    "q_hard_negative_mining_ann",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+             {_SQL_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.label AS label_a, b.label AS label_b, a.bucket,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      FROM sig a JOIN sig b
+        ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+    ),
+    hard_neg AS (
+      SELECT 'hard_negative' AS kind, id_a, id_b, label_a, label_b,
+             bucket, cos,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, id_a, id_b) AS rk
+      FROM pairs WHERE label_a <> label_b
+    ),
+    hard_pos AS (
+      SELECT 'hard_positive' AS kind, id_a, id_b, label_a, label_b,
+             bucket, cos,
+             ROW_NUMBER() OVER (ORDER BY cos ASC, id_a, id_b) AS rk
+      FROM pairs WHERE label_a = label_b
+    )
+    SELECT kind, CAST(rk AS BIGINT) AS rank, id_a, id_b,
+           CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b, bucket, cos
+    FROM (SELECT * FROM hard_neg WHERE rk <= 10
+          UNION ALL SELECT * FROM hard_pos WHERE rk <= 10)
+    ORDER BY kind, rank
+    """,
+)
+def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hard-pair miner: `q_hard_negative_mining`'s curation
+    step restricted to ANN candidates — only pairs sharing a random-
+    hyperplane LSH bucket (`q_ann_lsh_hyperplane`'s signature) are
+    scored, so the corpus is never all-pairs-expanded. Hard negatives
+    (cross-label, highest cosine) are exactly what LSH buckets surface
+    (the confusable neighborhoods); hard positives here are the least-
+    similar same-label pairs *within a shared bucket* — by design a
+    candidate-set-relative notion, mirroring in-batch mining in
+    contrastive training.
+
+    Determinism: bucket bits sign-test a 6-rounded dot against ±1
+    planes (engine-identical); pair scores are rounded cosines with
+    full id tiebreaks.
+
+    Scale: one narrow map stamps signatures (pure JVM, no UDF), then a
+    bucket equi-join — ~1/2^bits of all pairs per band — feeds exact
+    rescoring and two global top-10s (WindowGroupLimit keeps 10 rows
+    per partition before the final sort). This is the registered scale
+    twin of the quarantined all-pairs recall oracle, the same pairing
+    as q_knn_bruteforce / q_ann_lsh_hyperplane. §2.B similarity
+    mandate [NS].
+    """
+    tune_session(spark)
+    sig = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    sig = sig.withColumn("bucket", lsh_bucket(F.col("emb")))
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        sig.join(
+            b,
+            (F.col("bucket_b") == F.col("bucket"))
+            & (F.col("id_b") > F.col("vec_id")),
+        )
+        .select(
+            F.col("vec_id").alias("id_a"),
+            "id_b",
+            F.col("label").alias("label_a"),
+            "label_b",
+            "bucket",
+            F.round(cosine("emb", "emb_b"), 6).alias("cos"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("label_a") != F.col("label_b"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), "id_a", "id_b"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select(F.lit("hard_negative").alias("kind"), "rank", "id_a",
+                "id_b", "label_a", "label_b", "bucket", "cos")
+    )
+    pos = (
+        pairs.filter(F.col("label_a") == F.col("label_b"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").asc(), "id_a", "id_b"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select(F.lit("hard_positive").alias("kind"), "rank", "id_a",
+                "id_b", "label_a", "label_b", "bucket", "cos")
     )
     return neg.unionAll(pos).orderBy("kind", "rank")
 
