@@ -136,8 +136,12 @@ def test_protowire_golden_bytes():
     neg = encode_message({"amount": -1}, [Field(2, "amount", "int64")])
     assert neg == b"\x10" + b"\xff" * 9 + b"\x01"
     assert decode_message(neg, [Field(2, "amount", "int64")])["amount"] == -1
-    # unknown fields skipped
-    assert decode_message(buf, [Field(2, "amount", "int64")]) == {"amount": 150}
+    # unknown fields preserved as raw wire bytes (Go proto round-trip
+    # contract), not silently dropped
+    assert decode_message(buf, [Field(2, "amount", "int64")]) == {
+        "amount": 150,
+        "_unknown_fields": b"\x0a\x02hi",
+    }
 
 
 def test_protobuf_marshaler_roundtrip(ps, spark):
@@ -232,7 +236,12 @@ def test_descriptor_set_wellformed():
             Field(5, "type", "int64"),
         ],
     )
-    assert last == {"name": "score", "number": 3, "type": 1}  # TYPE_DOUBLE=1
+    # (partial schema: other descriptor fields land in _unknown_fields)
+    assert {k: last[k] for k in ("name", "number", "type")} == {
+        "name": "score",
+        "number": 3,
+        "type": 1,
+    }  # TYPE_DOUBLE=1
 
 
 # -- protobuf nested / repeated / map (marshaler_protobuf.go marshals ANY
@@ -320,6 +329,167 @@ def test_protowire_map_golden():
     ]
     buf = encode_message({"m": {"k": {"n": 7}}}, fm)
     assert decode_message(buf, fm) == {"m": {"k": {"n": 7}}}
+
+
+def test_protowire_unknown_fields_roundtrip():
+    """Forwarder pass-through contract (marshaler_protobuf.go semantics via
+    Go's proto runtime): decoding with a schema missing some fields, then
+    re-encoding, reproduces the original bytes — unknown fields are carried
+    as raw wire bytes, never dropped."""
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    full = [
+        Field(1, "id", "string"),
+        Field(2, "amount", "int64"),
+        Field(3, "score", "double"),
+        Field(4, "tags", "string", repeated=True),
+    ]
+    original = encode_message(
+        {"id": "x", "amount": 7, "score": 1.5, "tags": ["a", "b"]}, full
+    )
+    # narrow schema knows only fields 1 and 2; 3 (I64) and 4 (LEN x2) are
+    # unknown — every wire type exercises the skip-and-keep path
+    narrow = [Field(1, "id", "string"), Field(2, "amount", "int64")]
+    decoded = decode_message(original, narrow)
+    assert decoded["id"] == "x" and decoded["amount"] == 7
+    assert "_unknown_fields" in decoded
+    # byte-identical re-encode: known fields are in number order (as the
+    # original encoder emitted them) and unknowns re-emit at the end, which
+    # is also where they sat (3,4 > 1,2)
+    assert encode_message(decoded, narrow) == original
+    # a mid-number unknown survives semantically: decode the re-encoded
+    # bytes with the FULL schema and recover every field value
+    narrow2 = [Field(1, "id", "string"), Field(3, "score", "double")]
+    rt = encode_message(decode_message(original, narrow2), narrow2)
+    assert decode_message(rt, full) == {
+        "id": "x",
+        "amount": 7,
+        "score": 1.5,
+        "tags": ["a", "b"],
+    }
+    # nested: the submessage's own unknown fields round-trip too
+    sub_full = (Field(1, "n", "int64"), Field(2, "s", "string"))
+    sub_narrow = (Field(1, "n", "int64"),)
+    outer_full = [Field(1, "inner", "message", message=sub_full)]
+    outer_narrow = [Field(1, "inner", "message", message=sub_narrow)]
+    orig = encode_message({"inner": {"n": 5, "s": "keep"}}, outer_full)
+    rt = encode_message(decode_message(orig, outer_narrow), outer_narrow)
+    assert rt == orig
+    # no unknown content -> no reserved key, and encode of a dict without
+    # the key is unchanged behavior
+    assert "_unknown_fields" not in decode_message(orig, outer_full)
+
+
+def test_protowire_oneof_golden():
+    """proto3 oneof: presence-tracked members (set-to-default still emits),
+    last-one-wins on decode, two set members rejected on encode."""
+    import pytest as _pytest
+
+    from watermill_spark.components.protowire import (
+        Field,
+        decode_message,
+        encode_message,
+    )
+
+    f = [
+        Field(1, "name", "string"),
+        Field(2, "as_text", "string", oneof="body"),
+        Field(3, "as_num", "int64", oneof="body"),
+    ]
+    # unset oneof members decode to None (not proto3 defaults)
+    assert decode_message(b"", f) == {
+        "name": "",
+        "as_text": None,
+        "as_num": None,
+    }
+    # a set member holding the DEFAULT value is still emitted (explicit
+    # presence): field 3 varint 0 -> 0x18 0x00
+    buf = encode_message({"as_num": 0}, f)
+    assert buf == b"\x18\x00"
+    assert decode_message(buf, f) == {
+        "name": "",
+        "as_text": None,
+        "as_num": 0,
+    }
+    # empty-string member likewise: field 2 zero-length -> 0x12 0x00
+    buf = encode_message({"as_text": ""}, f)
+    assert buf == b"\x12\x00"
+    assert decode_message(buf, f)["as_text"] == ""
+    # round-trip a normal value; the non-oneof sibling keeps proto3 defaults
+    buf = encode_message({"name": "m", "as_text": "hello"}, f)
+    assert decode_message(buf, f) == {
+        "name": "m",
+        "as_text": "hello",
+        "as_num": None,
+    }
+    # two set members of one group is a programming error
+    with _pytest.raises(ValueError, match="oneof group"):
+        encode_message({"as_text": "x", "as_num": 1}, f)
+    # last-one-wins: wire carrying field 2 then field 3 keeps only field 3
+    wire = b"\x12\x01a" + b"\x18\x05"
+    assert decode_message(wire, f) == {
+        "name": "",
+        "as_text": None,
+        "as_num": 5,
+    }
+    # message-typed oneof member: None=unset, {}=set-empty still emits
+    fm = [
+        Field(1, "as_msg", "message", message=(Field(1, "n", "int64"),),
+              oneof="body"),
+        Field(2, "as_text", "string", oneof="body"),
+    ]
+    buf = encode_message({"as_msg": {}}, fm)
+    assert buf == b"\x0a\x00"
+    assert decode_message(buf, fm) == {"as_msg": {"n": 0}, "as_text": None}
+
+
+def test_descriptor_set_oneof_wellformed():
+    """oneof_decl (DescriptorProto.8) and oneof_index
+    (FieldDescriptorProto.9) land in the hand-encoded descriptor."""
+    from watermill_spark.components.protowire import (
+        Field,
+        build_descriptor_set,
+        decode_message,
+    )
+
+    fields = [
+        Field(1, "name", "string"),
+        Field(2, "as_text", "string", oneof="body"),
+        Field(3, "as_num", "int64", oneof="body"),
+    ]
+    blob = build_descriptor_set("watermill", "Evt", fields)
+    fds = decode_message(blob, [Field(1, "file", "bytes")])
+    fdp = decode_message(fds["file"], [Field(4, "message_type", "bytes")])
+    msg = decode_message(
+        fdp["message_type"],
+        [
+            Field(1, "name", "string"),
+            Field(2, "field", "bytes", repeated=True),
+            Field(8, "oneof_decl", "bytes", repeated=True),
+        ],
+    )
+    assert len(msg["oneof_decl"]) == 1
+    decl = decode_message(msg["oneof_decl"][0], [Field(1, "name", "string")])
+    assert decl == {"name": "body"}
+    fdesc = [
+        decode_message(
+            fp,
+            [
+                Field(1, "name", "string"),
+                # oneof_index=0 is a real value; int64 default would hide
+                # it, so probe presence via a oneof-style nullable field
+                Field(9, "oneof_index", "int64", oneof="probe"),
+            ],
+        )
+        for fp in msg["field"]
+    ]
+    by_name = {d["name"]: d["oneof_index"] for d in fdesc}
+    assert by_name["name"] is None
+    assert by_name["as_text"] == 0 and by_name["as_num"] == 0
 
 
 def test_protobuf_marshaler_nested_roundtrip(ps, spark):
@@ -451,4 +621,9 @@ def test_descriptor_set_nested_map_wellformed():
             Field(5, "type", "int64"),
         ],
     )
-    assert first == {"name": "tags", "label": 3, "type": 9}
+    # (partial schema: other descriptor fields land in _unknown_fields)
+    assert {k: first[k] for k in ("name", "label", "type")} == {
+        "name": "tags",
+        "label": 3,
+        "type": 9,
+    }

@@ -44,7 +44,19 @@ proto3 semantics, including null handling (explicit contract):
   wire, decodes to `None`); an empty dict is an explicitly-set empty
   message (zero-length field on the wire, decodes to `{}`).
 - Repeated fields decode to `[]` when absent, maps to `{}` — never None.
-- Unknown fields are skipped per wire type.
+- Unknown fields are PRESERVED across a round-trip, matching Go's proto
+  runtime: decode keeps each unrecognized (tag, wire, payload) field's raw
+  bytes, in arrival order, under the reserved key ``"_unknown_fields"``
+  (a `bytes` value, present only when nonempty); encode re-emits them
+  verbatim after all known fields — exactly where Go's serializer puts
+  unknown fields. A forwarder-style pass-through (decode with a narrower
+  schema, re-encode) therefore never drops data.
+- `oneof` groups: give member fields the same ``Field(..., oneof="group")``
+  name. Members are presence-tracked — an unset member decodes to `None`
+  (never a proto3 default), a set member is always emitted on encode even
+  when it holds the default value (the explicit-presence rule for oneofs),
+  and setting two members of one group raises. Decode applies the spec's
+  last-one-wins rule across the group.
 """
 
 from __future__ import annotations
@@ -73,6 +85,9 @@ _WIRE_OF = {
 
 # numeric/bool scalars use packed encoding when repeated (proto3 default)
 _PACKABLE = {"int32", "int64", "bool", "double", "float"}
+
+# reserved dict key carrying raw unknown-field bytes across a round-trip
+_UNKNOWN = "_unknown_fields"
 
 # FieldDescriptorProto.Type enum values (descriptor.proto, public spec)
 _DESC_TYPE = {
@@ -106,12 +121,19 @@ class Field:
     message: tuple = ()  # sub-fields for "message" (or map message values)
     key_type: str = "string"  # map key scalar type
     value_type: str = ""  # map value type (scalar name or "message")
+    oneof: str = ""  # oneof group name; members are presence-tracked
 
     def __post_init__(self):
         if self.type not in _WIRE_OF:
             raise ValueError(f"unsupported field type {self.type!r}")
         if not 1 <= self.number < 1 << 29:
             raise ValueError(f"field number out of range: {self.number}")
+        if self.oneof and (self.repeated or self.type == "map"):
+            raise ValueError(
+                f"oneof member {self.name!r} cannot be repeated or a map"
+            )
+        if self.name == _UNKNOWN:
+            raise ValueError(f"{_UNKNOWN!r} is a reserved field name")
         if self.type == "message" and not self.message:
             raise ValueError(f"message field {self.name!r} needs sub-fields")
         if self.type == "map":
@@ -221,12 +243,29 @@ def encode_message(values: dict, fields: list[Field]) -> bytes:
     field-absent (decode to proto3 defaults, not None); ``None`` messages
     encode as unset (decode to None); ``None``/empty lists and maps encode
     as absent (decode to []/{}).
+
+    Oneof members are always emitted when set (even default-valued — the
+    explicit-presence rule); two set members of one group raise. Raw bytes
+    under the reserved ``"_unknown_fields"`` key (captured by
+    ``decode_message``) are re-emitted verbatim after all known fields,
+    matching Go proto round-trip semantics.
     """
+    set_oneofs: dict[str, str] = {}
+    for f in fields:
+        if f.oneof and values.get(f.name) is not None:
+            prev = set_oneofs.get(f.oneof)
+            if prev is not None:
+                raise ValueError(
+                    f"oneof group {f.oneof!r}: both {prev!r} and "
+                    f"{f.name!r} are set"
+                )
+            set_oneofs[f.oneof] = f.name
     out = bytearray()
     for f in sorted(fields, key=lambda f: f.number):
         v = values.get(f.name)
         if v is None:
             continue
+        keep_default = bool(f.oneof)  # presence-tracked: emit even defaults
         t = f.type
         if t == "map":
             items = sorted(v.items()) if isinstance(v, dict) else sorted(v)
@@ -255,22 +294,23 @@ def encode_message(values: dict, fields: list[Field]) -> bytes:
             out += payload
         elif t in ("string", "bytes"):
             data = v.encode("utf-8") if t == "string" else bytes(v)
-            if not data:
+            if not data and not keep_default:
                 continue  # proto3 default
             out += _tag(f.number, _WIRE_LEN) + encode_varint(len(data)) + data
         elif t in ("int32", "int64", "bool"):
             iv = int(v)
-            if iv == 0:
+            if iv == 0 and not keep_default:
                 continue
             out += _tag(f.number, _WIRE_VARINT) + encode_varint(iv)
         elif t == "double":
-            if v == 0.0:
+            if v == 0.0 and not keep_default:
                 continue
             out += _tag(f.number, _WIRE_I64) + _struct.pack("<d", float(v))
         elif t == "float":
-            if v == 0.0:
+            if v == 0.0 and not keep_default:
                 continue
             out += _tag(f.number, _WIRE_I32) + _struct.pack("<f", float(v))
+    out += bytes(values.get(_UNKNOWN) or b"")
     return bytes(out)
 
 
@@ -279,8 +319,8 @@ def _default_of(f: Field):
         return {}
     if f.repeated:
         return []
-    if f.type == "message":
-        return None
+    if f.type == "message" or f.oneof:
+        return None  # presence-tracked: unset means None, not a zero value
     return (
         "" if f.type == "string"
         else b"" if f.type == "bytes"
@@ -349,11 +389,19 @@ def _skip(wire: int, buf: bytes, pos: int) -> int:
 
 def decode_message(buf: bytes, fields: list[Field]) -> dict:
     """Decode wire bytes to a dict; absent scalars get proto3 defaults,
-    absent messages get None, absent repeated/map fields get []/{};
-    unknown fields are skipped per their wire type. Repeated numerics
-    accept both packed and unpacked encodings (the spec requires parsers
-    to accept either)."""
+    absent messages and oneof members get None, absent repeated/map fields
+    get []/{}. Unknown fields are preserved: their raw wire bytes (tag
+    included, arrival order) land under the reserved ``"_unknown_fields"``
+    key, which ``encode_message`` re-emits verbatim — the Go proto
+    runtime's round-trip contract. Oneof groups follow last-one-wins:
+    reading a member clears its siblings. Repeated numerics accept both
+    packed and unpacked encodings (the spec requires parsers to accept
+    either)."""
     by_num = {f.number: f for f in fields}
+    oneof_siblings: dict[str, list[str]] = {}
+    for f in fields:
+        if f.oneof:
+            oneof_siblings.setdefault(f.oneof, []).append(f.name)
     out: dict = {f.name: _default_of(f) for f in fields}
     # fresh containers per call (not the shared default objects)
     for f in fields:
@@ -361,15 +409,21 @@ def decode_message(buf: bytes, fields: list[Field]) -> dict:
             out[f.name] = {}
         elif f.repeated:
             out[f.name] = []
+    unknown = bytearray()
     pos = 0
     buf = bytes(buf)
     while pos < len(buf):
+        tag_start = pos
         key, pos = decode_varint(buf, pos)
         number, wire = key >> 3, key & 7
         f = by_num.get(number)
         if f is None:
             pos = _skip(wire, buf, pos)
+            unknown += buf[tag_start:pos]
             continue
+        if f.oneof:  # last-one-wins: a later member unsets its siblings
+            for sib in oneof_siblings[f.oneof]:
+                out[sib] = None
         if f.type == "map":
             ln, pos = decode_varint(buf, pos)
             k, v = _decode_map_entry(f, buf[pos : pos + ln])
@@ -396,6 +450,8 @@ def decode_message(buf: bytes, fields: list[Field]) -> dict:
         else:
             v, pos = _dec_scalar_bare(f.type, buf, pos)
             out[f.name] = v
+    if unknown:
+        out[_UNKNOWN] = bytes(unknown)
     return out
 
 
@@ -411,10 +467,10 @@ def _pascal(name: str) -> str:
 def _field_desc(
     f: Field, number: int | None = None, name: str | None = None,
     type_name: str | None = None, repeated: bool = False,
-    ftype: str | None = None,
+    ftype: str | None = None, oneof_index: int | None = None,
 ) -> bytes:
     """FieldDescriptorProto: name=1, number=3, label=4, type=5,
-    type_name=6, json_name=10."""
+    type_name=6, oneof_index=9, json_name=10."""
     nm = name if name is not None else f.name
     fp = (
         _len_delimited(1, nm.encode())
@@ -427,22 +483,32 @@ def _field_desc(
     )
     if type_name:
         fp += _len_delimited(6, type_name.encode())
+    if oneof_index is not None:
+        fp += _tag(9, _WIRE_VARINT) + encode_varint(oneof_index)
     fp += _len_delimited(10, nm.encode())  # json_name
     return fp
 
 
 def _message_desc(name: str, fields: list[Field], scope: str) -> bytes:
-    """DescriptorProto: name=1, field=2, nested_type=3, options=7.
+    """DescriptorProto: name=1, field=2, nested_type=3, options=7,
+    oneof_decl=8.
 
     Nested message types and map-entry types are emitted as nested_type
     entries; `scope` is the fully-qualified prefix (".pkg.Outer") used in
-    field type_name references.
+    field type_name references. Oneof groups become oneof_decl entries
+    (OneofDescriptorProto: name=1) referenced by each member field's
+    oneof_index, in first-appearance order over the number-sorted fields.
     """
     me = _len_delimited(1, name.encode())
     fqn = f"{scope}.{name}"
+    oneof_names: list[str] = []
+    for f in sorted(fields, key=lambda f: f.number):
+        if f.oneof and f.oneof not in oneof_names:
+            oneof_names.append(f.oneof)
     field_protos = b""
     nested = b""
     for f in sorted(fields, key=lambda f: f.number):
+        oidx = oneof_names.index(f.oneof) if f.oneof else None
         if f.type == "message":
             sub_name = _pascal(f.name)
             nested += _len_delimited(
@@ -451,7 +517,8 @@ def _message_desc(name: str, fields: list[Field], scope: str) -> bytes:
             field_protos += _len_delimited(
                 2,
                 _field_desc(
-                    f, type_name=f"{fqn}.{sub_name}", repeated=f.repeated
+                    f, type_name=f"{fqn}.{sub_name}", repeated=f.repeated,
+                    oneof_index=oidx,
                 ),
             )
         elif f.type == "map":
@@ -492,9 +559,12 @@ def _message_desc(name: str, fields: list[Field], scope: str) -> bytes:
             )
         else:
             field_protos += _len_delimited(
-                2, _field_desc(f, repeated=f.repeated)
+                2, _field_desc(f, repeated=f.repeated, oneof_index=oidx)
             )
-    return me + field_protos + nested
+    oneof_decls = b"".join(
+        _len_delimited(8, _len_delimited(1, n.encode())) for n in oneof_names
+    )
+    return me + field_protos + nested + oneof_decls
 
 
 def build_descriptor_set(package: str, message_name: str, fields: list[Field]) -> bytes:
@@ -504,9 +574,10 @@ def build_descriptor_set(package: str, message_name: str, fields: list[Field]) -
     descriptor.proto field numbers (public spec):
       FileDescriptorSet.file = 1
       FileDescriptorProto: name=1, package=2, message_type=4, syntax=12
-      DescriptorProto: name=1, field=2, nested_type=3, options=7
+      DescriptorProto: name=1, field=2, nested_type=3, options=7,
+      oneof_decl=8 (OneofDescriptorProto: name=1)
       FieldDescriptorProto: name=1, number=3, label=4, type=5, type_name=6,
-      json_name=10; MessageOptions.map_entry=7
+      oneof_index=9, json_name=10; MessageOptions.map_entry=7
 
     The output is a valid descriptor file consumable by
     `from_protobuf(col, messageName, descFilePath=...)` on clusters shipping
