@@ -436,3 +436,94 @@ def test_stream_chaos_kill_replay_exactly_once(ps, spark, tmp_path):
     assert all(
         n == 1 for bid, n in attempts.items() if bid not in bombs
     ), attempts
+
+
+def test_stream_soak_concurrent_handlers_chaos(ps, spark, tmp_path):
+    """Stress-mode analog of the reference's parallel suite run
+    (`pubsub/tests/test_pubsub.go:216-233`: whole acceptance suite x20 in
+    parallel under -race): four CONCURRENT run_stream handlers over two
+    shared topics, >=20 micro-batches each (maxFilesPerTrigger=1), with
+    chaos injected twice mid-run — a hard router kill (close() while
+    batches are in flight) and a transiently-failing handler (nack =>
+    replay) — then restarts on the SAME checkpoints while *new* data keeps
+    arriving. Contract: per consumer group no message is lost, and no
+    duplicate passes the idempotent (dedup-by-uuid) sink boundary.
+    """
+    t1, t2 = _t("soak-a"), _t("soak-b")
+    o1, o2, o3, o4 = _t("o1"), _t("o2"), _t("o3"), _t("o4")
+    ckpt = str(tmp_path / "soak-ckpt")
+    n_files, per_file = 20, 3  # 20 micro-batches per handler per run
+
+    for b in range(n_files):
+        ps.publish(t1, _msgs(spark, per_file, start=b * per_file))
+        ps.publish(t2, _msgs(spark, per_file, start=1000 + b * per_file))
+
+    flaky_state = {"fails_left": 1}
+
+    def flaky(df):
+        # one transient failure across the whole soak: the first processed
+        # batch nacks; the restart must replay it with nothing lost
+        if flaky_state["fails_left"] > 0:
+            flaky_state["fails_left"] -= 1
+            raise RuntimeError("soak: injected transient handler failure")
+        return df
+
+    def upper(df):
+        return df.withColumn(
+            "payload", F.upper(F.col("payload").cast("string")).cast("binary")
+        )
+
+    def build_router():
+        r = Router()
+        # two consumer groups sharing t1, two sharing t2 (one flaky)
+        r.add_handler("g1", t1, ps, o1, ps, passthrough_handler)
+        r.add_handler("g2", t1, ps, o2, ps, upper)
+        r.add_handler("g3", t2, ps, o3, ps, flaky)
+        r.add_handler("g4", t2, ps, o4, ps, passthrough_handler)
+        return r
+
+    # run 1: all four handlers start concurrently; kill the router hard
+    # while batches are in flight (close() stops mid-run; the flaky handler
+    # may also have nacked by now — both are fine, checkpoints hold)
+    r = build_router()
+    r.run_stream(ckpt, available_now=True, max_files_per_trigger=1)
+    import time as _time
+
+    _time.sleep(3)  # let a few micro-batches commit, then kill mid-run
+    r.close()
+
+    # new data arrives while the router is down (continue-after-close)
+    for b in range(n_files, n_files + 4):
+        ps.publish(t1, _msgs(spark, per_file, start=b * per_file))
+        ps.publish(t2, _msgs(spark, per_file, start=1000 + b * per_file))
+    total = (n_files + 4) * per_file
+
+    # run 2..n: restart on the same checkpoints until every handler drains
+    for _ in range(6):
+        r = build_router()
+        r.run_stream(ckpt, available_now=True, max_files_per_trigger=1)
+        try:
+            r.await_termination()
+            r.close()
+            break
+        except Exception:
+            r.close()  # flaky nack or in-flight kill residue -> restart
+    else:
+        raise AssertionError("soak did not converge within restart budget")
+
+    exp1 = {str(i) for i in range(total)}
+    exp2 = {str(1000 + i) for i in range(total)}
+    for topic, exp in ((o1, exp1), (o2, exp1), (o3, exp2), (o4, exp2)):
+        rows = ps.subscribe(topic).collect()
+        got = {x["metadata"]["n"] for x in rows}
+        assert got == exp, f"{topic}: lost {len(exp - got)} messages"
+        # at-least-once transport may append a replayed batch twice; the
+        # idempotent sink boundary (dedup by uuid) must see exactly one
+        uuids = [x["uuid"] for x in rows]
+        assert len(set(uuids)) == total
+    # the shared-topic groups transformed independently: g2 uppercased,
+    # g1 did not
+    p1 = {bytes(x["payload"]).decode() for x in ps.subscribe(o1).collect()}
+    p2 = {bytes(x["payload"]).decode() for x in ps.subscribe(o2).collect()}
+    assert all(p.startswith("p") for p in p1)
+    assert all(p.startswith("P") for p in p2)
