@@ -14,6 +14,9 @@ _ALIASES = {
     "example_03_delayed_delivery": "03_delayed_delivery.py",
     "example_04_metrics": "04_metrics.py",
     "example_05_exactly_once_counter": "05_exactly_once_counter.py",
+    "example_06_fanin_fanout": "06_fanin_fanout.py",
+    "example_07_forwarder_outbox": "07_forwarder_outbox.py",
+    "example_08_request_reply": "08_request_reply.py",
 }
 
 

@@ -48,3 +48,33 @@ def test_example_exactly_once_counter(spark, tmp_path):
     out = mod.main(spark, str(tmp_path / "ex5"))
     assert out["counter_value"] == 12
     assert out["replay_batches_applied"] == 0
+
+
+def test_example_fanin_fanout(spark, tmp_path):
+    from examples import example_06_fanin_fanout as mod
+
+    out = mod.main(spark, str(tmp_path / "ex6"))
+    assert out["merged_total"] == 10
+    assert out["per_source"] == {"clicks": 5, "purchases": 3, "refunds": 2}
+    assert out["audit_total"] == 10 and out["feed_total"] == 10
+
+
+def test_example_forwarder_outbox(spark, tmp_path):
+    from examples import example_07_forwarder_outbox as mod
+
+    assert mod.main(spark, str(tmp_path / "ex7")) == {
+        "orders_eu": 3,
+        "orders_us": 3,
+        "orders_apac": 2,
+        "outbox_total": 8,
+    }
+
+
+def test_example_request_reply(spark, tmp_path):
+    from examples import example_08_request_reply as mod
+
+    out = mod.main(spark, str(tmp_path / "ex8"))
+    assert out["reply_a"] == "charged:cmd-A"
+    assert out["reply_b"] == "charged:cmd-B"
+    assert out["replies_each"] == (1, 1)
+    assert out["no_errors"]
