@@ -30,7 +30,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)  # full precision — mismatching bits must fail
+        # 15 significant digits: a double round-trips 15 digits exactly;
+        # digits 16-17 are representation-dependent. Found at sf1: both
+        # engines compute the identical DECIMAL aggregate, but CAST(dec AS
+        # DOUBLE) lands 1 ULP apart once the value needs >16 significant
+        # digits (q01 sum_charge ~4.36e10 with 6 decimals). Equal bits
+        # still compare equal; only sub-ULP rendering noise is forgiven.
+        return f"{v:.15g}"
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

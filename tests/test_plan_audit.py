@@ -133,10 +133,8 @@ BY_DESIGN = {
     # deliberate unbucketed fact-fact joins (the shapes AQE handles):
     "q20_potential_promotion": {"SMJ"},
     "q21_waiting_supplier": {"SMJ"},
-    # iterative label propagation: both join sides are |graph|-sized every
-    # round — shuffle joins are the correct 100-TB plan (broadcast only
-    # applies when the frontier is small, which dedup graphs are not)
-    "q_dedup_connected_components": {"SMJ"},
+    # (r4: connected components moved to checkpointed star edges — its
+    # plan now carries no red-flag joins, so no allowlist entry remains)
     # edge-list build is a fact-fact star (lineitem x orders SMJ) + per-round
     # spine joins; rank contributions pre-aggregate to <=|nodes| and
     # broadcast, but the 4-table edge build keeps two SMJs at this size
@@ -732,7 +730,6 @@ MAX_COUNTS = {
     "q_dagostino_k2": {"BNLJ": 1},
     "q_decision_stump": {"BNLJ": 1},
     "q_dedup_cluster_sizes": {"BNLJ": 1},
-    "q_dedup_connected_components": {"SMJ": 39},
     "q_dedup_embedding_cosine": {"BNLJ": 1},
     "q_design_effect_icc": {"BNLJ": 4},
     "q_dfa_exponent": {"BNLJ": 6},

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
@@ -53,8 +53,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return _tokens(docs).groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+def _banded(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """doc_id × (band_idx, band_key) exploded LSH banding."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -62,7 +62,12 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: in
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    return sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    banded = _banded(sigs, n_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -77,8 +82,33 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: in
     )
 
 
+def lsh_star_edges(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """Per-bucket STAR edges (bucket-min → member): the connectivity-
+    preserving reduction of `lsh_candidate_pairs`.
+
+    Within one (band_idx, band_key) bucket every doc pairs with every other
+    in the clique form — O(k²) edges per k-doc bucket. For connected
+    components only CONNECTIVITY matters, and a star to the bucket minimum
+    spans the same bucket with k−1 edges, so the components are provably
+    identical while edge count drops from quadratic to linear in bucket
+    depth. Measured on this corpus (inherently near-dup-saturated: 31-token
+    vocabulary, ~6% of ALL pairs are true J≥0.9 near-dups): 8.5M clique
+    pairs → 13.5k star edges at sf0.1, 114M → 161k at sf1 (~700×). This is
+    the difference between a CC that dies on shuffle spill at 10× data and
+    one that converges in seconds — the 100-TB shape.
+    """
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        _banded(sigs, n_hashes, band_size)
+        .withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 # Shared SQL CTEs for the MinHash pipeline (DuckDB oracle).
-_SQL_MINHASH_CTES = """
+_SQL_MINHASH_BASE = """
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
@@ -94,11 +124,24 @@ _SQL_MINHASH_CTES = """
       UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sigs
       UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sigs
       UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sigs
-    ), cand AS (
+    )"""
+
+_SQL_MINHASH_CTES = _SQL_MINHASH_BASE + """, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
+    )
+"""
+
+# Star-reduced edge variant (see lsh_star_edges): identical connectivity,
+# linear — not quadratic — in bucket depth.
+_SQL_MINHASH_STAR_CTES = _SQL_MINHASH_BASE + """, stars AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS doc_a,
+             doc_id AS doc_b
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM stars WHERE doc_b > doc_a
     )
 """
 
@@ -381,55 +424,74 @@ _SQL_CC_STEP = """
 """
 
 
+_CC_ROUNDS = 6  # measured fixpoint: 4 rounds at sf0.001-0.1, 5 at sf1
+
+# Each round references the previous label set three times; DuckDB inlines
+# plain CTEs, so without MATERIALIZED the expansion is 3^rounds copies of
+# the whole minhash pipeline (6 rounds ground for minutes at sf0.001 —
+# the oracle-side twin of the Spark lineage blowup localCheckpoint fixes).
+_SQL_CC_CHAIN = "".join(
+    f", l{i + 1} AS MATERIALIZED ({_SQL_CC_STEP.format(prev=f'l{i}')})"
+    for i in range(_CC_ROUNDS)
+)
+
+
 @register(
     "q_dedup_connected_components",
-    oracle=_SQL_MINHASH_CTES
+    oracle=_SQL_MINHASH_STAR_CTES.replace(
+        "cand AS (", "cand AS MATERIALIZED (", 1
+    )
     + """
-    , nodes AS (
+    , nodes AS MATERIALIZED (
       SELECT DISTINCT doc_a AS node FROM cand
       UNION SELECT DISTINCT doc_b FROM cand
     ),
-    l0 AS (SELECT node, node AS label FROM nodes),
-    l1 AS ("""
-    + _SQL_CC_STEP.format(prev="l0")
-    + """),
-    l2 AS ("""
-    + _SQL_CC_STEP.format(prev="l1")
-    + """),
-    l3 AS ("""
-    + _SQL_CC_STEP.format(prev="l2")
-    + """)
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    + _SQL_CC_CHAIN
+    + f"""
     SELECT CAST(label AS BIGINT) AS component,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(node) AS BIGINT) AS canonical_doc
-    FROM l3 GROUP BY label
+    FROM l{_CC_ROUNDS} GROUP BY label
     """,
 )
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup *transitive* clusters: iterative min-label propagation
-    (3 rounds) over the LSH candidate-pair graph — the connected-components
-    step that turns pairwise candidates into dedup groups (A~B, B~C ⇒
-    {A,B,C} even when A,C never collide).
+    """Near-dup *transitive* clusters: iterative min-label propagation over
+    the LSH bucket graph — the connected-components step that turns
+    candidates into dedup groups (A~B, B~C ⇒ {A,B,C} even when A,C never
+    collide).
 
     Pure integer MIN propagation: bit-exact on any cluster size or
     aggregation order, which is why an iterative graph algorithm can
-    hash-match a chained-CTE oracle. 3 rounds covers diameter-3 components
-    (this corpus's worst case); production runs to fixpoint with the same
-    per-round plan + lineage checkpoints. Scale: each round is one shuffle
-    of the edge list joined to the current labels; labels/edges are uniform
-    hash keys — no skew.
+    hash-match a chained-CTE oracle.
+
+    Scale (reworked r4 after the sf1 run filled the shuffle disk):
+    1. Edges are `lsh_star_edges` — per-bucket stars, connectivity-identical
+       to the clique pairs but ~700× fewer on this corpus (161k vs 114M at
+       sf1). On a near-dup-saturated corpus pairwise emission is inherently
+       quadratic; CC only needs a spanning structure.
+    2. Each round's labels are `localCheckpoint`ed (eager) so the plan is
+       one bounded shuffle per round instead of an exponentially re-derived
+       lineage (the r3 version recomputed the whole candidate join per
+       round under cache pressure).
+    3. 6 rounds = measured fixpoint (5 at sf1, star topology doubles path
+       length vs cliques) + 1 margin; production iterates to an explicit
+       fixpoint with the same per-round plan.
+    Each round shuffles 2×|edges| label lookups on uniform keys — no skew.
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
-    edges = lsh_candidate_pairs(sigs).cache()
+    edges = lsh_star_edges(sigs).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .union(edges.select("doc_b"))
         .distinct()
     )
-    labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(3):
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_CC_ROUNDS):
         nb = (
             edges.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .select(F.col("doc_a").alias("node"), "label")
@@ -448,6 +510,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
     return labels.groupBy(F.col("label").cast("bigint").alias("component")).agg(
         bcount("n_docs"),
