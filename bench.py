@@ -30,6 +30,43 @@ from watermill_spark.analytics.registry import REGISTRY  # noqa: E402
 from watermill_spark.session import get_spark  # noqa: E402
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-work host-speed probes, so round-over-round bench comparisons can
+    be normalized when the harness lands on a different VM (each round runs on
+    a fresh Firecracker host; observed single-thread speed varies ~1.5-2x
+    between rounds with identical code). Two probes, min-of-3 each:
+
+    - calib_py_sort_sec: np.sort of 2^23 float64 — single-thread,
+      BLAS-independent, measures the Python/driver side.
+    - calib_jvm_agg_sec: sum over spark.range(2^28) — whole-stage-codegen
+      aggregation across all local cores, measures the executor side the
+      query timings actually exercise.
+
+    Divide a query's wall time by (calib_jvm_agg_sec / its value on a
+    reference host) to compare across rounds.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    arr = rng.random(1 << 23)
+    py_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.sort(arr, kind="quicksort")
+        py_best = min(py_best, time.perf_counter() - t0)
+
+    jvm_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1 << 28).selectExpr("sum(id * 2) AS s").collect()
+        jvm_best = min(jvm_best, time.perf_counter() - t0)
+
+    return {
+        "calib_py_sort_sec": round(py_best, 4),
+        "calib_jvm_agg_sec": round(jvm_best, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -69,6 +106,8 @@ def main() -> None:
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     rows_per_sec = round(li_rows / timings["q01_pricing_summary"], 1)
 
+    calib = _calibrate(spark)
+
     print(
         json.dumps(
             {
@@ -78,6 +117,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "rows_per_sec": rows_per_sec,
+                **calib,
             }
         )
     )
