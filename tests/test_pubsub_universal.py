@@ -20,7 +20,7 @@ from watermill_spark.message import messages_df, new_message
 from watermill_spark.sources import MemoryPubSub, ParquetPubSub
 
 
-@pytest.fixture(params=["memory", "parquet", "kafka"])
+@pytest.fixture(params=["memory", "parquet", "kafka", "sqlite"])
 def pubsub(request, spark, tmp_path):
     if request.param == "memory":
         return MemoryPubSub(spark)
@@ -30,6 +30,10 @@ def pubsub(request, spark, tmp_path):
         from watermill_spark.sources.kafka_testing import FakeKafkaPubSub
 
         return FakeKafkaPubSub(spark)
+    if request.param == "sqlite":
+        from watermill_spark.sources import SQLitePubSub
+
+        return SQLitePubSub(spark, str(tmp_path / "pubsub.sqlite3"))
     return ParquetPubSub(spark, str(tmp_path / "topics"))
 
 

@@ -1,0 +1,188 @@
+"""SQLitePubSub-specific contracts beyond the universal suite
+(test_pubsub_universal.py runs the acceptance tests over it already):
+
+- consumer groups: independent cursors, redelivery until ack, resumable polls
+  (reference offsets-adapter semantics, `_examples/pubsubs/sql/main.go:22-36`);
+- exactly-once consumer: handler side-effects + offset advance in ONE
+  transaction (SURVEY.md §1 "exactly-once only with transactional SQL
+  backends");
+- transactional outbox: business write + publish commit/rollback atomically
+  (`_examples/pubsubs/sqlite/transaction.go:13-40`);
+- delayed-message hold-back on read
+  (`docs/content/advanced/delayed-messages.md:37-40`);
+- durability across reopen (file-backed DB).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid as _uuid
+
+import pytest
+
+from watermill_spark.components.delay import delay_until
+from watermill_spark.message import messages_df, new_message
+from watermill_spark.sources import SQLitePubSub
+
+
+@pytest.fixture
+def ps(spark, tmp_path):
+    return SQLitePubSub(spark, str(tmp_path / "ps.sqlite3"))
+
+
+def _msgs(n, prefix="p"):
+    return [new_message(payload=f"{prefix}-{i}", metadata={"n": str(i)}) for i in range(n)]
+
+
+def _topic(stem):
+    return f"{stem}-{_uuid.uuid4().hex[:8]}"
+
+
+def test_consumer_groups_independent_cursors(ps, spark):
+    t = _topic("grp")
+    ps.publish(t, messages_df(spark, _msgs(20)))
+
+    df_a, off_a = ps.subscribe_group(t, "group-a")
+    assert df_a.count() == 20
+    ps.ack(t, "group-a", off_a)
+
+    # group-a is drained; group-b still sees everything
+    df_a2, _ = ps.subscribe_group(t, "group-a")
+    assert df_a2.count() == 0
+    df_b, _ = ps.subscribe_group(t, "group-b")
+    assert df_b.count() == 20
+
+
+def test_unacked_poll_redelivers(ps, spark):
+    t = _topic("redeliver")
+    ps.publish(t, messages_df(spark, _msgs(5)))
+    df1, off1 = ps.subscribe_group(t, "g")
+    df2, off2 = ps.subscribe_group(t, "g")  # no ack between polls
+    assert df1.count() == df2.count() == 5
+    assert off1 == off2
+    ps.ack(t, "g", off1)
+    df3, _ = ps.subscribe_group(t, "g")
+    assert df3.count() == 0
+
+
+def test_poll_limit_pages_through_backlog(ps, spark):
+    t = _topic("page")
+    ps.publish(t, messages_df(spark, _msgs(25)))
+    seen = 0
+    for _ in range(10):
+        df, off = ps.subscribe_group(t, "g", limit=10)
+        n = df.count()
+        if n == 0:
+            break
+        seen += n
+        ps.ack(t, "g", off)
+    assert seen == 25
+
+
+def test_ack_is_monotone(ps, spark):
+    t = _topic("mono")
+    ps.publish(t, messages_df(spark, _msgs(10)))
+    _, off = ps.subscribe_group(t, "g")
+    ps.ack(t, "g", off)
+    ps.ack(t, "g", 1)  # stale/out-of-order ack must not rewind the cursor
+    df, _ = ps.subscribe_group(t, "g")
+    assert df.count() == 0
+
+
+def test_exactly_once_crash_replays_then_commits_once(ps, spark):
+    """Crash between processing and ack ⇒ replay; committed batch is never
+    re-applied: the side-effect table ends with exactly one row per message."""
+    t = _topic("eo")
+    ps.publish(t, messages_df(spark, _msgs(8)))
+
+    attempts = {"n": 0}
+
+    def handler(rows, cur):
+        cur.execute("CREATE TABLE IF NOT EXISTS effects (uuid TEXT PRIMARY KEY)")
+        for r in rows:
+            cur.execute("INSERT INTO effects (uuid) VALUES (?)", (r[1],))
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("crash after side-effect write, before ack")
+
+    with pytest.raises(RuntimeError):
+        ps.consume_exactly_once(t, "g", handler)
+    # rollback undid the partial side effects AND the ack ⇒ full replay
+    assert ps.consume_exactly_once(t, "g", handler) == 8
+    # third call: nothing left
+    assert ps.consume_exactly_once(t, "g", handler) == 0
+
+    with ps.transaction() as tx:
+        n = tx.execute("SELECT COUNT(*) FROM effects").fetchone()[0]
+    assert n == 8  # exactly once, despite the crash
+
+
+def test_transactional_outbox_commit_and_rollback(ps, spark):
+    t = _topic("outbox")
+    ps.subscribe_initialize(t)
+
+    with ps.transaction() as tx:
+        tx.execute("CREATE TABLE IF NOT EXISTS orders (id INTEGER PRIMARY KEY)")
+        tx.execute("INSERT INTO orders (id) VALUES (1)")
+        tx.publish(t, messages_df(spark, _msgs(3, "ok")))
+
+    assert ps.subscribe(t).count() == 3
+
+    with pytest.raises(RuntimeError):
+        with ps.transaction() as tx:
+            tx.execute("INSERT INTO orders (id) VALUES (2)")
+            tx.publish(t, messages_df(spark, _msgs(4, "doomed")))
+            raise RuntimeError("business logic failed")
+
+    # neither the business row nor the doomed publishes survived
+    assert ps.subscribe(t).count() == 3
+    with ps.transaction() as tx:
+        ids = [r[0] for r in tx.execute("SELECT id FROM orders ORDER BY id").fetchall()]
+    assert ids == [1]
+
+
+def test_delayed_message_holdback_on_read(ps, spark):
+    t = _topic("delay")
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    future = now + _dt.timedelta(hours=1)
+    past = now - _dt.timedelta(hours=1)
+
+    ps.publish(t, delay_until(messages_df(spark, _msgs(2, "future")), future))
+    ps.publish(t, delay_until(messages_df(spark, _msgs(3, "past")), past))
+    ps.publish(t, messages_df(spark, _msgs(4, "plain")))
+
+    visible = ps.subscribe(t).collect()
+    payloads = {bytes(r["payload"]).decode().split("-")[0] for r in visible}
+    assert len(visible) == 7 and payloads == {"past", "plain"}
+
+    # group polls honor the same hold-back
+    df, _ = ps.subscribe_group(t, "g")
+    assert df.count() == 7
+
+    # honor_delays=False exposes everything (the non-SQL-transport stance)
+    raw = SQLitePubSub(spark, ps.db_path, honor_delays=False)
+    assert raw.subscribe(t).count() == 9
+
+
+def test_durable_across_reopen(spark, tmp_path):
+    path = str(tmp_path / "durable.sqlite3")
+    t = _topic("dur")
+    ps1 = SQLitePubSub(spark, path)
+    ps1.publish(t, messages_df(spark, _msgs(6)))
+    _, off = ps1.subscribe_group(t, "g", limit=4)
+    ps1.ack(t, "g", off)
+    ps1.dispose()
+
+    ps2 = SQLitePubSub(spark, path)
+    assert ps2.subscribe(t).count() == 6        # backlog persisted
+    df, _ = ps2.subscribe_group(t, "g")         # cursor persisted
+    assert df.count() == 2
+
+
+def test_metadata_and_payload_fidelity(ps, spark):
+    t = _topic("fid")
+    msgs = [new_message(payload=b"\x00\xffbin", metadata={"a": "1", "b": "x y"})]
+    ps.publish(t, messages_df(spark, msgs))
+    r = ps.subscribe(t).collect()[0]
+    assert bytes(r["payload"]) == b"\x00\xffbin"
+    assert dict(r["metadata"]) == {"a": "1", "b": "x y"}

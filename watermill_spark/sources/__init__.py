@@ -9,17 +9,22 @@ Spark-native storage/stream layer:
 - KafkaPubSub    — thin config holder emitting real readStream/writeStream
                    plans against Kafka (cluster path; not runnable in this
                    container, covered by plan-shape tests only)
+- SQLitePubSub   — watermill-sql/-sqlite analog: per-topic tables +
+                   consumer-group offsets, transactional outbox,
+                   exactly-once consumer, delayed-message hold-back on read
 """
 
 from .memory import MemoryPubSub
 from .parquet import ParquetPubSub
 from .kafka import KafkaPubSub
+from .sqldb import SQLitePubSub
 from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
 __all__ = [
     "MemoryPubSub",
     "ParquetPubSub",
     "KafkaPubSub",
+    "SQLitePubSub",
     "bulk_read",
     "bulk_read_with_deduplication",
     "multiplier",
