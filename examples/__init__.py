@@ -17,6 +17,10 @@ _ALIASES = {
     "example_06_fanin_fanout": "06_fanin_fanout.py",
     "example_07_forwarder_outbox": "07_forwarder_outbox.py",
     "example_08_request_reply": "08_request_reply.py",
+    "example_09_consumer_groups": "09_consumer_groups.py",
+    "example_10_transactional_events": "10_transactional_events.py",
+    "example_11_realtime_feed": "11_realtime_feed.py",
+    "example_12_webhooks": "12_webhooks.py",
 }
 
 

@@ -78,3 +78,48 @@ def test_example_request_reply(spark, tmp_path):
     assert out["reply_b"] == "charged:cmd-B"
     assert out["replies_each"] == (1, 1)
     assert out["no_errors"]
+
+
+def test_example_consumer_groups(spark, tmp_path):
+    from examples import example_09_consumer_groups as mod
+
+    out = mod.main(spark, str(tmp_path / "ex9"))
+    assert out == {
+        "crm_seen": 12,
+        "newsletter_seen": 12,
+        "redelivered_page": 6,
+        "newsletter_subscribed": 8,
+    }
+
+
+def test_example_transactional_events(spark, tmp_path):
+    from examples import example_10_transactional_events as mod
+
+    out = mod.main(spark, str(tmp_path / "ex10"))
+    assert out == {
+        "committed_signups": 3,
+        "aborted_signup_published": False,
+        "users_rows": 3,
+        "forwarded": 3,
+        "forwarded_on_second_pass": 0,
+        "broker_events": 3,
+    }
+
+
+def test_example_realtime_feed(spark, tmp_path):
+    from examples import example_11_realtime_feed as mod
+
+    out = mod.main(spark, str(tmp_path / "ex11"))
+    assert out["counted"] == 19          # every valid post got a count event
+    assert out["feed_posts"] == 19 and out["feed_authors"] == 4
+    assert out["poisoned"] == 2          # 1 bad message x 2 handler DLQs
+
+
+def test_example_webhooks(spark, tmp_path):
+    from examples import example_12_webhooks as mod
+
+    out = mod.main(spark, str(tmp_path / "ex12"))
+    assert out["webhooks_received"] == 5
+    assert out["published"] == 5
+    assert out["delivered_downstream"] == 5 and out["delivered_ok"] == 5
+    assert out["kinds"] == ["push"]

@@ -38,6 +38,7 @@ Accordingly:
 from __future__ import annotations
 
 import json
+import os
 import re
 import sqlite3
 import threading
@@ -87,6 +88,8 @@ class SQLitePubSub(PubSub):
         # RLock: user code inside transaction()/consume_exactly_once may call
         # back into publish/subscribe on the same pubsub
         self._lock = threading.RLock()
+        if db_path != ":memory:":
+            os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
         self._conn = sqlite3.connect(db_path, check_same_thread=False)
         cur = self._conn.cursor()
         if db_path != ":memory:":
