@@ -821,7 +821,7 @@ MAX_COUNTS = {
     "q_label_propagation": {"BNLJ": 2},
     "q_lad_regression_grid": {"BNLJ": 1},
     "q_life_table": {"BNLJ": 3},
-    "q_link_prediction": {"BNLJ": 2},
+    "q_link_prediction": {"BNLJ": 2, "SMJ": 2},
     "q_littles_law": {"BNLJ": 1},
     "q_ljung_box": {"BNLJ": 3},
     "q_logistic_newton": {"BNLJ": 3},
@@ -898,7 +898,7 @@ MAX_COUNTS = {
     "q_silhouette_by_label": {"BNLJ": 1},
     "q_similarity_histogram": {"BNLJ": 3},
     "q_simpsons_paradox": {"BNLJ": 1},
-    "q_smallworld_sigma": {"BNLJ": 4},
+    "q_smallworld_sigma": {"BNLJ": 4, "SMJ": 2},
     "q_spectral_coherence": {"BNLJ": 2},
     "q_spectral_entropy": {"BNLJ": 11},
     "q_sprt_ab_sequential": {"BNLJ": 1},
@@ -972,6 +972,14 @@ def test_whitelists_are_consistent():
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_has_no_unexplained_red_flags(spark, name):
     q = REGISTRY[name]
+    # Normalize cache state: how a formatted plan prints a repeated subtree
+    # depends on which InMemoryRelations earlier tests left registered or
+    # materialized (a cached subtree collapses to InMemoryTableScan, an
+    # evicted one re-prints its full child including any whitelisted BNLJ).
+    # Clearing first makes every count match the pin generator's fresh-cache
+    # measurement regardless of suite order (r4: q_kcore_trade flaked 4 vs 2
+    # only inside the full -x run).
+    spark.catalog.clearCache()
     plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

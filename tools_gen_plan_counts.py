@@ -28,6 +28,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for i, (name, q) in enumerate(sorted(REGISTRY.items())):
+        # fresh cache state per query — must match the audit test, which
+        # clears before building each plan (cache registration changes how
+        # repeated subtrees print, hence the flag counts)
+        spark.catalog.clearCache()
         plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
