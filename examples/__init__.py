@@ -21,6 +21,7 @@ _ALIASES = {
     "example_10_transactional_events": "10_transactional_events.py",
     "example_11_realtime_feed": "11_realtime_feed.py",
     "example_12_webhooks": "12_webhooks.py",
+    "example_13_persistent_event_log": "13_persistent_event_log.py",
 }
 
 

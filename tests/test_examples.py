@@ -123,3 +123,14 @@ def test_example_webhooks(spark, tmp_path):
     assert out["published"] == 5
     assert out["delivered_downstream"] == 5 and out["delivered_ok"] == 5
     assert out["kinds"] == ["push"]
+
+
+def test_example_persistent_event_log(spark, tmp_path):
+    from examples import example_13_persistent_event_log as mod
+
+    out = mod.main(spark, str(tmp_path / "ex13"))
+    assert out["logged"] == 10
+    assert out["audit_by_name"] == {"OrderPlaced": 5, "UserSignedUp": 5}
+    assert out["replayed"] == 10
+    assert out["projection_matches_audit"]
+    assert out["all_stamped"] == 10
