@@ -186,3 +186,44 @@ def test_metadata_and_payload_fidelity(ps, spark):
     r = ps.subscribe(t).collect()[0]
     assert bytes(r["payload"]) == b"\x00\xffbin"
     assert dict(r["metadata"]) == {"a": "1", "b": "x y"}
+
+
+def test_router_group_subscriber_incremental_and_replay(ps, spark):
+    """Router.run_once over a GroupSubscriber: each pass consumes only the
+    NEW messages (cursor advances on success); a failing handler leaves the
+    cursor untouched so the next pass redelivers the same batch."""
+    from watermill_spark.sources import GroupSubscriber
+    from watermill_spark.streaming.router import Router, RouterConfig
+
+    t = _topic("router-grp")
+    ps.publish(t, messages_df(spark, _msgs(5, "a")))
+
+    seen_batches: list[int] = []
+    boom = {"on": False}
+
+    def handler(df):
+        n = df.count()
+        if n:
+            seen_batches.append(n)
+        if boom["on"] and n:
+            raise RuntimeError("handler crashed mid-batch")
+        return df
+
+    sub = GroupSubscriber(ps, "router-group")
+    router = Router(RouterConfig(fail_on_unhandled_errors=False))
+    router.add_consumer_handler("h", t, sub, handler)
+
+    router.run_once()                      # consumes the 5
+    router.run_once()                      # nothing new -> empty batch
+    assert seen_batches == [5]
+
+    ps.publish(t, messages_df(spark, _msgs(3, "b")))
+    boom["on"] = True
+    with pytest.raises(RuntimeError):
+        router.run_once()                  # crash: cursor NOT advanced
+    boom["on"] = False
+    router.run_once()                      # redelivery of the same 3
+    assert seen_batches == [5, 3, 3]
+
+    router.run_once()
+    assert seen_batches == [5, 3, 3]       # acked: nothing left

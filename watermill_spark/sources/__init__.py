@@ -17,7 +17,7 @@ Spark-native storage/stream layer:
 from .memory import MemoryPubSub
 from .parquet import ParquetPubSub
 from .kafka import KafkaPubSub
-from .sqldb import SQLitePubSub
+from .sqldb import GroupSubscriber, SQLitePubSub
 from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "ParquetPubSub",
     "KafkaPubSub",
     "SQLitePubSub",
+    "GroupSubscriber",
     "bulk_read",
     "bulk_read_with_deduplication",
     "multiplier",

@@ -331,6 +331,49 @@ class SQLitePubSub(PubSub):
             self._conn.close()
 
 
+class GroupSubscriber(PubSub):
+    """A consumer-group view of a SQLitePubSub as a plain PubSub.
+
+    ``subscribe(topic)`` polls the group's next unacked batch and remembers
+    its high-water offset; ``commit(topic)`` acks it. The Router's
+    ``run_once`` calls ``commit`` only after the handler pass succeeded, so
+    a crashing handler leaves the cursor untouched and the next pass
+    redelivers — per-handler consumer groups with batch-granular Ack, the
+    reference's subscriber+group wiring (`_examples/real-world-examples/
+    consumer-groups/newsletter-service/main.go:49-57`) without re-reading
+    the whole topic every pass.
+
+    Publishes pass through to the underlying store.
+    """
+
+    def __init__(self, inner: SQLitePubSub, group: str,
+                 limit: int | None = None):
+        super().__init__(inner.spark)
+        self.inner = inner
+        self.group = group
+        self.limit = limit
+        self._pending: dict[str, int] = {}
+
+    def subscribe(self, topic: str) -> DataFrame:
+        df, max_off = self.inner.subscribe_group(topic, self.group, self.limit)
+        self._pending[topic] = max_off
+        return df
+
+    def commit(self, topic: str) -> None:
+        off = self._pending.pop(topic, 0)
+        if off:
+            self.inner.ack(topic, self.group, off)
+
+    def rollback(self, topic: str) -> None:
+        self._pending.pop(topic, None)
+
+    def publish(self, topic: str, df: DataFrame) -> None:
+        self.inner.publish(topic, df)
+
+    def subscribe_initialize(self, topic: str) -> None:
+        self.inner.subscribe_initialize(topic)
+
+
 class _TxPublisher:
     """Publisher bound to a caller-owned transaction (outbox)."""
 

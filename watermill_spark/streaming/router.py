@@ -161,10 +161,19 @@ class Router:
 
     # -- execution ---------------------------------------------------------
     def run_once(self) -> None:
-        """One bounded pass over every handler's current topic contents."""
+        """One bounded pass over every handler's current topic contents.
+
+        Cursor-aware subscribers (anything exposing ``commit(topic)``, e.g.
+        GroupSubscriber over the SQL transport) are committed only AFTER the
+        handler pass succeeds — the batch-granular Ack. A raising handler
+        leaves the cursor untouched, so the next run_once redelivers
+        (at-least-once, the reference's nack⇒resend contract)."""
         self._running = True
         for h in self._handlers.values():
             self._process_batch(h, h.subscriber.subscribe(h.sub_topic))
+            commit = getattr(h.subscriber, "commit", None)
+            if commit is not None:
+                commit(h.sub_topic)
 
     def run_stream(
         self,
