@@ -20,7 +20,7 @@ from watermill_spark.message import messages_df, new_message
 from watermill_spark.sources import MemoryPubSub, ParquetPubSub
 
 
-@pytest.fixture(params=["memory", "parquet", "kafka", "sqlite"])
+@pytest.fixture(params=["memory", "parquet", "kafka", "sqlite", "http"])
 def pubsub(request, spark, tmp_path):
     if request.param == "memory":
         return MemoryPubSub(spark)
@@ -34,6 +34,12 @@ def pubsub(request, spark, tmp_path):
         from watermill_spark.sources import SQLitePubSub
 
         return SQLitePubSub(spark, str(tmp_path / "pubsub.sqlite3"))
+    if request.param == "http":
+        # real loopback HTTP: publish POSTs over a socket into the embedded
+        # server (watermill-http analog)
+        from watermill_spark.sources import HTTPPubSub
+
+        return HTTPPubSub(spark)
     return ParquetPubSub(spark, str(tmp_path / "topics"))
 
 

@@ -12,12 +12,15 @@ Spark-native storage/stream layer:
 - SQLitePubSub   — watermill-sql/-sqlite analog: per-topic tables +
                    consumer-group offsets, transactional outbox,
                    exactly-once consumer, delayed-message hold-back on read
+- HTTPPubSub     — watermill-http analog: embedded HTTP server subscriber
+                   (POST /{topic} → message), per-message HTTP publisher
 """
 
 from .memory import MemoryPubSub
 from .parquet import ParquetPubSub
 from .kafka import KafkaPubSub
 from .sqldb import GroupSubscriber, SQLitePubSub
+from .http import HTTPPubSub
 from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
 __all__ = [
@@ -26,6 +29,7 @@ __all__ = [
     "KafkaPubSub",
     "SQLitePubSub",
     "GroupSubscriber",
+    "HTTPPubSub",
     "bulk_read",
     "bulk_read_with_deduplication",
     "multiplier",
