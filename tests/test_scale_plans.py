@@ -593,11 +593,13 @@ def test_hill_top_k_take_ordered(spark):
 def test_quintile_migration_year_partitioned_ntile(spark):
     """q_quintile_migration: both ntile sorts partition by year (no global
     single-partition window over raw customers), and the transition join is
-    a hash join on custkey."""
+    a hash join on custkey. The only nested loops are the 1-row min/max-year
+    bound broadcasts (r4 rewrite replacing the driver-side collect — plan
+    audit pins BNLJ ≤ 2 for this query)."""
     plan = _plan(spark, REGISTRY["q_quintile_migration"].fn(spark, SF))
     tree = _tree(plan)
     assert "CartesianProduct" not in tree
-    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
     assert "HashAggregate" in tree[tree.index("Window") :]
 
 

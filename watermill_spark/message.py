@@ -40,6 +40,21 @@ MESSAGE_SCHEMA = StructType(
 
 MESSAGE_COLUMNS = [f.name for f in MESSAGE_SCHEMA.fields]
 
+# Well-known metadata keys — same names as the reference so consumers
+# interoperate (`message/router/middleware/poison.go:14-19`,
+# `components/delay/delay.go:56-59`, `components/requeuer/requeuer.go:14`,
+# `middleware/correlation.go:8`). Defined here (the leaf module) so any
+# transport or component can import them without touching the streaming
+# package — sources ↔ streaming module-level imports would cycle on
+# executor workers, whose first import is the pickled UDF's own module.
+REASON_POISONED = "_watermill_reason_poisoned"
+POISONED_TOPIC = "_watermill_poisoned_on_topic"
+POISONED_HANDLER = "_watermill_poisoned_by_handler"
+DELAYED_UNTIL = "_watermill_delayed_until"
+DELAYED_FOR = "_watermill_delayed_for"
+REQUEUER_RETRIES = "_watermill_requeuer_retries"
+CORRELATION_ID = "correlation_id"
+
 
 def new_message(
     payload: bytes | str,

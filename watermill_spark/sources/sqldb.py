@@ -47,8 +47,7 @@ from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from watermill_spark.message import MESSAGE_SCHEMA, ensure_message_df
-from watermill_spark.streaming.middleware import DELAYED_UNTIL
+from watermill_spark.message import DELAYED_UNTIL, MESSAGE_SCHEMA, ensure_message_df
 
 from .base import PubSub
 

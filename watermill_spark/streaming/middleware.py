@@ -24,16 +24,17 @@ from watermill_spark.sources.base import PubSub
 
 from .router import CTX_HANDLER, CTX_SUB_TOPIC, ERROR_COL, HandlerFn, Middleware
 
-# Metadata keys — same names as the reference so consumers interoperate
-# (`message/router/middleware/poison.go:14-19`, `components/delay/delay.go:56-59`,
-#  `components/requeuer/requeuer.go:14`, `middleware/correlation.go:8`).
-REASON_POISONED = "_watermill_reason_poisoned"
-POISONED_TOPIC = "_watermill_poisoned_on_topic"
-POISONED_HANDLER = "_watermill_poisoned_by_handler"
-DELAYED_UNTIL = "_watermill_delayed_until"
-DELAYED_FOR = "_watermill_delayed_for"
-REQUEUER_RETRIES = "_watermill_requeuer_retries"
-CORRELATION_ID = "correlation_id"
+# Metadata keys live in watermill_spark.message (leaf module — see the
+# import-cycle note there); re-exported here for compatibility.
+from watermill_spark.message import (  # noqa: F401,E402 (re-export)
+    CORRELATION_ID,
+    DELAYED_FOR,
+    DELAYED_UNTIL,
+    POISONED_HANDLER,
+    POISONED_TOPIC,
+    REASON_POISONED,
+    REQUEUER_RETRIES,
+)
 
 
 def recoverer(fn: HandlerFn | None = None, *, strict: bool = False):
