@@ -22,6 +22,7 @@ _ALIASES = {
     "example_11_realtime_feed": "11_realtime_feed.py",
     "example_12_webhooks": "12_webhooks.py",
     "example_13_persistent_event_log": "13_persistent_event_log.py",
+    "example_14_synchronizing_databases": "14_synchronizing_databases.py",
 }
 
 

@@ -134,3 +134,13 @@ def test_example_persistent_event_log(spark, tmp_path):
     assert out["replayed"] == 10
     assert out["projection_matches_audit"]
     assert out["all_stamped"] == 10
+
+
+def test_example_synchronizing_databases(spark, tmp_path):
+    from examples import example_14_synchronizing_databases as mod
+
+    out = mod.main(spark, str(tmp_path / "ex14"))
+    assert out["replicated_first_pass"] == 6
+    assert out["replicated_total"] == 10
+    assert out["distinct_ids"] == 10
+    assert out["sample"] == {"id": 0, "username": "u0", "full_name": "First0 Last0"}
