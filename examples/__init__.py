@@ -23,6 +23,7 @@ _ALIASES = {
     "example_12_webhooks": "12_webhooks.py",
     "example_13_persistent_event_log": "13_persistent_event_log.py",
     "example_14_synchronizing_databases": "14_synchronizing_databases.py",
+    "example_15_delayed_requeue": "15_delayed_requeue.py",
 }
 
 

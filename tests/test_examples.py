@@ -144,3 +144,15 @@ def test_example_synchronizing_databases(spark, tmp_path):
     assert out["replicated_total"] == 10
     assert out["distinct_ids"] == 10
     assert out["sample"] == {"id": 0, "username": "u0", "full_name": "First0 Last0"}
+
+
+def test_example_delayed_requeue(spark, tmp_path):
+    from examples import example_15_delayed_requeue as mod
+
+    out = mod.main(spark, str(tmp_path / "ex15"))
+    assert out == {
+        "processed_first_pass": 4,
+        "requeued_early": 0,
+        "processed_total": 6,
+        "retried": 2,
+    }

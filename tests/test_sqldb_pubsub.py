@@ -227,3 +227,27 @@ def test_router_group_subscriber_incremental_and_replay(ps, spark):
 
     router.run_once()
     assert seen_batches == [5, 3, 3]       # acked: nothing left
+
+
+def test_delay_holdback_parses_utc_offsets(ps, spark):
+    """A non-UTC Spark session stamps _watermill_delayed_until with its own
+    zone offset (date_format ... XXX); the hold-back must normalize to UTC
+    instead of comparing strings (a -07:00 future instant sorts 'before' a
+    UTC now lexicographically)."""
+    import datetime as dt
+
+    from watermill_spark.message import DELAYED_UNTIL
+
+    now = dt.datetime.now(dt.timezone.utc)
+    zone = dt.timezone(dt.timedelta(hours=-7))
+    future_offset = (now + dt.timedelta(hours=1)).astimezone(zone)
+    past_offset = (now - dt.timedelta(hours=1)).astimezone(zone)
+
+    t = _topic("offsets")
+    ps.publish(t, messages_df(spark, [
+        new_message("future", metadata={DELAYED_UNTIL: future_offset.isoformat(timespec="seconds")}),
+        new_message("past", metadata={DELAYED_UNTIL: past_offset.isoformat(timespec="seconds")}),
+        new_message("future-z", metadata={DELAYED_UNTIL: (now + dt.timedelta(hours=1)).strftime("%Y-%m-%dT%H:%M:%SZ")}),
+    ]))
+    visible = {bytes(r["payload"]).decode() for r in ps.subscribe(t).collect()}
+    assert visible == {"past"}

@@ -170,12 +170,14 @@ class SQLitePubSub(PubSub):
         )
         if self.honor_delays:
             # consumer-side hold-back — the SQL Pub/Subs are the reference
-            # transports honoring _watermill_delayed_until on read; compare
-            # on the seconds-resolution prefix so 'Z' and '+00:00' RFC3339
-            # suffix variants (both UTC) order correctly
+            # transports honoring _watermill_delayed_until on read. sqlite's
+            # datetime() parses RFC3339 *with* the UTC offset ('Z', '+00:00',
+            # or any zone a non-UTC Spark session stamped via date_format),
+            # normalizing to UTC before the compare — a raw string compare
+            # would misorder offset-suffixed stamps.
             q += (
-                " AND (delayed_until IS NULL OR substr(delayed_until,1,19) <= "
-                "strftime('%Y-%m-%dT%H:%M:%S','now'))"
+                " AND (delayed_until IS NULL OR"
+                " datetime(delayed_until) <= datetime('now'))"
             )
         q += ' ORDER BY "offset"'
         if limit is not None:
