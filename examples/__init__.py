@@ -24,6 +24,8 @@ _ALIASES = {
     "example_13_persistent_event_log": "13_persistent_event_log.py",
     "example_14_synchronizing_databases": "14_synchronizing_databases.py",
     "example_15_delayed_requeue": "15_delayed_requeue.py",
+    "example_16_server_sent_events": "16_server_sent_events.py",
+    "example_17_cqrs_ordered_events": "17_cqrs_ordered_events.py",
 }
 
 

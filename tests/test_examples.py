@@ -156,3 +156,27 @@ def test_example_delayed_requeue(spark, tmp_path):
         "processed_total": 6,
         "retried": 2,
     }
+
+
+def test_example_server_sent_events(spark, tmp_path):
+    from examples import example_16_server_sent_events as mod
+
+    out = mod.main(spark, str(tmp_path / "ex16"))
+    assert out["backlog_frames"] == 2      # frames pushed from the backlog
+    assert out["total_frames"] == 4        # + the two new spark posts, live
+    assert out["titles"] == ["post #0", "post #1", "post #3", "post #5"]
+
+
+def test_example_cqrs_ordered_events(spark, tmp_path):
+    from examples import example_17_cqrs_ordered_events as mod
+
+    out = mod.main(spark, str(tmp_path / "ex17"))
+    assert out["subscribers"] == {"alice": "alice@final.example"}  # bob left
+    assert out["events_total"] == 5
+    assert out["timeline"] == [
+        "0:subscribed:alice",
+        "1:subscribed:bob",
+        "2:email_updated:alice",
+        "3:unsubscribed:bob",
+        "4:email_updated:alice",
+    ]
