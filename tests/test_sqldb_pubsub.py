@@ -251,3 +251,43 @@ def test_delay_holdback_parses_utc_offsets(ps, spark):
     ]))
     visible = {bytes(r["payload"]).decode() for r in ps.subscribe(t).collect()}
     assert visible == {"past"}
+
+
+def test_router_run_polling_consumes_live_publishes(ps, spark):
+    """run_polling = the SQL subscriber's long-poll loop: a producer thread
+    publishes while the router polls; every message is processed exactly
+    once per group, and the loop stops after the idle threshold."""
+    import threading
+
+    from watermill_spark.sources import GroupSubscriber
+    from watermill_spark.streaming.router import Router
+
+    t = _topic("poll")
+    ps.publish(t, messages_df(spark, _msgs(3, "pre")))  # backlog
+
+    seen: list[str] = []
+
+    def handler(df):
+        seen.extend(bytes(r["payload"]).decode() for r in df.collect())
+        return df
+
+    router = Router()
+    router.add_consumer_handler("h", t, GroupSubscriber(ps, "poller"), handler)
+
+    def producer():
+        for b in range(2):
+            ps.publish(t, messages_df(spark, _msgs(2, f"live{b}")))
+
+    th = threading.Thread(target=producer)
+    th.start()
+    consumed = router.run_polling(interval_sec=0.3, idle_passes_to_stop=4)
+    th.join()
+
+    assert consumed == 7
+    assert sorted(seen) == sorted(
+        [f"pre-{i}" for i in range(3)]
+        + [f"live0-{i}" for i in range(2)]
+        + [f"live1-{i}" for i in range(2)]
+    )
+    # nothing left for the group
+    assert router.run_once() == 0

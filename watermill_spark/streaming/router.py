@@ -160,8 +160,9 @@ class Router:
                 cached.unpersist()
 
     # -- execution ---------------------------------------------------------
-    def run_once(self) -> None:
-        """One bounded pass over every handler's current topic contents.
+    def run_once(self) -> int:
+        """One bounded pass over every handler's current topic contents;
+        returns the number of input messages seen across handlers.
 
         Cursor-aware subscribers (anything exposing ``commit(topic)``, e.g.
         GroupSubscriber over the SQL transport) are committed only AFTER the
@@ -169,11 +170,46 @@ class Router:
         leaves the cursor untouched, so the next run_once redelivers
         (at-least-once, the reference's nack⇒resend contract)."""
         self._running = True
+        total = 0
         for h in self._handlers.values():
-            self._process_batch(h, h.subscriber.subscribe(h.sub_topic))
+            df = h.subscriber.subscribe(h.sub_topic)
+            total += df.count()
+            self._process_batch(h, df)
             commit = getattr(h.subscriber, "commit", None)
             if commit is not None:
                 commit(h.sub_topic)
+        return total
+
+    def run_polling(
+        self,
+        interval_sec: float = 0.5,
+        max_passes: int | None = None,
+        idle_passes_to_stop: int | None = None,
+    ) -> int:
+        """Continuous consumption for poll-based transports — the reference
+        SQL subscriber's long-poll loop (its Subscribe repeatedly SELECTs
+        past the group offset and sleeps when empty). Structured Streaming's
+        ``run_stream`` covers file/Kafka sources natively; this is the same
+        lifecycle for transports whose source is a query, not a stream.
+
+        Repeats ``run_once`` (cursor-committed per pass) until ``close()``,
+        ``max_passes``, or ``idle_passes_to_stop`` consecutive empty passes.
+        Returns total messages consumed. With cursor-aware subscribers each
+        message is processed once per group across the whole loop; a handler
+        crash leaves the cursor put, so the next pass redelivers.
+        """
+        passes = idle = consumed = 0
+        while not self.closed:
+            n = self.run_once()
+            consumed += n
+            passes += 1
+            idle = idle + 1 if n == 0 else 0
+            if max_passes is not None and passes >= max_passes:
+                break
+            if idle_passes_to_stop is not None and idle >= idle_passes_to_stop:
+                break
+            time.sleep(interval_sec)
+        return consumed
 
     def run_stream(
         self,
