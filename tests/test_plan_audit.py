@@ -954,7 +954,15 @@ def test_whitelists_are_consistent():
     """Every pinned count above the defaults must carry a documented WHY in
     BY_DESIGN, and every BY_DESIGN name must be a registered query — the
     count table can't silently excuse an undocumented shape, and stale
-    entries can't linger after a rename."""
+    entries can't linger after a rename.
+
+    The check is deliberately one-directional: a BY_DESIGN (name, flag)
+    with NO MAX_COUNTS row is valid documentation, not staleness — the
+    documented join may print 0 occurrences in the audit's fresh-cache
+    state (queries that .cache() internally substitute InMemoryRelation,
+    whose child subtree formatted-explain does not number), or may be the
+    single SMJ the default already allows. Pinning those at 0/1 would turn
+    cache-print variance into false failures."""
     for name, ent in MAX_COUNTS.items():
         implied = {
             f

@@ -155,9 +155,12 @@ def test_delayed_message_holdback_on_read(ps, spark):
     payloads = {bytes(r["payload"]).decode().split("-")[0] for r in visible}
     assert len(visible) == 7 and payloads == {"past", "plain"}
 
-    # group polls honor the same hold-back
-    df, _ = ps.subscribe_group(t, "g")
-    assert df.count() == 7
+    # group polls PARK at the first held-back message instead of skipping it:
+    # the future-delayed batch sits at the topic head, so the cursor waits
+    # there (acking past a skipped row would lose it forever — see
+    # _select_group_prefix)
+    df, off = ps.subscribe_group(t, "g")
+    assert df.count() == 0 and off == 0
 
     # honor_delays=False exposes everything (the non-SQL-transport stance)
     raw = SQLitePubSub(spark, ps.db_path, honor_delays=False)
@@ -291,3 +294,91 @@ def test_router_run_polling_consumes_live_publishes(ps, spark):
     )
     # nothing left for the group
     assert router.run_once() == 0
+
+
+def test_group_ack_never_loses_parked_delayed_message(ps, spark):
+    """Regression (r4 review): a held-back delayed message must never be
+    skipped-and-acked-past by a group poll. The cursor parks at it; once the
+    delay expires the SAME group receives it."""
+    import time as _time
+
+    t = _topic("park")
+    soon = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) + _dt.timedelta(seconds=2)
+    ps.publish(t, delay_until(messages_df(spark, _msgs(1, "delayed")), soon))
+    ps.publish(t, messages_df(spark, _msgs(2, "plain")))
+
+    df, off = ps.subscribe_group(t, "g")
+    assert df.count() == 0 and off == 0   # parked at the delayed head
+    ps.ack(t, "g", off)                   # ack of an empty batch is a no-op
+
+    _time.sleep(2.5)
+    df, off = ps.subscribe_group(t, "g")
+    got = sorted(bytes(r["payload"]).decode() for r in df.collect())
+    assert got == ["delayed-0", "plain-0", "plain-1"]  # nothing lost, in order
+    ps.ack(t, "g", off)
+    assert ps.subscribe_group(t, "g")[0].count() == 0
+
+
+def test_reentrant_publish_joins_open_transaction(ps, spark):
+    """Regression (r4 review): publish()/ack() called INSIDE transaction()
+    must join it, not commit the caller's half-finished work."""
+    t = _topic("reentrant")
+    with pytest.raises(RuntimeError, match="boom"):
+        with ps.transaction() as tx:
+            tx.execute("CREATE TABLE business (x INTEGER)")
+            tx.execute("INSERT INTO business VALUES (42)")
+            ps.publish(t, messages_df(spark, _msgs(3)))  # re-entrant
+            raise RuntimeError("boom")
+
+    assert ps.subscribe(t).count() == 0  # the re-entrant publish rolled back
+    with ps.transaction() as tx:
+        n = tx.execute(
+            "SELECT COUNT(*) FROM sqlite_master WHERE name = 'business'"
+        ).fetchone()[0]
+    assert n == 0  # and so did the business DDL+insert
+
+    # nesting is rejected explicitly rather than corrupting state
+    with pytest.raises(RuntimeError, match="nested"):
+        with ps.transaction():
+            with ps.transaction():
+                pass
+    with pytest.raises(RuntimeError, match="inside transaction"):
+        with ps.transaction():
+            ps.consume_exactly_once(t, "g", lambda rows, cur: None)
+
+
+def test_exactly_once_across_two_connections_same_file(spark, tmp_path):
+    """Regression (r4 review): two transports on the SAME db file (the
+    cross-process shape) racing consume_exactly_once must not double-apply —
+    BEGIN IMMEDIATE serializes the offset read with the ack write."""
+    import threading
+
+    path = str(tmp_path / "race.sqlite3")
+    p1 = SQLitePubSub(spark, path)
+    p2 = SQLitePubSub(spark, path)
+    t = _topic("race")
+    p1.publish(t, messages_df(spark, _msgs(10)))
+
+    applied: list[str] = []
+    lock = threading.Lock()
+
+    def handler(rows, cur):
+        cur.execute("CREATE TABLE IF NOT EXISTS effects (uuid TEXT PRIMARY KEY)")
+        for r in rows:
+            cur.execute("INSERT INTO effects (uuid) VALUES (?)", (r[1],))
+        with lock:
+            applied.extend(r[1] for r in rows)
+
+    counts = []
+
+    def worker(ps_):
+        counts.append(ps_.consume_exactly_once(t, "g", handler, limit=None))
+
+    th1 = threading.Thread(target=worker, args=(p1,))
+    th2 = threading.Thread(target=worker, args=(p2,))
+    th1.start(); th2.start(); th1.join(); th2.join()
+
+    assert sorted(counts) == [0, 10]      # one winner, one empty follow-up
+    assert len(applied) == len(set(applied)) == 10
+    with p1.transaction() as tx:
+        assert tx.execute("SELECT COUNT(*) FROM effects").fetchone()[0] == 10

@@ -9,18 +9,19 @@ counts, not just flag presence).
 from __future__ import annotations
 
 import json
-import re
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from watermill_spark.analytics.registry import REGISTRY
+# single source of truth: the audit test's patterns drive the generator, so
+# the two can never diverge (r4 review)
+from tests.test_plan_audit import _FLAG_PAT as PAT
 from watermill_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
 
-PAT = {
-    "CARTESIAN": re.compile(r"\(\d+\) CartesianProduct"),
-    "BNLJ": re.compile(r"\(\d+\) BroadcastNestedLoopJoin"),
-    "SMJ": re.compile(r"\(\d+\) SortMergeJoin"),
-}
 
 
 def main() -> None:

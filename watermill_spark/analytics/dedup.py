@@ -425,6 +425,10 @@ _SQL_CC_STEP = """
 
 
 _CC_ROUNDS = 6  # measured fixpoint: 4 rounds at sf0.001-0.1, 5 at sf1
+# hard cap for the engine's converge-until-stable loop (r4 review: a star
+# chain of diameter > _CC_ROUNDS would otherwise split one true cluster —
+# the engine now detects the fixpoint instead of trusting the floor)
+_CC_MAX_ROUNDS = 30
 
 # Each round references the previous label set three times; DuckDB inlines
 # plain CTEs, so without MATERIALIZED the expansion is 3^rounds copies of
@@ -474,9 +478,14 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
        one bounded shuffle per round instead of an exponentially re-derived
        lineage (the r3 version recomputed the whole candidate join per
        round under cache pressure).
-    3. 6 rounds = measured fixpoint (5 at sf1, star topology doubles path
-       length vs cliques) + 1 margin; production iterates to an explicit
-       fixpoint with the same per-round plan.
+    3. Rounds: a floor of `_CC_ROUNDS` (the chained-CTE oracle's depth,
+       measured-fixpoint+1 on this corpus), then an explicit convergence
+       check per round — stop when no label changed, hard-capped at
+       `_CC_MAX_ROUNDS`. On a corpus whose star graph has diameter beyond
+       the floor, the ENGINE still converges to true components (and the
+       fixed-depth oracle would rightly flag its own shallowness); the
+       check costs one limit(1).count() over the label table per extra
+       round, nothing before the floor.
     Each round shuffles 2×|edges| label lookups on uniform keys — no skew.
     """
     tune_session(spark)
@@ -491,7 +500,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
-    for _ in range(_CC_ROUNDS):
+    for i in range(_CC_MAX_ROUNDS):
         nb = (
             edges.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .select(F.col("doc_a").alias("node"), "label")
@@ -502,7 +511,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nb_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(nb, "node", "left")
             .select(
                 "node",
@@ -512,6 +521,19 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        converged = False
+        if i >= _CC_ROUNDS - 1:  # past the floor: stop at the fixpoint
+            converged = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "node")
+                .filter(F.col("new_label") != F.col("label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if converged:
+            break
     return labels.groupBy(F.col("label").cast("bigint").alias("component")).agg(
         bcount("n_docs"),
         F.min("node").cast("bigint").alias("canonical_doc"),

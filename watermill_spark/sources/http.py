@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -57,8 +58,17 @@ class HTTPPubSub(PubSub):
 
         class _Handler(BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802 (stdlib naming)
+                # Reject length-less/chunked requests instead of silently
+                # buffering an empty payload: the sender would see 200 and
+                # never retry — 411 makes the loss visible and retryable
+                # (BaseHTTPRequestHandler does not decode chunked bodies).
+                if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower() \
+                        or self.headers.get("Content-Length") is None:
+                    self.send_response(411)  # Length Required
+                    self.end_headers()
+                    return
                 topic = urllib.parse.unquote(self.path.strip("/"))
-                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                body = self.rfile.read(int(self.headers["Content-Length"]))
                 meta = json.loads(self.headers.get(METADATA_HEADER) or "{}")
                 uuid = self.headers.get(UUID_HEADER) or ""
                 with lock:
@@ -96,11 +106,14 @@ class HTTPPubSub(PubSub):
                 },
                 method="POST",
             )
-            resp = urllib.request.urlopen(req, timeout=30)
-            if resp.status != 200:
+            try:
+                # context manager: drain + close, no per-message socket leak
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    resp.read()
+            except urllib.error.HTTPError as exc:  # non-2xx raises in urllib
                 raise RuntimeError(
-                    f"publish to {url} failed: HTTP {resp.status}"
-                )
+                    f"publish to {url} failed: HTTP {exc.code}"
+                ) from exc
 
     def subscribe(self, topic: str) -> DataFrame:
         with self._lock:

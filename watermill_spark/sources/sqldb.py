@@ -87,6 +87,11 @@ class SQLitePubSub(PubSub):
         # RLock: user code inside transaction()/consume_exactly_once may call
         # back into publish/subscribe on the same pubsub
         self._lock = threading.RLock()
+        # True while a caller-owned transaction (transaction() /
+        # consume_exactly_once) is open: re-entrant publish/ack/subscribe
+        # calls then JOIN that transaction instead of committing it from
+        # under the caller (commit-inside-tx would break rollback-on-raise)
+        self._in_tx = False
         if db_path != ":memory:":
             os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
         self._conn = sqlite3.connect(db_path, check_same_thread=False)
@@ -95,6 +100,21 @@ class SQLitePubSub(PubSub):
             cur.execute("PRAGMA journal_mode=WAL")
         cur.execute("PRAGMA busy_timeout=5000")
         self._conn.commit()
+
+    def _maybe_commit(self) -> None:
+        """Commit unless inside a caller-owned transaction (then the caller's
+        commit/rollback decides the fate of everything, including re-entrant
+        publishes — the outbox contract)."""
+        if not self._in_tx:
+            self._conn.commit()
+
+    def _begin_immediate(self, cur: sqlite3.Cursor) -> None:
+        """Take sqlite's write lock up front so transactions from OTHER
+        processes sharing the db file serialize against this one (WAL allows
+        concurrent readers; without this, two exactly-once consumers could
+        both read the same un-acked batch before either writes)."""
+        if not self._conn.in_transaction:
+            cur.execute("BEGIN IMMEDIATE")
 
     # -- schema ----------------------------------------------------------
 
@@ -120,7 +140,7 @@ class SQLitePubSub(PubSub):
         with self._lock:
             cur = self._conn.cursor()
             self._init_topic(cur, topic)
-            self._conn.commit()
+            self._maybe_commit()
 
     # -- publish ---------------------------------------------------------
 
@@ -157,7 +177,7 @@ class SQLitePubSub(PubSub):
                 " VALUES (?, ?, ?, ?)",
                 params,
             )
-            self._conn.commit()
+            self._maybe_commit()
 
     # -- read ------------------------------------------------------------
 
@@ -185,6 +205,33 @@ class SQLitePubSub(PubSub):
         cur.execute(q, (after_offset,))
         return cur.fetchall()
 
+    def _select_group_prefix(self, cur: sqlite3.Cursor, topic: str,
+                             after_offset: int, limit: int | None) -> list[tuple]:
+        """Group-poll read: the DELIVERABLE PREFIX of the offset order.
+
+        Unlike the cursorless ``_select`` (which may skip a held-back row),
+        a group batch must stop AT the first not-yet-due delayed message —
+        the batch-granular ack advances a single offset cursor, so skipping
+        a held row and acking past it would permanently lose it once due.
+        Kafka-offset semantics: a delayed message parks the group until its
+        time comes (ordered redelivery); later messages wait behind it.
+        """
+        self._init_topic(cur, topic)
+        q = (
+            f'SELECT "offset", uuid, payload, metadata, created_at,'
+            " (delayed_until IS NULL OR datetime(delayed_until) <= datetime('now'))"
+            f' FROM {_table(topic)} WHERE "offset" > ? ORDER BY "offset"'
+        )
+        if limit is not None:
+            q += f" LIMIT {int(limit)}"
+        cur.execute(q, (after_offset,))
+        batch: list[tuple] = []
+        for row in cur.fetchall():
+            if self.honor_delays and not row[5]:
+                break
+            batch.append(row[:5])
+        return batch
+
     def _to_df(self, raw: Iterable[tuple]) -> DataFrame:
         rows = [
             (uuid, json.loads(meta), payload, None, None)
@@ -198,7 +245,7 @@ class SQLitePubSub(PubSub):
         with self._lock:
             cur = self._conn.cursor()
             raw = self._select(cur, topic, 0, None)
-            self._conn.commit()
+            self._maybe_commit()
         return self._to_df(raw)
 
     # -- consumer groups -------------------------------------------------
@@ -218,17 +265,23 @@ class SQLitePubSub(PubSub):
         Returns (messages_df, max_offset_in_batch); max_offset is 0 when the
         batch is empty. Caller processes then ``ack(topic, group,
         max_offset)`` — batch-granular ack, the micro-batch analog of the
-        reference's per-message Ack (message.py module doc).
+        reference's per-message Ack (message.py module doc). Delayed
+        messages park the cursor (see ``_select_group_prefix``): the batch
+        never reaches past a held-back row, so acking it can't lose one.
         """
         limit = self.poll_limit if limit is None else limit
         with self._lock:
             cur = self._conn.cursor()
-            self._init_topic(cur, topic)
-            acked = self._acked(cur, topic, group)
-            raw = self._select(cur, topic, acked, limit)
-            self._conn.commit()
+            raw = self._select_group_prefix(
+                cur, topic, self._acked_init(cur, topic, group), limit
+            )
+            self._maybe_commit()
         max_off = max((r[0] for r in raw), default=0)
         return self._to_df(raw), max_off
+
+    def _acked_init(self, cur: sqlite3.Cursor, topic: str, group: str) -> int:
+        self._init_topic(cur, topic)
+        return self._acked(cur, topic, group)
 
     def ack(self, topic: str, group: str, up_to_offset: int) -> None:
         """Advance the group cursor (monotone: never moves backwards)."""
@@ -242,7 +295,7 @@ class SQLitePubSub(PubSub):
                     SET offset_acked = MAX(offset_acked, excluded.offset_acked)""",
                 (group, up_to_offset),
             )
-            self._conn.commit()
+            self._maybe_commit()
 
     # -- exactly-once consumer -------------------------------------------
 
@@ -265,11 +318,20 @@ class SQLitePubSub(PubSub):
         """
         limit = self.poll_limit if limit is None else limit
         with self._lock:
+            if self._in_tx:
+                raise RuntimeError(
+                    "consume_exactly_once cannot run inside transaction()"
+                )
             cur = self._conn.cursor()
-            self._init_topic(cur, topic)
+            self._in_tx = True
             try:
+                # BEGIN IMMEDIATE before the offset read: a second process on
+                # the same db file blocks here until we commit/rollback, so
+                # it can never read (and double-apply) the same un-acked batch
+                self._begin_immediate(cur)
+                self._init_topic(cur, topic)
                 acked = self._acked(cur, topic, group)
-                raw = self._select(cur, topic, acked, limit)
+                raw = self._select_group_prefix(cur, topic, acked, limit)
                 if not raw:
                     self._conn.rollback()
                     return 0
@@ -287,6 +349,8 @@ class SQLitePubSub(PubSub):
             except Exception:
                 self._conn.rollback()
                 raise
+            finally:
+                self._in_tx = False
 
     # -- transactional outbox --------------------------------------------
 
@@ -297,17 +361,25 @@ class SQLitePubSub(PubSub):
 
         Yields a ``TxPublisher`` with ``.publish(topic, df)`` and
         ``.cursor`` for arbitrary same-DB statements. Raising inside the
-        block rolls everything back — including the publishes.
+        block rolls everything back — including the publishes, and any
+        re-entrant ``publish()``/``ack()`` calls on this pubsub made inside
+        the block (they join the transaction instead of committing it).
         """
         self._check_open()
         with self._lock:
+            if self._in_tx:
+                raise RuntimeError("transaction() cannot be nested")
             cur = self._conn.cursor()
+            self._in_tx = True
             try:
+                self._begin_immediate(cur)  # cross-process write serialization
                 yield _TxPublisher(self, cur)
                 self._conn.commit()
             except Exception:
                 self._conn.rollback()
                 raise
+            finally:
+                self._in_tx = False
 
     def topic_count(self, topic: str) -> int:
         with self._lock:
@@ -315,7 +387,7 @@ class SQLitePubSub(PubSub):
             self._init_topic(cur, topic)
             cur.execute(f"SELECT COUNT(*) FROM {_table(topic)}")
             n = cur.fetchone()[0]
-            self._conn.commit()
+            self._maybe_commit()
         return n
 
     def close(self) -> None:

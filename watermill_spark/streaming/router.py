@@ -173,9 +173,14 @@ class Router:
         total = 0
         for h in self._handlers.values():
             df = h.subscriber.subscribe(h.sub_topic)
-            total += df.count()
-            self._process_batch(h, df)
             commit = getattr(h.subscriber, "commit", None)
+            if commit is not None:
+                # cursor-aware polls are bounded local batches — counting
+                # them is cheap and feeds run_polling's idle detection.
+                # Lazy transports (parquet) skip the count: it would be a
+                # second full topic scan per pass just for the return value.
+                total += df.count()
+            self._process_batch(h, df)
             if commit is not None:
                 commit(h.sub_topic)
         return total
@@ -197,7 +202,21 @@ class Router:
         Returns total messages consumed. With cursor-aware subscribers each
         message is processed once per group across the whole loop; a handler
         crash leaves the cursor put, so the next pass redelivers.
+
+        Every handler MUST use a cursor-aware subscriber (``commit(topic)``,
+        e.g. GroupSubscriber): a full-topic subscriber would re-process and
+        re-publish the whole topic every pass, and its nonzero batch would
+        defeat idle detection — rejected up front rather than duplicating
+        output unboundedly.
         """
+        for h in self._handlers.values():
+            if getattr(h.subscriber, "commit", None) is None:
+                raise ValueError(
+                    f"run_polling requires cursor-aware subscribers; handler "
+                    f"{h.name!r} uses {type(h.subscriber).__name__} (no "
+                    "commit()) — wrap it in a GroupSubscriber or use "
+                    "run_once/run_stream"
+                )
         passes = idle = consumed = 0
         while not self.closed:
             n = self.run_once()
