@@ -382,3 +382,61 @@ def test_exactly_once_across_two_connections_same_file(spark, tmp_path):
     assert len(applied) == len(set(applied)) == 10
     with p1.transaction() as tx:
         assert tx.execute("SELECT COUNT(*) FROM effects").fetchone()[0] == 10
+
+
+def test_soak_concurrent_group_consumers_at_least_once(spark, tmp_path):
+    """Transport soak: 2 consumer loops on SEPARATE connections sharing one
+    consumer group race 3 producer bursts. subscribe_group+ack is
+    batch-granular ⇒ AT-LEAST-ONCE across connections (both may poll the
+    same un-acked batch); the uuid-keyed idempotent sink — the documented
+    exactly-once recipe (SURVEY §7d) — must end with exactly one effect per
+    message and no message lost."""
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "soak.sqlite3")
+    t = _topic("soak")
+    producer_ps = SQLitePubSub(spark, path)
+
+    total = 60
+    sink: dict[str, int] = {}
+    sink_lock = threading.Lock()
+    stop = threading.Event()
+
+    def producer():
+        for lo in range(0, total, 20):
+            producer_ps.publish(
+                t, messages_df(spark, _msgs(20, f"burst{lo}"))
+            )
+            _time.sleep(0.2)
+
+    def consumer():
+        ps_ = SQLitePubSub(spark, path)  # own connection, shared group
+        while not stop.is_set():
+            df, off = ps_.subscribe_group(t, "workers", limit=25)
+            rows = df.collect()
+            with sink_lock:
+                for r in rows:  # idempotent sink: keyed by uuid
+                    sink[r["uuid"]] = sink.get(r["uuid"], 0) + 1
+            if rows:
+                ps_.ack(t, "workers", off)
+            else:
+                _time.sleep(0.1)
+
+    prod = threading.Thread(target=producer)
+    cons = [threading.Thread(target=consumer, daemon=True) for _ in range(2)]
+    prod.start()
+    for c in cons:
+        c.start()
+    prod.join()
+    deadline = _time.time() + 30
+    while _time.time() < deadline and len(sink) < total:
+        _time.sleep(0.2)
+    stop.set()
+    for c in cons:
+        c.join(timeout=10)
+
+    assert len(sink) == total                 # nothing lost
+    assert max(sink.values()) <= 3            # bounded redelivery, not a loop
+    # cursor fully advanced: a fresh poll of the group is empty
+    assert producer_ps.subscribe_group(t, "workers")[0].count() == 0
