@@ -303,7 +303,9 @@ def test_group_ack_never_loses_parked_delayed_message(ps, spark):
     import time as _time
 
     t = _topic("park")
-    soon = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) + _dt.timedelta(seconds=2)
+    # 8s window: the two publishes + first poll are Spark actions whose
+    # combined latency must stay inside it on a loaded host (2s flaked)
+    soon = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) + _dt.timedelta(seconds=8)
     ps.publish(t, delay_until(messages_df(spark, _msgs(1, "delayed")), soon))
     ps.publish(t, messages_df(spark, _msgs(2, "plain")))
 
@@ -311,7 +313,7 @@ def test_group_ack_never_loses_parked_delayed_message(ps, spark):
     assert df.count() == 0 and off == 0   # parked at the delayed head
     ps.ack(t, "g", off)                   # ack of an empty batch is a no-op
 
-    _time.sleep(2.5)
+    _time.sleep(8.5)
     df, off = ps.subscribe_group(t, "g")
     got = sorted(bytes(r["payload"]).decode() for r in df.collect())
     assert got == ["delayed-0", "plain-0", "plain-1"]  # nothing lost, in order

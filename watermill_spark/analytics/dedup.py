@@ -534,6 +534,16 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    else:  # cap exhausted without a detected fixpoint: say so, loudly
+        import warnings
+
+        warnings.warn(
+            f"connected components hit _CC_MAX_ROUNDS={_CC_MAX_ROUNDS} "
+            "without converging — components may be under-merged; raise the "
+            "cap for graphs with diameter beyond it",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.groupBy(F.col("label").cast("bigint").alias("component")).agg(
         bcount("n_docs"),
         F.min("node").cast("bigint").alias("canonical_doc"),

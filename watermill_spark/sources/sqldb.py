@@ -53,6 +53,14 @@ from .base import PubSub
 
 _TOPIC_RE = re.compile(r"[^A-Za-z0-9_]")
 
+# One definition of "due": sqlite's datetime() parses RFC3339 WITH the UTC
+# offset ('Z', '+00:00', or whatever zone a non-UTC Spark session stamped),
+# normalizing before the compare — a raw string compare would misorder
+# offset-suffixed stamps (pinned by test_delay_holdback_parses_utc_offsets).
+_DELIVERABLE_SQL = (
+    "(delayed_until IS NULL OR datetime(delayed_until) <= datetime('now'))"
+)
+
 
 def _table(topic: str) -> str:
     """watermill_{topic}, topic sanitized to identifier charset (the
@@ -98,7 +106,9 @@ class SQLitePubSub(PubSub):
         cur = self._conn.cursor()
         if db_path != ":memory:":
             cur.execute("PRAGMA journal_mode=WAL")
-        cur.execute("PRAGMA busy_timeout=5000")
+        # generous: an exactly-once consumer may hold the write lock for a
+        # whole handler invocation; competing pollers wait rather than error
+        cur.execute("PRAGMA busy_timeout=30000")
         self._conn.commit()
 
     def _maybe_commit(self) -> None:
@@ -190,15 +200,8 @@ class SQLitePubSub(PubSub):
         )
         if self.honor_delays:
             # consumer-side hold-back — the SQL Pub/Subs are the reference
-            # transports honoring _watermill_delayed_until on read. sqlite's
-            # datetime() parses RFC3339 *with* the UTC offset ('Z', '+00:00',
-            # or any zone a non-UTC Spark session stamped via date_format),
-            # normalizing to UTC before the compare — a raw string compare
-            # would misorder offset-suffixed stamps.
-            q += (
-                " AND (delayed_until IS NULL OR"
-                " datetime(delayed_until) <= datetime('now'))"
-            )
+            # transports honoring _watermill_delayed_until on read
+            q += f" AND {_DELIVERABLE_SQL}"
         q += ' ORDER BY "offset"'
         if limit is not None:
             q += f" LIMIT {int(limit)}"
@@ -213,13 +216,18 @@ class SQLitePubSub(PubSub):
         a group batch must stop AT the first not-yet-due delayed message —
         the batch-granular ack advances a single offset cursor, so skipping
         a held row and acking past it would permanently lose it once due.
-        Kafka-offset semantics: a delayed message parks the group until its
+        Kafka-offset semantics: a delayed message PARKS the group until its
         time comes (ordered redelivery); later messages wait behind it.
+        Consequence worth designing for: keep long-backoff traffic on its
+        own requeue topic (the delayed-requeue pattern, examples/15) so an
+        hour-long backoff at the head never blocks live messages — exactly
+        why the reference's DelayedRequeuer uses a separate table.
+
+        Callers must have run ``_init_topic`` already.
         """
-        self._init_topic(cur, topic)
         q = (
             f'SELECT "offset", uuid, payload, metadata, created_at,'
-            " (delayed_until IS NULL OR datetime(delayed_until) <= datetime('now'))"
+            f" {_DELIVERABLE_SQL}"
             f' FROM {_table(topic)} WHERE "offset" > ? ORDER BY "offset"'
         )
         if limit is not None:
@@ -328,9 +336,17 @@ class SQLitePubSub(PubSub):
                 # BEGIN IMMEDIATE before the offset read: a second process on
                 # the same db file blocks here until we commit/rollback, so
                 # it can never read (and double-apply) the same un-acked batch
-                self._begin_immediate(cur)
-                self._init_topic(cur, topic)
-                acked = self._acked(cur, topic, group)
+                try:
+                    self._begin_immediate(cur)
+                except sqlite3.OperationalError:
+                    # another connection holds the write lock past
+                    # busy_timeout: treat as a contended poll — roll back
+                    # and report an empty batch; the caller's next poll
+                    # retries (it would have seen an already-acked batch
+                    # anyway once the winner commits)
+                    self._conn.rollback()
+                    return 0
+                acked = self._acked_init(cur, topic, group)
                 raw = self._select_group_prefix(cur, topic, acked, limit)
                 if not raw:
                     self._conn.rollback()

@@ -162,7 +162,9 @@ class Router:
     # -- execution ---------------------------------------------------------
     def run_once(self) -> int:
         """One bounded pass over every handler's current topic contents;
-        returns the number of input messages seen across handlers.
+        returns the number of input messages seen across CURSOR-AWARE
+        handlers (lazy full-topic transports are processed but not counted —
+        counting them would cost a second full topic scan per pass).
 
         Cursor-aware subscribers (anything exposing ``commit(topic)``, e.g.
         GroupSubscriber over the SQL transport) are committed only AFTER the
@@ -208,6 +210,12 @@ class Router:
         re-publish the whole topic every pass, and its nonzero batch would
         defeat idle detection — rejected up front rather than duplicating
         output unboundedly.
+
+        Caveat for delay-driven topics: a PARKED not-yet-due delayed message
+        (SQL hold-back) yields empty polls, indistinguishable from a drained
+        topic — ``idle_passes_to_stop`` would stop with work still pending.
+        Drive such loops by ``max_passes`` / ``close()`` (or an interval
+        longer than the max backoff), as examples/15 does.
         """
         for h in self._handlers.values():
             if getattr(h.subscriber, "commit", None) is None:
