@@ -20,7 +20,7 @@ from watermill_spark.message import messages_df, new_message
 from watermill_spark.sources import MemoryPubSub, ParquetPubSub
 
 
-@pytest.fixture(params=["memory", "parquet", "kafka", "sqlite", "http"])
+@pytest.fixture(params=["memory", "parquet", "kafka", "sqlite", "http", "iofile"])
 def pubsub(request, spark, tmp_path):
     if request.param == "memory":
         return MemoryPubSub(spark)
@@ -40,6 +40,11 @@ def pubsub(request, spark, tmp_path):
         from watermill_spark.sources import HTTPPubSub
 
         return HTTPPubSub(spark)
+    if request.param == "iofile":
+        # watermill-io analog: NDJSON file per topic, distributed read
+        from watermill_spark.sources import FilePubSub
+
+        return FilePubSub(spark, str(tmp_path / "ndjson_topics"))
     return ParquetPubSub(spark, str(tmp_path / "topics"))
 
 

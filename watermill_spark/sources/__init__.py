@@ -14,6 +14,10 @@ Spark-native storage/stream layer:
                    exactly-once consumer, delayed-message hold-back on read
 - HTTPPubSub     — watermill-http analog: embedded HTTP server subscriber
                    (POST /{topic} → message), per-message HTTP publisher
+- FilePubSub     — watermill-io analog over files: NDJSON line protocol,
+                   one append-only file per topic, distributed Spark read;
+                   IOPublisher/IOSubscriber wrap arbitrary file-like
+                   streams (pipes, stdout/stdin) with the same framing
 """
 
 from .memory import MemoryPubSub
@@ -21,6 +25,7 @@ from .parquet import ParquetPubSub
 from .kafka import KafkaPubSub
 from .sqldb import GroupSubscriber, SQLitePubSub
 from .http import HTTPPubSub
+from .iofile import FilePubSub, IOPublisher, IOSubscriber
 from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
 __all__ = [
@@ -30,6 +35,9 @@ __all__ = [
     "SQLitePubSub",
     "GroupSubscriber",
     "HTTPPubSub",
+    "FilePubSub",
+    "IOPublisher",
+    "IOSubscriber",
     "bulk_read",
     "bulk_read_with_deduplication",
     "multiplier",
