@@ -26,6 +26,11 @@ from .kafka import KafkaPubSub
 from .sqldb import GroupSubscriber, SQLitePubSub
 from .http import HTTPPubSub
 from .iofile import FilePubSub, IOPublisher, IOSubscriber
+from .decorator import (
+    ForwardingPubSubDecorator,
+    message_transform_publisher_decorator,
+    message_transform_subscriber_decorator,
+)
 from .read import bulk_read, bulk_read_with_deduplication, multiplier
 
 __all__ = [
@@ -38,6 +43,9 @@ __all__ = [
     "FilePubSub",
     "IOPublisher",
     "IOSubscriber",
+    "ForwardingPubSubDecorator",
+    "message_transform_publisher_decorator",
+    "message_transform_subscriber_decorator",
     "bulk_read",
     "bulk_read_with_deduplication",
     "multiplier",

@@ -61,6 +61,51 @@ class _Handler:
     publisher: PubSub | None
     fn: HandlerFn
     middleware: list[Middleware] = field(default_factory=list)
+    stopped: bool = False  # Handler.Stop analog (`router.go:709-716`)
+    query: object = None  # this handler's StreamingQuery when run_stream'd
+    # decorated endpoints, resolved once on first use (stateful decorators —
+    # e.g. publish counters — must not be re-constructed per batch); matches
+    # the reference decorating once when the handler starts (`:724-760`)
+    eff_sub: object = None
+    eff_pub: object = None
+
+
+class HandlerHandle:
+    """What ``add_handler`` returns — the reference's ``*Handler``
+    (`message/router.go:272` returns it; methods `:691-722`).
+
+    Lets callers attach handler-level middleware after registration and
+    stop ONE handler without closing the router.
+    """
+
+    def __init__(self, router: "Router", h: _Handler):
+        self._router = router
+        self._h = h
+
+    @property
+    def name(self) -> str:
+        return self._h.name
+
+    def add_middleware(self, *mw: Middleware) -> None:
+        """Handler-level middleware, executed after (inside) router-level
+        ones (`router.go:691-700`, ordering `:651-659`)."""
+        self._h.middleware.extend(mw)
+
+    def stop(self) -> None:
+        """Stop this handler only: future run_once/run_polling passes skip
+        it, and its streaming query (if running) is stopped
+        (`router.go:709-716`)."""
+        self._h.stopped = True
+        q = self._h.query
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    @property
+    def stopped(self) -> bool:
+        return self._h.stopped
 
 
 @dataclass
@@ -77,6 +122,8 @@ class Router:
         self.config = config or RouterConfig()
         self._handlers: dict[str, _Handler] = {}
         self._router_middleware: list[Middleware] = []
+        self._pub_decorators: list = []  # Callable[[PubSub], PubSub]
+        self._sub_decorators: list = []
         self._queries: list = []  # active StreamingQuery handles
         self._running = False
         self.closed = False
@@ -85,6 +132,17 @@ class Router:
     def add_middleware(self, *mw: Middleware) -> None:
         """Router-level middleware, applied to every handler (`router.go:59`)."""
         self._router_middleware.extend(mw)
+
+    def add_publisher_decorators(self, *dec) -> None:
+        """Wrap every handler's publisher at run time, first-added innermost
+        (`router.go:226-231`, applied `:724-738`)."""
+        self._pub_decorators.extend(dec)
+
+    def add_subscriber_decorators(self, *dec) -> None:
+        """Wrap every handler's subscriber at run time (`router.go:234-240`,
+        applied `:740-760`). Decorators should forward capability attributes
+        (``commit`` etc.) — see sources/decorator.ForwardingPubSubDecorator."""
+        self._sub_decorators.extend(dec)
 
     def add_handler(
         self,
@@ -95,12 +153,14 @@ class Router:
         publisher: PubSub | None,
         fn: HandlerFn,
         middleware: list[Middleware] | None = None,
-    ) -> None:
+    ) -> HandlerHandle:
         if name in self._handlers:
             raise ValueError(f"handler {name!r} already exists")  # router.go:288-290
-        self._handlers[name] = _Handler(
+        h = _Handler(
             name, sub_topic, subscriber, pub_topic, publisher, fn, list(middleware or [])
         )
+        self._handlers[name] = h
+        return HandlerHandle(self, h)
 
     def add_consumer_handler(
         self,
@@ -109,11 +169,40 @@ class Router:
         subscriber: PubSub,
         fn: HandlerFn,
         middleware: list[Middleware] | None = None,
-    ) -> None:
+    ) -> HandlerHandle:
         """Terminal consumer, no publish (`message/router.go:35, :342-353`)."""
-        self.add_handler(name, sub_topic, subscriber, None, None, fn, middleware)
+        return self.add_handler(name, sub_topic, subscriber, None, None, fn, middleware)
+
+    # -- introspection (`router.go:241-253, 545-561, 611-615`) --------------
+    def handlers(self) -> dict[str, HandlerFn]:
+        """Registered handler functions by name (`Handlers()`)."""
+        return {name: h.fn for name, h in self._handlers.items()}
+
+    @property
+    def is_running(self) -> bool:
+        return self._running and not self.closed
+
+    @property
+    def is_closed(self) -> bool:
+        return self.closed
 
     # -- pipeline assembly -------------------------------------------------
+    def _endpoints(self, h: _Handler) -> tuple[PubSub, PubSub | None]:
+        """(subscriber, publisher) with router decorators applied — resolved
+        once per handler so stateful decorators keep their state across
+        batches (`router.go:724-760` decorates once per handler at run)."""
+        if h.eff_sub is None:
+            sub = h.subscriber
+            for dec in self._sub_decorators:
+                sub = dec(sub)
+            h.eff_sub = sub
+        if h.eff_pub is None and h.publisher is not None:
+            pub = h.publisher
+            for dec in self._pub_decorators:
+                pub = dec(pub)
+            h.eff_pub = pub
+        return h.eff_sub, h.eff_pub
+
     def _onion(self, h: _Handler) -> HandlerFn:
         """First-added outermost (`message/router.go:651-659`)."""
         wrapped = h.fn
@@ -154,7 +243,8 @@ class Router:
                     )
                 out = out.filter(F.col(ERROR_COL).isNull())
             if h.publisher is not None and h.pub_topic is not None:
-                h.publisher.publish(h.pub_topic, out.select(*MESSAGE_COLUMNS))
+                _, pub = self._endpoints(h)
+                pub.publish(h.pub_topic, out.select(*MESSAGE_COLUMNS))
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -174,8 +264,11 @@ class Router:
         self._running = True
         total = 0
         for h in self._handlers.values():
-            df = h.subscriber.subscribe(h.sub_topic)
-            commit = getattr(h.subscriber, "commit", None)
+            if h.stopped:
+                continue
+            sub, _ = self._endpoints(h)
+            df = sub.subscribe(h.sub_topic)
+            commit = getattr(sub, "commit", None)
             if commit is not None:
                 # cursor-aware polls are bounded local batches — counting
                 # them is cheap and feeds run_polling's idle detection.
@@ -218,7 +311,9 @@ class Router:
         longer than the max backoff), as examples/15 does.
         """
         for h in self._handlers.values():
-            if getattr(h.subscriber, "commit", None) is None:
+            if h.stopped:
+                continue
+            if getattr(self._endpoints(h)[0], "commit", None) is None:
                 raise ValueError(
                     f"run_polling requires cursor-aware subscribers; handler "
                     f"{h.name!r} uses {type(h.subscriber).__name__} (no "
@@ -238,27 +333,28 @@ class Router:
             time.sleep(interval_sec)
         return consumed
 
-    def run_stream(
+    def run_handlers(
         self,
         checkpoint_root: str,
         available_now: bool = True,
         processing_time: str | None = None,
         max_files_per_trigger: int | None = None,
     ) -> list:
-        """Start one streaming query per handler (foreachBatch).
-
-        checkpoint_root/<handler> is the consumer-group identity
-        (SURVEY.md §1.4: one group == one (query, checkpointDir) pair).
-        `max_files_per_trigger` is the Throttle knob at the source
-        (`middleware/throttle.go` ≙ source rate limiting).
-        """
-        self._running = True
-        self._queries = []
+        """Start streaming queries for handlers not yet running — the
+        reference's ``RunHandlers`` (`message/router.go:426-495`), which
+        lets a RUNNING router pick up late registrations. Handlers already
+        running (or stopped) are left alone; returns the newly started
+        queries."""
+        started = []
         for h in self._handlers.values():
-            stream = h.subscriber.subscribe_stream(h.sub_topic)
+            if h.stopped or h.query is not None:
+                continue
+            sub, _ = self._endpoints(h)
+            stream = sub.subscribe_stream(h.sub_topic)
             if max_files_per_trigger is not None:
                 # file sources accept maxFilesPerTrigger as a read option;
-                # re-create with the option applied
+                # re-create with the option applied (raw subscriber — see
+                # run_stream docstring caveat)
                 stream = (
                     h.subscriber.spark.readStream.schema(stream.schema)
                     .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -271,7 +367,37 @@ class Router:
                 writer = writer.trigger(availableNow=True)
             elif processing_time:
                 writer = writer.trigger(processingTime=processing_time)
-            self._queries.append(writer.start())
+            h.query = writer.start()
+            self._queries.append(h.query)
+            started.append(h.query)
+        return started
+
+    def run_stream(
+        self,
+        checkpoint_root: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> list:
+        """Start one streaming query per handler (foreachBatch).
+
+        checkpoint_root/<handler> is the consumer-group identity
+        (SURVEY.md §1.4: one group == one (query, checkpointDir) pair).
+        `max_files_per_trigger` is the Throttle knob at the source
+        (`middleware/throttle.go` ≙ source rate limiting). Caveat: that
+        option re-creates the file source from the RAW subscriber, so
+        subscriber decorators don't apply on that specific path.
+        """
+        self._running = True
+        self._queries = []
+        for h in self._handlers.values():
+            h.query = None  # fresh run: prior queries were stopped/finished
+        self.run_handlers(
+            checkpoint_root,
+            available_now=available_now,
+            processing_time=processing_time,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         return self._queries
 
     def await_termination(self) -> None:
