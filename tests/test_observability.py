@@ -146,3 +146,73 @@ def test_prometheus_label_escaping():
             continue
         # exactly one unescaped quote pair around the label value
         assert line.count('"') - line.count('\\"') == 2
+
+
+# -- transport metrics decorators (components/metrics publisher/subscriber) --
+def test_metrics_publisher_decorator_histogram_and_counters(spark):
+    from watermill_spark.observability import PubSubMetrics, metrics_publisher_decorator
+    from watermill_spark.sources import MemoryPubSub
+
+    m = PubSubMetrics()
+    ps = MemoryPubSub(spark)
+    pub = metrics_publisher_decorator(m, "mem-pub", count_rows=True)(ps)
+    t = f"t-{_uuid.uuid4().hex[:6]}"
+    pub.publish(t, messages_df(spark, [new_message(f"p{i}") for i in range(7)]))
+    pub.publish(t, messages_df(spark, [new_message("x")]))
+
+    labels = (("publisher_name", "mem-pub"), ("topic", t))
+    assert m.counter("watermill_publisher_batches_total", labels) == 2
+    assert m.counter("watermill_publisher_messages_published_total", labels) == 8
+    text = m.prometheus_text()
+    assert f'success="true"' in text
+    assert "watermill_publish_time_seconds_bucket" in text
+    # count line equals 2 observed batches
+    assert any(
+        line.startswith("watermill_publish_time_seconds_count") and line.endswith(" 2")
+        for line in text.splitlines()
+    )
+
+
+def test_metrics_publisher_decorator_records_failure(spark):
+    from watermill_spark.observability import PubSubMetrics, metrics_publisher_decorator
+    from watermill_spark.sources import MemoryPubSub
+
+    class Exploding(MemoryPubSub):
+        def publish(self, topic, df):
+            raise RuntimeError("boom")
+
+    m = PubSubMetrics()
+    pub = metrics_publisher_decorator(m, "bad")(Exploding(spark))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pub.publish("t", messages_df(spark, [new_message("x")]))
+    assert 'success="false"' in m.prometheus_text()
+
+
+def test_metrics_decorators_via_router(spark):
+    """The decorators plug into Router.add_*_decorators and survive multiple
+    run_once passes with state intact (resolved once per handler)."""
+    from watermill_spark.observability import (
+        PubSubMetrics,
+        metrics_publisher_decorator,
+        metrics_subscriber_decorator,
+    )
+    from watermill_spark.sources import MemoryPubSub
+
+    m = PubSubMetrics()
+    ps = MemoryPubSub(spark)
+    tin, tout = (f"{p}-{_uuid.uuid4().hex[:6]}" for p in ("in", "out"))
+    ps.publish(tin, messages_df(spark, [new_message(f"p{i}") for i in range(4)]))
+
+    r = Router()
+    r.add_publisher_decorators(metrics_publisher_decorator(m, "router-pub"))
+    r.add_subscriber_decorators(metrics_subscriber_decorator(m, "router-sub"))
+    r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    r.run_once()
+    r.run_once()
+
+    sub_labels = (("subscriber_name", "router-sub"), ("topic", tin))
+    pub_labels = (("publisher_name", "router-pub"), ("topic", tout))
+    assert m.counter("watermill_subscriber_batches_total", sub_labels) == 2
+    assert m.counter("watermill_publisher_batches_total", pub_labels) == 2

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 import uuid as _uuid
 from dataclasses import dataclass, field
@@ -182,6 +183,156 @@ def serve_metrics_http(
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]
+
+
+# -- transport metrics decorators -------------------------------------------
+# Prometheus default histogram buckets (client_golang prometheus.DefBuckets)
+DEF_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+
+class PubSubMetrics:
+    """Shared sink for the publisher/subscriber metrics decorators — the
+    per-endpoint half of `components/metrics` (`publisher.go:27-66`,
+    `subscriber.go:24-57`, series names `builder.go`).
+
+    Batch-granular by design: this engine's unit of delivery is the
+    micro-batch, so `publish_time_seconds` observes one duration per
+    published batch (labels publisher_name/topic/success — the reference's
+    handler_name label lives in ctx we deliberately strip before publish),
+    and the `*_messages_*_total` counters count ROWS when the decorator is
+    created with ``count_rows=True`` (one extra count job per batch —
+    opt-in) and BATCHES otherwise.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        # histogram: labels -> [bucket counts..., +Inf count, sum]
+        self._publish_hist: dict[tuple, list] = {}
+        self._counters: dict[tuple, float] = {}  # (series, labels) -> value
+
+    def observe_publish(self, publisher_name: str, topic: str, success: bool,
+                        seconds: float) -> None:
+        key = (publisher_name, topic, "true" if success else "false")
+        with self._lock:
+            h = self._publish_hist.setdefault(
+                key, [0] * (len(DEF_BUCKETS) + 1) + [0.0]
+            )
+            for i, ub in enumerate(DEF_BUCKETS):
+                if seconds <= ub:
+                    h[i] += 1
+            h[len(DEF_BUCKETS)] += 1  # +Inf
+            h[-1] += seconds
+
+    def inc(self, series: str, labels: tuple, n: float = 1) -> None:
+        with self._lock:
+            self._counters[(series, labels)] = (
+                self._counters.get((series, labels), 0) + n
+            )
+
+    def counter(self, series: str, labels: tuple) -> float:
+        return self._counters.get((series, labels), 0)
+
+    def prometheus_text(self) -> str:
+        """Exposition format 0.0.4 for the decorator series (escaped)."""
+        e = _prom_label_escape
+        lines = [
+            "# HELP watermill_publish_time_seconds Batch publish duration per publisher/topic",
+            "# TYPE watermill_publish_time_seconds histogram",
+        ]
+        with self._lock:
+            for (pname, topic, ok), h in sorted(self._publish_hist.items()):
+                base = f'publisher_name="{e(pname)}",topic="{e(topic)}",success="{ok}"'
+                for i, ub in enumerate(DEF_BUCKETS):
+                    lines.append(
+                        f'watermill_publish_time_seconds_bucket{{{base},le="{ub}"}} {h[i]}'
+                    )
+                lines.append(
+                    f'watermill_publish_time_seconds_bucket{{{base},le="+Inf"}} '
+                    f"{h[len(DEF_BUCKETS)]}"
+                )
+                lines.append(
+                    f"watermill_publish_time_seconds_sum{{{base}}} {h[-1]:.6f}"
+                )
+                lines.append(
+                    f"watermill_publish_time_seconds_count{{{base}}} "
+                    f"{h[len(DEF_BUCKETS)]}"
+                )
+            series_meta = {
+                "watermill_publisher_messages_published_total": "Rows published (count_rows decorators)",
+                "watermill_publisher_batches_total": "Batches published",
+                "watermill_subscriber_messages_received_total": "Rows received (count_rows decorators)",
+                "watermill_subscriber_batches_total": "Batches subscribed",
+            }
+            by_series: dict[str, list[str]] = {}
+            for (series, labels), v in sorted(self._counters.items()):
+                lbl = ",".join(
+                    f'{k}="{e(str(val))}"' for k, val in labels
+                )
+                by_series.setdefault(series, []).append(
+                    f"{series}{{{lbl}}} {int(v) if v == int(v) else v}"
+                )
+            for series, help_txt in series_meta.items():
+                if series in by_series:
+                    lines.append(f"# HELP {series} {help_txt}")
+                    lines.append(f"# TYPE {series} counter")
+                    lines.extend(by_series[series])
+        return "\n".join(lines) + "\n"
+
+
+def metrics_publisher_decorator(metrics: PubSubMetrics, publisher_name: str,
+                                count_rows: bool = False):
+    """PublisherPrometheusMetricsDecorator analog
+    (`components/metrics/publisher.go:18-66`): returns a decorator for
+    Router.add_publisher_decorators (or direct wrapping) that observes
+    publish duration + success per topic, and optionally row counts."""
+    from watermill_spark.sources.decorator import ForwardingPubSubDecorator
+
+    class _MetricsPublisher(ForwardingPubSubDecorator):
+        def publish(self, topic, df):
+            n = df.count() if count_rows else None
+            start = time.monotonic()
+            try:
+                self.inner.publish(topic, df)
+            except Exception:
+                metrics.observe_publish(
+                    publisher_name, topic, False, time.monotonic() - start
+                )
+                raise
+            metrics.observe_publish(
+                publisher_name, topic, True, time.monotonic() - start
+            )
+            labels = (("publisher_name", publisher_name), ("topic", topic))
+            metrics.inc("watermill_publisher_batches_total", labels)
+            if n is not None:
+                metrics.inc(
+                    "watermill_publisher_messages_published_total", labels, n
+                )
+
+    return _MetricsPublisher
+
+
+def metrics_subscriber_decorator(metrics: PubSubMetrics, subscriber_name: str,
+                                 count_rows: bool = False):
+    """SubscriberPrometheusMetricsDecorator analog
+    (`components/metrics/subscriber.go:16-57`). Batch subscribes only —
+    streaming row counts come free from RouterMetricsListener (progress
+    events), so subscribe_stream passes through unobserved."""
+    from watermill_spark.sources.decorator import ForwardingPubSubDecorator
+
+    class _MetricsSubscriber(ForwardingPubSubDecorator):
+        def subscribe(self, topic):
+            df = self.inner.subscribe(topic)
+            labels = (("subscriber_name", subscriber_name), ("topic", topic))
+            metrics.inc("watermill_subscriber_batches_total", labels)
+            if count_rows:
+                metrics.inc(
+                    "watermill_subscriber_messages_received_total",
+                    labels,
+                    df.count(),
+                )
+            return df
+
+    return _MetricsSubscriber
 
 
 # -- logging ---------------------------------------------------------------
