@@ -166,6 +166,54 @@ def test_poison_queue_splits_and_stamps(ps, spark):
     assert m[mw.POISONED_HANDLER] == "h"
 
 
+def test_poison_queue_with_filter_splits_three_ways(ps, spark):
+    """`middleware/poison.go:46-60`: qualifying errors → DLQ; non-qualifying
+    errors stay error rows (⇒ router nack); ok rows publish."""
+    tin, tout, dlq = _topic("in"), _topic("out"), _topic("poison")
+    ps.publish(tin, _msgs(spark, 10))
+    r = Router(RouterConfig(fail_on_unhandled_errors=True))
+    n = metadata_get("n").cast("int")
+    r.add_handler(
+        "h", tin, ps, tout, ps, passthrough_handler,
+        middleware=[
+            mw.poison_queue_with_filter(
+                ps, dlq, lambda err: err.contains("poisonable")
+            ),
+            # n%3==0 → poisonable error (4 msgs); n==1 → other error (1 msg)
+            mw.fail_rows(n % 3 == 0, "poisonable: n divisible by 3"),
+            mw.fail_rows(n == 1, "transient: leave for nack"),
+        ],
+    )
+    with pytest.raises(RuntimeError, match="unhandled message errors"):
+        r.run_once()  # the non-qualifying error nacks the batch
+    poisoned = ps.subscribe(dlq).collect()
+    assert len(poisoned) == 4
+    assert all(
+        dict(p["metadata"])[mw.REASON_POISONED].startswith("poisonable")
+        for p in poisoned
+    )
+
+    # with the transient error whitelisted (ignore_errors clears it, the
+    # message flows on as OK — pinned by test_ignore_errors_whitelist),
+    # the batch completes: 5 untouched + 1 cleared = 6 rows out
+    tout2, dlq2 = _topic("out2"), _topic("poison2")
+    r2 = Router()
+    r2.add_handler(
+        "h", tin, ps, tout2, ps, passthrough_handler,
+        middleware=[
+            mw.ignore_errors(["transient: leave for nack"]),
+            mw.poison_queue_with_filter(
+                ps, dlq2, lambda err: err.contains("poisonable")
+            ),
+            mw.fail_rows(n % 3 == 0, "poisonable: n divisible by 3"),
+            mw.fail_rows(n == 1, "transient: leave for nack"),
+        ],
+    )
+    r2.run_once()
+    assert ps.subscribe(tout2).count() == 6
+    assert ps.subscribe(dlq2).count() == 4
+
+
 def test_ignore_errors_whitelist(ps, spark):
     """`middleware/ignore_errors.go:14-38`."""
     tin, tout = _topic("in"), _topic("out")

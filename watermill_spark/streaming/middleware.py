@@ -128,6 +128,50 @@ def poison_queue(publisher: PubSub, topic: str) -> Middleware:
     return mw
 
 
+def poison_queue_with_filter(
+    publisher: PubSub,
+    topic: str,
+    should_poison: Callable[[F.Column], F.Column],
+) -> Middleware:
+    """PoisonQueueWithFilter (`middleware/poison.go:46-60`): only errors the
+    predicate qualifies go to the dead-letter topic; the rest stay ERROR
+    rows flowing on (⇒ the router's unhandled-error nack, exactly the
+    reference's 'return the error to the caller' path).
+
+    ``should_poison`` maps the error Column to a boolean Column, e.g.
+    ``lambda err: err.contains("schema")`` — a plan-level predicate, so the
+    split is one filter, not per-row Python.
+    """
+
+    def mw(fn: HandlerFn) -> HandlerFn:
+        def wrapped(df: DataFrame) -> DataFrame:
+            out = fn(df).localCheckpoint(eager=True)
+            err_col = F.col(ERROR_COL)
+            poison_pred = err_col.isNotNull() & F.coalesce(
+                should_poison(err_col), F.lit(False)
+            )
+            poisoned = out.filter(poison_pred)
+            if poisoned.limit(1).count():
+                stamped = poisoned.withColumn(
+                    "metadata",
+                    F.map_concat(
+                        F.coalesce(F.col("metadata"), F.create_map()),
+                        F.create_map(
+                            F.lit(REASON_POISONED), err_col,
+                            F.lit(POISONED_TOPIC), F.col(CTX_SUB_TOPIC),
+                            F.lit(POISONED_HANDLER), F.col(CTX_HANDLER),
+                        ),
+                    ),
+                )
+                publisher.publish(topic, stamped)
+            # ok rows AND non-qualifying error rows continue downstream
+            return out.filter(~poison_pred)
+
+        return wrapped
+
+    return mw
+
+
 def ignore_errors(whitelist: Sequence[str]) -> Middleware:
     """Swallow whitelisted errors (`middleware/ignore_errors.go:14-38`)."""
 
