@@ -159,3 +159,42 @@ def test_file_pubsub_junk_lines_skipped(spark, tmp_path):
     with open(tmp_path / "t.ndjson", "a", encoding="utf-8") as f:
         f.write("\n# comment\n{\"broken\n")
     assert ps.subscribe("t").count() == 3
+
+
+def test_io_subscriber_live_fifo_does_not_block(spark, tmp_path):
+    """A live pipe (writer still open) drains what's available instead of
+    blocking for EOF; a partial line is buffered until its newline arrives."""
+    import os as _os
+
+    fifo = str(tmp_path / "pipe")
+    _os.mkfifo(fifo)
+    # open both ends non-blockingly: reader first (O_NONBLOCK), then writer
+    rfd = _os.open(fifo, _os.O_RDONLY | _os.O_NONBLOCK)
+    wfd = _os.open(fifo, _os.O_WRONLY)
+    reader = _os.fdopen(rfd, "rb")
+    try:
+        msgs = _msgs(3)
+        lines = [marshal_message_line(m, "t") for m in msgs]
+        _os.write(wfd, (lines[0] + "\n" + lines[1] + "\n").encode())
+        half = (lines[2] + "\n").encode()
+        _os.write(wfd, half[: len(half) // 2])
+
+        sub = IOSubscriber(spark, reader, close_reader=False)
+        assert sub.subscribe("t").count() == 2  # returns promptly, writer open
+
+        _os.write(wfd, half[len(half) // 2 :])
+        assert sub.subscribe("t").count() == 1  # buffered partial completed
+    finally:
+        _os.close(wfd)
+        reader.close()
+
+
+def test_file_pubsub_topic_collision_isolated(spark, tmp_path):
+    """Filename sanitization can collide ('a/b' vs 'a b' -> a_b.ndjson);
+    the embedded wire topic keeps subscriptions isolated anyway."""
+    ps = FilePubSub(spark, str(tmp_path))
+    ps.publish("a/b", messages_df(spark, _msgs(3, "slash")))
+    ps.publish("a b", messages_df(spark, _msgs(2, "space")))
+    assert (tmp_path / "a_b.ndjson").exists()
+    assert ps.subscribe("a/b").count() == 3
+    assert ps.subscribe("a b").count() == 2

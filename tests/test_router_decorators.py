@@ -192,3 +192,69 @@ def test_introspection_accessors(ps):
     assert r.is_running
     r.close()
     assert r.is_closed and not r.is_running
+
+
+def test_late_decorator_applies_to_existing_handler(ps, spark):
+    """Decorators registered AFTER a handler's first pass re-resolve the
+    endpoint (reference re-decorates at each Run) instead of being
+    silently ignored."""
+    tin, tout = _topic("in"), _topic("out")
+    r = Router()
+    r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    ps.publish(tin, _msgs(spark, 2))
+    r.run_once()  # endpoints resolve undecorated
+
+    r.add_publisher_decorators(
+        message_transform_publisher_decorator(
+            lambda df: with_metadata(df, late="yes")
+        )
+    )
+    ps.publish(tin, _msgs(spark, 2))
+    r.run_once()  # cursorless memory transport re-reads all 4 inputs
+    metas = [dict(x["metadata"]) for x in ps.subscribe(tout).collect()]
+    assert len(metas) == 6  # 2 undecorated (pass 1) + 4 decorated (pass 2)
+    assert sum("late" in m for m in metas) == 4
+
+
+def test_run_stream_rejects_while_active(ps, spark):
+    """Second run_stream while queries are live raises instead of orphaning
+    them / colliding on checkpoints (ErrRouterIsAlreadyRunning analog)."""
+    r = Router()
+    h = r.add_handler("h", "a", ps, "b", ps, passthrough_handler)
+
+    class FakeActiveQuery:
+        isActive = True
+
+        def stop(self):
+            self.isActive = False
+
+    h._h.query = FakeActiveQuery()
+    with pytest.raises(RuntimeError, match="already running"):
+        r.run_stream("/tmp/ckpt-unused")
+
+
+def test_run_handlers_rejects_closed_router(ps):
+    r = Router()
+    r.add_handler("h", "a", ps, "b", ps, passthrough_handler)
+    r.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        r.run_handlers("/tmp/ckpt-unused")
+
+
+def test_retry_publisher_forwards_cursor_capability(spark):
+    """RetryPublisher on the forwarding base keeps commit() visible, so
+    run_polling accepts a retry-wrapped GroupSubscriber."""
+    from watermill_spark.sources import RetryPublisher, SQLitePubSub
+    from watermill_spark.sources.sqldb import GroupSubscriber
+
+    sql = SQLitePubSub(spark, ":memory:")
+    tin, tout = _topic("in"), _topic("out")
+    out = MemoryPubSub(spark)
+    sub = RetryPublisher(GroupSubscriber(sql, "g"), max_retries=1,
+                         initial_interval_sec=0.0)
+    assert callable(sub.commit)
+    sql.publish(tin, _msgs(spark, 3))
+    r = Router()
+    r.add_handler("h", tin, sub, tout, out, passthrough_handler)
+    assert r.run_polling(interval_sec=0.01, idle_passes_to_stop=2) == 3
+    assert out.subscribe(tout).count() == 3

@@ -428,7 +428,7 @@ def test_circuit_breaker_opens_and_recovers(spark):
 def test_retry_publisher_retries_then_succeeds(spark):
     """RetryPublisher: doubling backoff, success after transient failures
     (`internal/publisher/retry.go:55-108`)."""
-    from watermill_spark.sources.base import RetryPublisher
+    from watermill_spark.sources import RetryPublisher
     from watermill_spark.sources.memory import MemoryPubSub
 
     inner = MemoryPubSub(spark)
@@ -621,3 +621,28 @@ def test_circuit_breaker_default_catches_recoverer_error_rows(spark):
     cb(lambda d: d)  # fresh wrap shares state dict? no — same cb instance
     out = cb(recoverer()(lambda d: d))(df)
     assert out.filter(F.col(ERROR_COL).isNotNull()).count() == 0
+
+
+def test_poison_filter_does_not_redeliver_dlq_on_replay(ps, spark):
+    """`poison_queue_with_filter` remembers dead-lettered uuids per instance:
+    the nack-replay of a batch with a surviving non-qualifying error must
+    not duplicate the DLQ (the reference acks poisoned messages
+    individually, so they are never redelivered)."""
+    tin, tout, dlq = _topic("in"), _topic("out"), _topic("poison")
+    ps.publish(tin, _msgs(spark, 10))
+    n = metadata_get("n").cast("int")
+    r = Router(RouterConfig(fail_on_unhandled_errors=True))
+    r.add_handler(
+        "h", tin, ps, tout, ps, passthrough_handler,
+        middleware=[
+            mw.poison_queue_with_filter(
+                ps, dlq, lambda err: err.contains("poisonable")
+            ),
+            mw.fail_rows(n % 3 == 0, "poisonable"),
+            mw.fail_rows(n == 1, "transient"),
+        ],
+    )
+    for _ in range(3):  # three nack-replays of the same batch
+        with pytest.raises(RuntimeError, match="unhandled message errors"):
+            r.run_once()
+    assert ps.subscribe(dlq).count() == 4  # once per message, not per replay

@@ -28,6 +28,7 @@ from .http import HTTPPubSub
 from .iofile import FilePubSub, IOPublisher, IOSubscriber
 from .decorator import (
     ForwardingPubSubDecorator,
+    RetryPublisher,
     message_transform_publisher_decorator,
     message_transform_subscriber_decorator,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "IOPublisher",
     "IOSubscriber",
     "ForwardingPubSubDecorator",
+    "RetryPublisher",
     "message_transform_publisher_decorator",
     "message_transform_subscriber_decorator",
     "bulk_read",

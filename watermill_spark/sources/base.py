@@ -50,39 +50,6 @@ class PubSub(abc.ABC):
         self._closed = True
 
 
-class RetryPublisher(PubSub):
-    """Publisher decorator retrying failed publishes with doubling backoff
-    (`internal/publisher/retry.go:55-108`).
-
-    Sink-side safety net for transient transport errors; with checkpointed
-    streaming the replayed batch makes retries idempotent-by-uuid when the
-    underlying sink dedups (exactly-once recipe, SURVEY.md §7d).
-    """
-
-    def __init__(self, inner: PubSub, max_retries: int = 5, initial_interval_sec: float = 0.1):
-        super().__init__(inner.spark)
-        self.inner = inner
-        self.max_retries = max_retries
-        self.initial_interval_sec = initial_interval_sec
-
-    def publish(self, topic, df):
-        import time as _time
-
-        interval = self.initial_interval_sec
-        for attempt in range(self.max_retries + 1):
-            try:
-                return self.inner.publish(topic, df)
-            except Exception:
-                if attempt == self.max_retries:
-                    raise
-                _time.sleep(interval)
-                interval *= 2
-
-    def subscribe(self, topic):
-        return self.inner.subscribe(topic)
-
-    def subscribe_stream(self, topic):
-        return self.inner.subscribe_stream(topic)
-
-    def subscribe_initialize(self, topic):
-        return self.inner.subscribe_initialize(topic)
+# RetryPublisher moved to sources/decorator.py (it is a publisher decorator;
+# the forwarding base there keeps cursor capabilities visible through the
+# wrap). Import from watermill_spark.sources.

@@ -81,6 +81,37 @@ class _TransformSubscriber(ForwardingPubSubDecorator):
         return self._transform(self.inner.subscribe_stream(topic))
 
 
+class RetryPublisher(ForwardingPubSubDecorator):
+    """Publisher decorator retrying failed publishes with doubling backoff
+    (`internal/publisher/retry.go:55-108`).
+
+    Sink-side safety net for transient transport errors; with checkpointed
+    streaming the replayed batch makes retries idempotent-by-uuid when the
+    underlying sink dedups (exactly-once recipe, SURVEY.md §7d). Built on
+    the forwarding base so a wrapped cursor-aware transport keeps commit()
+    and friends visible.
+    """
+
+    def __init__(self, inner: PubSub, max_retries: int = 5,
+                 initial_interval_sec: float = 0.1):
+        super().__init__(inner)
+        self.max_retries = max_retries
+        self.initial_interval_sec = initial_interval_sec
+
+    def publish(self, topic: str, df: DataFrame) -> None:
+        import time as _time
+
+        interval = self.initial_interval_sec
+        for attempt in range(self.max_retries + 1):
+            try:
+                return self.inner.publish(topic, df)
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                _time.sleep(interval)
+                interval *= 2
+
+
 def message_transform_publisher_decorator(transform: Transform) -> Decorator:
     """Every published batch passes through ``transform`` first
     (`message/decorator.go:62-77`)."""

@@ -174,6 +174,12 @@ class IOSubscriber(PubSub):
     calls continue from the stream position — a pipe can be drained in
     rounds. Junk lines are skipped, not fatal (a log file may interleave
     non-message lines).
+
+    Live pipes/FIFOs: a blocking ``readlines()`` would hang until the
+    writer closes, so non-seekable streams with a real fd are switched to
+    non-blocking reads — each drain returns the COMPLETE lines available
+    right now and buffers any trailing partial line for the next round.
+    Seekable objects (files, StringIO) keep the plain readlines path.
     """
 
     def __init__(self, spark: SparkSession, reader: IO[str],
@@ -182,10 +188,35 @@ class IOSubscriber(PubSub):
         self._reader = reader
         self._close_reader = close_reader
         self._lock = threading.Lock()
+        self._partial = b""  # trailing unterminated line from a pipe drain
+        try:
+            fd = reader.fileno()
+            self._pipe_fd = fd if not reader.seekable() else None
+        except (AttributeError, OSError, ValueError):
+            self._pipe_fd = None  # StringIO etc.
+        if self._pipe_fd is not None:
+            os.set_blocking(self._pipe_fd, False)
+
+    def _read_lines(self) -> list[str]:
+        if self._pipe_fd is None:
+            return self._reader.readlines()
+        chunks = [self._partial]
+        while True:
+            try:
+                b = os.read(self._pipe_fd, 1 << 16)
+            except BlockingIOError:
+                break
+            if not b:  # EOF: writer closed
+                break
+            chunks.append(b)
+        buf = b"".join(chunks)
+        lines = buf.split(b"\n")
+        self._partial = lines.pop()  # b"" when buf ends in \n
+        return [ln.decode("utf-8", errors="replace") for ln in lines]
 
     def _drain(self) -> Iterable[dict]:
         with self._lock:
-            lines = self._reader.readlines()
+            lines = self._read_lines()
         for line in lines:
             msg = unmarshal_message_line(line)
             if msg is not None:
@@ -254,7 +285,13 @@ class FilePubSub(PubSub):
         path = self._path(topic)
         if not os.path.exists(path) or os.path.getsize(path) == 0:
             return self.spark.createDataFrame([], MESSAGE_SCHEMA)
-        return _parse_lines_df(self.spark, self.spark.read.text(path))
+        # topic filter on the embedded field: filename sanitization can
+        # collide ('a/b' and 'a b' → a_b.ndjson) — the wire topic, not the
+        # filename, is authoritative. Topic-less lines (foreign shell
+        # producers that omitted the field) belong to the file's topic.
+        return _parse_lines_df(self.spark, self.spark.read.text(path)).where(
+            (F.col("topic") == F.lit(topic)) | F.col("topic").isNull()
+        )
 
     def subscribe_initialize(self, topic: str) -> None:
         with self._lock(topic):

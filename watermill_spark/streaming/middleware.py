@@ -141,7 +141,18 @@ def poison_queue_with_filter(
     ``should_poison`` maps the error Column to a boolean Column, e.g.
     ``lambda err: err.contains("schema")`` — a plan-level predicate, so the
     split is one filter, not per-row Python.
+
+    Replay interplay: unlike plain ``poison_queue`` (which swallows every
+    error, so the batch commits), surviving error rows here nack the batch
+    — and the redelivered batch re-derives the SAME qualifying rows. This
+    middleware therefore remembers the uuids it has already dead-lettered
+    (per instance, i.e. per process) and publishes each to the DLQ once.
+    Across process restarts the DLQ is at-least-once, the engine-wide
+    delivery contract — pair with an idempotent/uuid-deduping DLQ consumer
+    (the reference acks poisoned messages individually; batch-granular ack
+    cannot, so the dedup moves here).
     """
+    seen_dlq: set[str] = set()  # uuids already published to the DLQ
 
     def mw(fn: HandlerFn) -> HandlerFn:
         def wrapped(df: DataFrame) -> DataFrame:
@@ -151,7 +162,11 @@ def poison_queue_with_filter(
                 should_poison(err_col), F.lit(False)
             )
             poisoned = out.filter(poison_pred)
-            if poisoned.limit(1).count():
+            uuids = [r["uuid"] for r in poisoned.select("uuid").collect()]
+            fresh = [u for u in uuids if u not in seen_dlq]
+            if fresh:
+                if len(fresh) != len(uuids):
+                    poisoned = poisoned.filter(F.col("uuid").isin(fresh))
                 stamped = poisoned.withColumn(
                     "metadata",
                     F.map_concat(
@@ -164,6 +179,7 @@ def poison_queue_with_filter(
                     ),
                 )
                 publisher.publish(topic, stamped)
+                seen_dlq.update(fresh)
             # ok rows AND non-qualifying error rows continue downstream
             return out.filter(~poison_pred)
 

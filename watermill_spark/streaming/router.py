@@ -65,9 +65,13 @@ class _Handler:
     query: object = None  # this handler's StreamingQuery when run_stream'd
     # decorated endpoints, resolved once on first use (stateful decorators —
     # e.g. publish counters — must not be re-constructed per batch); matches
-    # the reference decorating once when the handler starts (`:724-760`)
+    # the reference decorating once when the handler starts (`:724-760`).
+    # ver records how many decorators were applied: if more are registered
+    # later, the endpoint re-resolves (reference re-decorates at each Run)
     eff_sub: object = None
     eff_pub: object = None
+    eff_sub_ver: int = -1
+    eff_pub_ver: int = -1
 
 
 class HandlerHandle:
@@ -191,16 +195,20 @@ class Router:
         """(subscriber, publisher) with router decorators applied — resolved
         once per handler so stateful decorators keep their state across
         batches (`router.go:724-760` decorates once per handler at run)."""
-        if h.eff_sub is None:
+        if h.eff_sub is None or h.eff_sub_ver != len(self._sub_decorators):
             sub = h.subscriber
             for dec in self._sub_decorators:
                 sub = dec(sub)
             h.eff_sub = sub
-        if h.eff_pub is None and h.publisher is not None:
+            h.eff_sub_ver = len(self._sub_decorators)
+        if h.publisher is not None and (
+            h.eff_pub is None or h.eff_pub_ver != len(self._pub_decorators)
+        ):
             pub = h.publisher
             for dec in self._pub_decorators:
                 pub = dec(pub)
             h.eff_pub = pub
+            h.eff_pub_ver = len(self._pub_decorators)
         return h.eff_sub, h.eff_pub
 
     def _onion(self, h: _Handler) -> HandlerFn:
@@ -313,12 +321,20 @@ class Router:
         for h in self._handlers.values():
             if h.stopped:
                 continue
-            if getattr(self._endpoints(h)[0], "commit", None) is None:
+            eff = self._endpoints(h)[0]
+            if getattr(eff, "commit", None) is None:
+                raw = type(h.subscriber).__name__
+                seen = type(eff).__name__
+                hint = (
+                    f" (the registered {raw} is wrapped by {seen}, which does"
+                    " not forward commit — subclass ForwardingPubSubDecorator)"
+                    if eff is not h.subscriber
+                    else ""
+                )
                 raise ValueError(
                     f"run_polling requires cursor-aware subscribers; handler "
-                    f"{h.name!r} uses {type(h.subscriber).__name__} (no "
-                    "commit()) — wrap it in a GroupSubscriber or use "
-                    "run_once/run_stream"
+                    f"{h.name!r} uses {seen} (no commit()){hint} — wrap it in "
+                    "a GroupSubscriber or use run_once/run_stream"
                 )
         passes = idle = consumed = 0
         while not self.closed:
@@ -345,6 +361,9 @@ class Router:
         lets a RUNNING router pick up late registrations. Handlers already
         running (or stopped) are left alone; returns the newly started
         queries."""
+        if self.closed:
+            # a closed router must never spawn queries nothing will stop
+            raise RuntimeError("router is closed")
         started = []
         for h in self._handlers.values():
             if h.stopped or h.query is not None:
@@ -370,6 +389,8 @@ class Router:
             h.query = writer.start()
             self._queries.append(h.query)
             started.append(h.query)
+        if started:
+            self._running = True
         return started
 
     def run_stream(
@@ -388,10 +409,22 @@ class Router:
         option re-creates the file source from the RAW subscriber, so
         subscriber decorators don't apply on that specific path.
         """
+        still_active = [
+            h.name
+            for h in self._handlers.values()
+            if h.query is not None and getattr(h.query, "isActive", False)
+        ]
+        if still_active:
+            # re-running would orphan live queries and collide on their
+            # checkpoint dirs — the reference's ErrRouterIsAlreadyRunning
+            raise RuntimeError(
+                f"router is already running (active handlers: {still_active}); "
+                "use run_handlers() for late registrations or close() first"
+            )
         self._running = True
         self._queries = []
         for h in self._handlers.values():
-            h.query = None  # fresh run: prior queries were stopped/finished
+            h.query = None  # fresh run: prior queries all stopped/finished
         self.run_handlers(
             checkpoint_root,
             available_now=available_now,
