@@ -108,3 +108,30 @@ def test_pq_ack_removes_forever(spark, tmp_path, capsys):
     assert ps.subscribe(topic).count() == 0
     # nothing ever reached the origin topic
     assert ps.subscribe(origin).count() == 0
+
+
+def test_produce_consume_iofile_transport(spark, tmp_path, monkeypatch, capsys):
+    """--transport iofile: messages land as NDJSON lines any shell tool can
+    read, and consume round-trips them."""
+    d = str(tmp_path / "ndjson")
+    topic = _t("logs")
+    monkeypatch.setattr("sys.stdin", io.StringIO("alpha\nbeta\n"))
+    assert main(["produce", "-d", d, "-t", topic, "--transport", "iofile"]) == 0
+    import os
+
+    files = os.listdir(d)
+    assert len(files) == 1 and files[0].endswith(".ndjson")
+    assert main(["consume", "-d", d, "-t", topic, "--transport", "iofile"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert sorted(out) == ["alpha", "beta"]
+
+
+def test_produce_consume_sqlite_transport(spark, tmp_path, monkeypatch, capsys):
+    db = str(tmp_path / "bus.sqlite3")
+    topic = _t("cmds")
+    monkeypatch.setattr("sys.stdin", io.StringIO("one\n"))
+    assert main(["produce", "-d", db, "-t", topic, "--transport", "sqlite"]) == 0
+    assert main(["consume", "-d", db, "-t", topic, "--transport", "sqlite",
+                 "--output", "json"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["payload"] for r in rows] == ["one"]

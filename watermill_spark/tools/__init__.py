@@ -42,7 +42,20 @@ def _spark():
     return get_spark("watermill-tools")
 
 
-def _pubsub(spark, base_dir: str):
+def _pubsub(spark, base_dir: str, transport: str = "parquet"):
+    """Transport factory for produce/consume (the mill CLI is pluggable
+    over pub/subs the same way): parquet (default, topic dirs), iofile
+    (NDJSON file per topic — shell-composable), sqlite (path = db file).
+    The pq browser stays parquet-only: its remove primitive rewrites the
+    topic dir."""
+    if transport == "iofile":
+        from watermill_spark.sources import FilePubSub
+
+        return FilePubSub(spark, base_dir)
+    if transport == "sqlite":
+        from watermill_spark.sources import SQLitePubSub
+
+        return SQLitePubSub(spark, base_dir)
     from watermill_spark.sources import ParquetPubSub
 
     return ParquetPubSub(spark, base_dir)
@@ -61,7 +74,7 @@ def cmd_produce(args) -> int:
         print("no input lines; nothing published", file=sys.stderr)
         return 0
     spark = _spark()
-    ps = _pubsub(spark, args.dir)
+    ps = _pubsub(spark, args.dir, getattr(args, "transport", "parquet"))
     ps.publish(args.topic, messages_df(spark, [new_message(ln) for ln in lines]))
     print(f"published {len(lines)} message(s) to {args.topic!r}", file=sys.stderr)
     return 0
@@ -72,7 +85,7 @@ def cmd_consume(args) -> int:
     --output json adds uuid/metadata per line (the 'easily attainable by
     modification of the marshaling function' variant, as a flag)."""
     spark = _spark()
-    ps = _pubsub(spark, args.dir)
+    ps = _pubsub(spark, args.dir, getattr(args, "transport", "parquet"))
     rows = ps.subscribe(args.topic).collect()
     for r in rows:
         payload = bytes(r["payload"] or b"").decode("utf-8", "replace")
@@ -245,13 +258,24 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-d", "--dir", required=True, help="topics base dir")
         sp.add_argument("-t", "--topic", required=True, help="topic name")
 
+    def add_transport(sp):
+        sp.add_argument(
+            "--transport",
+            choices=("parquet", "iofile", "sqlite"),
+            default="parquet",
+            help="topic storage: parquet dirs (default), NDJSON files "
+            "(iofile; -d is the files dir), or sqlite (-d is the db path)",
+        )
+
     sp = sub.add_parser("produce", help="stdin lines -> messages (mill produce)")
     add_common(sp)
+    add_transport(sp)
     sp.add_argument("--skip-empty", action="store_true", help="drop blank lines")
     sp.set_defaults(fn=cmd_produce)
 
     sp = sub.add_parser("consume", help="messages -> stdout (mill consume)")
     add_common(sp)
+    add_transport(sp)
     sp.add_argument("--output", choices=("payload", "json"), default="payload")
     sp.set_defaults(fn=cmd_consume)
 
