@@ -26,6 +26,7 @@ _ALIASES = {
     "example_15_delayed_requeue": "15_delayed_requeue.py",
     "example_16_server_sent_events": "16_server_sent_events.py",
     "example_17_cqrs_ordered_events": "17_cqrs_ordered_events.py",
+    "example_18_io_quickstart": "18_io_quickstart.py",
 }
 
 

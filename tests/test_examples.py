@@ -180,3 +180,15 @@ def test_example_cqrs_ordered_events(spark, tmp_path):
         "3:unsubscribed:bob",
         "4:email_updated:alice",
     ]
+
+
+def test_example_io_quickstart(spark, tmp_path):
+    from examples import example_18_io_quickstart as mod
+
+    out = mod.main(spark, str(tmp_path / "ex18"))
+    assert out == {
+        "enriched": 5,
+        "ndjson_lines": 5,
+        "via_io_subscriber": 5,
+        "shell_produced": 2,
+    }
