@@ -198,3 +198,71 @@ def test_file_pubsub_topic_collision_isolated(spark, tmp_path):
     assert (tmp_path / "a_b.ndjson").exists()
     assert ps.subscribe("a/b").count() == 3
     assert ps.subscribe("a b").count() == 2
+
+
+def test_io_subscriber_pipe_eof_flushes_partial_line(spark, tmp_path):
+    """Writer closes mid-line: the unterminated tail is delivered as the
+    final line (same contract as readlines on a regular file)."""
+    import os as _os
+
+    fifo = str(tmp_path / "pipe2")
+    _os.mkfifo(fifo)
+    rfd = _os.open(fifo, _os.O_RDONLY | _os.O_NONBLOCK)
+    wfd = _os.open(fifo, _os.O_WRONLY)
+    reader = _os.fdopen(rfd, "rb")
+    try:
+        line = marshal_message_line(_msgs(1)[0], "t")
+        _os.write(wfd, line.encode())  # NO trailing newline
+        sub = IOSubscriber(spark, reader, close_reader=False)
+        assert sub.subscribe("t").count() == 0  # incomplete, writer open
+        _os.close(wfd)
+        wfd = -1
+        assert sub.subscribe("t").count() == 1  # EOF flushes the tail
+    finally:
+        if wfd >= 0:
+            _os.close(wfd)
+        reader.close()
+
+
+def test_io_subscriber_restores_blocking_mode(spark, tmp_path):
+    """The fd is non-blocking only during a drain; the caller's mode is
+    restored between rounds (shared open-file-descriptions stay sane)."""
+    import os as _os
+
+    fifo = str(tmp_path / "pipe3")
+    _os.mkfifo(fifo)
+    rfd = _os.open(fifo, _os.O_RDONLY | _os.O_NONBLOCK)
+    wfd = _os.open(fifo, _os.O_WRONLY)
+    _os.set_blocking(rfd, True)  # caller's choice: blocking
+    reader = _os.fdopen(rfd, "rb")
+    try:
+        sub = IOSubscriber(spark, reader, close_reader=False)
+        _os.write(wfd, (marshal_message_line(_msgs(1)[0], "t") + "\n").encode())
+        assert sub.subscribe("t").count() == 1
+        assert _os.get_blocking(rfd) is True  # restored after the drain
+    finally:
+        _os.close(wfd)
+        reader.close()
+
+
+def test_io_subscriber_sees_wrapper_buffered_bytes(spark, tmp_path):
+    """Bytes a caller's readline() pre-buffered inside the BufferedReader
+    are drained first, not skipped by the raw-fd reads."""
+    import os as _os
+
+    fifo = str(tmp_path / "pipe4")
+    _os.mkfifo(fifo)
+    rfd = _os.open(fifo, _os.O_RDONLY | _os.O_NONBLOCK)
+    wfd = _os.open(fifo, _os.O_WRONLY)
+    reader = _os.fdopen(rfd, "rb")
+    try:
+        lines = [marshal_message_line(m, "t") for m in _msgs(3)]
+        _os.write(wfd, ("# header\n" + "\n".join(lines) + "\n").encode())
+        # caller skips the header — BufferedReader slurps everything
+        # available into its internal buffer doing so
+        assert reader.readline() == b"# header\n"
+        sub = IOSubscriber(spark, reader, close_reader=False)
+        assert sub.subscribe("t").count() == 3
+    finally:
+        _os.close(wfd)
+        reader.close()

@@ -258,3 +258,59 @@ def test_retry_publisher_forwards_cursor_capability(spark):
     r.add_handler("h", tin, sub, tout, out, passthrough_handler)
     assert r.run_polling(interval_sec=0.01, idle_passes_to_stop=2) == 3
     assert out.subscribe(tout).count() == 3
+
+
+def test_late_decorator_wraps_existing_chain_preserving_state(ps, spark):
+    """Late-registered decorators wrap AROUND the resolved chain: inner
+    stateful decorators keep their accumulated counts."""
+    tin, tout = _topic("in"), _topic("out")
+
+    counts = {"n": 0}
+
+    class Counting(ForwardingPubSubDecorator):
+        def publish(self, topic, df):
+            counts["n"] += 1
+            self.inner.publish(topic, df)
+
+    r = Router()
+    r.add_publisher_decorators(Counting)
+    r.add_handler("h", tin, ps, tout, ps, passthrough_handler)
+    ps.publish(tin, _msgs(spark, 1))
+    r.run_once()
+    assert counts["n"] == 1
+
+    r.add_publisher_decorators(
+        message_transform_publisher_decorator(
+            lambda df: with_metadata(df, outer="1")
+        )
+    )
+    r.run_once()  # re-resolves: transform wraps the SAME Counting instance
+    assert counts["n"] == 2  # state survived the late registration
+
+
+def test_run_polling_revalidates_commit_each_pass(spark):
+    """A late decorator that hides commit() makes run_polling fail loudly
+    (wrapper-aware message) instead of silently re-reading full topics."""
+    from watermill_spark.sources import SQLitePubSub
+    from watermill_spark.sources.sqldb import GroupSubscriber
+
+    sql = SQLitePubSub(spark, ":memory:")
+    tin, tout = _topic("in"), _topic("out")
+    out = MemoryPubSub(spark)
+    r = Router()
+    r.add_handler("h", tin, GroupSubscriber(sql, "g"), tout, out,
+                  passthrough_handler)
+    sql.publish(tin, _msgs(spark, 1))
+    assert r.run_polling(interval_sec=0.01, idle_passes_to_stop=1) == 1
+
+    class Opaque:  # hides every capability, including commit
+        def __init__(self, inner):
+            self.inner = inner
+            self.spark = inner.spark
+
+        def subscribe(self, topic):
+            return self.inner.subscribe(topic)
+
+    r.add_subscriber_decorators(Opaque)
+    with pytest.raises(ValueError, match="does not forward commit"):
+        r.run_polling(interval_sec=0.01, idle_passes_to_stop=1)

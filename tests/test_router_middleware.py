@@ -646,3 +646,29 @@ def test_poison_filter_does_not_redeliver_dlq_on_replay(ps, spark):
         with pytest.raises(RuntimeError, match="unhandled message errors"):
             r.run_once()
     assert ps.subscribe(dlq).count() == 4  # once per message, not per replay
+
+
+def test_poison_filter_requeued_message_deadletters_again(ps, spark):
+    """A message pulled out of the DLQ and re-fed (requeue: same uuid,
+    incremented retries) is a NEW delivery: it dead-letters again instead
+    of being silently dropped by the replay dedup."""
+    tin, tout, dlq = _topic("in"), _topic("out"), _topic("poison")
+    r = Router(RouterConfig(fail_on_unhandled_errors=False))
+    pqf = mw.poison_queue_with_filter(ps, dlq, lambda err: err.contains("bad"))
+    r.add_handler(
+        "h", tin, ps, tout, ps, passthrough_handler,
+        middleware=[pqf, mw.fail_rows(metadata_get("doom") == "1", "bad")],
+    )
+    ps.publish(tin, messages_df(spark, [
+        new_message("p", uuid="victim", metadata={"doom": "1"})]))
+    r.run_once()
+    assert ps.subscribe(dlq).count() == 1
+
+    # requeue: same uuid returns with retries=1 (what Requeuer stamps)
+    ps.publish(tin, messages_df(spark, [
+        new_message("p", uuid="victim",
+                    metadata={"doom": "1", mw.REQUEUER_RETRIES: "1"})]))
+    r.run_once()
+    # memory transport re-reads the first copy too (suppressed, replay key)
+    # but the requeued delivery dead-letters again: 2 total, not 1
+    assert ps.subscribe(dlq).count() == 2

@@ -90,6 +90,10 @@ class RetryPublisher(ForwardingPubSubDecorator):
     underlying sink dedups (exactly-once recipe, SURVEY.md §7d). Built on
     the forwarding base so a wrapped cursor-aware transport keeps commit()
     and friends visible.
+
+    close() CASCADES to the wrapped transport (the forwarding base's
+    contract, matching Go decorator Close chains) — don't close a
+    RetryPublisher whose inner transport is still shared elsewhere.
     """
 
     def __init__(self, inner: PubSub, max_retries: int = 5,

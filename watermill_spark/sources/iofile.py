@@ -176,10 +176,15 @@ class IOSubscriber(PubSub):
     non-message lines).
 
     Live pipes/FIFOs: a blocking ``readlines()`` would hang until the
-    writer closes, so non-seekable streams with a real fd are switched to
+    writer closes, so non-seekable streams with a real fd are drained with
     non-blocking reads — each drain returns the COMPLETE lines available
-    right now and buffers any trailing partial line for the next round.
-    Seekable objects (files, StringIO) keep the plain readlines path.
+    right now and buffers any trailing partial line for the next round
+    (flushed as the final line once the writer closes). The fd is flipped
+    to non-blocking only for the duration of a drain and restored after.
+    Pass BINARY/raw file objects for live pipes (``os.fdopen(fd, "rb")``) —
+    a text-mode wrapper's internal buffer has no ``peek`` and bytes it
+    pre-buffered would be invisible to the raw-fd reads. Seekable objects
+    (files, StringIO) keep the plain readlines path.
     """
 
     def __init__(self, spark: SparkSession, reader: IO[str],
@@ -194,24 +199,51 @@ class IOSubscriber(PubSub):
             self._pipe_fd = fd if not reader.seekable() else None
         except (AttributeError, OSError, ValueError):
             self._pipe_fd = None  # StringIO etc.
-        if self._pipe_fd is not None:
-            os.set_blocking(self._pipe_fd, False)
 
     def _read_lines(self) -> list[str]:
         if self._pipe_fd is None:
             return self._reader.readlines()
+        # consume bytes the wrapping BufferedReader may have pre-buffered
+        # (a caller's readline() before handing us the stream would
+        # otherwise leave them invisible to the raw-fd reads below);
+        # text-mode wrappers have no peek — pass binary/raw objects for
+        # live pipes (as the docstring asks)
+        peek = getattr(self._reader, "peek", None)
         chunks = [self._partial]
-        while True:
-            try:
-                b = os.read(self._pipe_fd, 1 << 16)
-            except BlockingIOError:
-                break
-            if not b:  # EOF: writer closed
-                break
-            chunks.append(b)
+        eof = False
+        # non-blocking only around the drain, restored after — the fd (and
+        # any tty/open-file-description it shares) keeps the caller's mode
+        # between rounds
+        was_blocking = os.get_blocking(self._pipe_fd)
+        os.set_blocking(self._pipe_fd, False)
+        try:
+            if peek is not None:
+                try:
+                    buffered = peek(0)
+                except (BlockingIOError, ValueError):
+                    buffered = b""
+                if buffered:
+                    chunks.append(self._reader.read(len(buffered)))
+            while True:
+                try:
+                    b = os.read(self._pipe_fd, 1 << 16)
+                except BlockingIOError:
+                    break
+                if not b:  # EOF: writer closed
+                    eof = True
+                    break
+                chunks.append(b)
+        finally:
+            if was_blocking:
+                os.set_blocking(self._pipe_fd, True)
         buf = b"".join(chunks)
         lines = buf.split(b"\n")
         self._partial = lines.pop()  # b"" when buf ends in \n
+        if eof and self._partial:
+            # writer closed mid-line: the unterminated tail is the final
+            # line (same contract as readlines() on a regular file)
+            lines.append(self._partial)
+            self._partial = b""
         return [ln.decode("utf-8", errors="replace") for ln in lines]
 
     def _drain(self) -> Iterable[dict]:
@@ -288,7 +320,10 @@ class FilePubSub(PubSub):
         # topic filter on the embedded field: filename sanitization can
         # collide ('a/b' and 'a b' → a_b.ndjson) — the wire topic, not the
         # filename, is authoritative. Topic-less lines (foreign shell
-        # producers that omitted the field) belong to the file's topic.
+        # producers that omitted the field) belong to the file's topic;
+        # if colliding topics share the file, such lines surface on each of
+        # them (can't be disambiguated) — foreign producers should set the
+        # topic field, as examples/18 does.
         return _parse_lines_df(self.spark, self.spark.read.text(path)).where(
             (F.col("topic") == F.lit(topic)) | F.col("topic").isNull()
         )

@@ -145,14 +145,25 @@ def poison_queue_with_filter(
     Replay interplay: unlike plain ``poison_queue`` (which swallows every
     error, so the batch commits), surviving error rows here nack the batch
     — and the redelivered batch re-derives the SAME qualifying rows. This
-    middleware therefore remembers the uuids it has already dead-lettered
-    (per instance, i.e. per process) and publishes each to the DLQ once.
-    Across process restarts the DLQ is at-least-once, the engine-wide
-    delivery contract — pair with an idempotent/uuid-deduping DLQ consumer
-    (the reference acks poisoned messages individually; batch-granular ack
-    cannot, so the dedup moves here).
+    middleware therefore remembers what it has already dead-lettered (per
+    instance, i.e. per process) and publishes each delivery to the DLQ
+    once. The memory key is (uuid, requeue-retries): a REQUEUED message
+    (pulled out of the DLQ and re-fed — examples/15) carries an incremented
+    retries counter, so it is a new delivery and dead-letters again rather
+    than being silently dropped; a checkpoint replay of the same batch
+    carries identical metadata and is suppressed. Memory is bounded
+    (``dedup_capacity`` FIFO eviction; evicting can only re-publish a
+    duplicate — the safe direction). Across process restarts the DLQ is
+    at-least-once, the engine-wide delivery contract — pair with an
+    idempotent/uuid-deduping DLQ consumer (the reference acks poisoned
+    messages individually; batch-granular ack cannot, so the dedup moves
+    here).
     """
-    seen_dlq: set[str] = set()  # uuids already published to the DLQ
+    from collections import deque
+
+    dedup_capacity = 100_000
+    seen_dlq: set[str] = set()  # "(uuid)#(retries)" keys already dead-lettered
+    seen_order: deque[str] = deque()
 
     def mw(fn: HandlerFn) -> HandlerFn:
         def wrapped(df: DataFrame) -> DataFrame:
@@ -162,11 +173,21 @@ def poison_queue_with_filter(
                 should_poison(err_col), F.lit(False)
             )
             poisoned = out.filter(poison_pred)
-            uuids = [r["uuid"] for r in poisoned.select("uuid").collect()]
-            fresh = [u for u in uuids if u not in seen_dlq]
+            key_col = F.concat_ws(
+                "#",
+                F.col("uuid"),
+                F.coalesce(
+                    F.coalesce(F.col("metadata"), F.create_map())[
+                        REQUEUER_RETRIES
+                    ],
+                    F.lit("0"),
+                ),
+            )
+            keys = [r["k"] for r in poisoned.select(key_col.alias("k")).collect()]
+            fresh = [k for k in keys if k not in seen_dlq]
             if fresh:
-                if len(fresh) != len(uuids):
-                    poisoned = poisoned.filter(F.col("uuid").isin(fresh))
+                if len(fresh) != len(keys):
+                    poisoned = poisoned.filter(key_col.isin(fresh))
                 stamped = poisoned.withColumn(
                     "metadata",
                     F.map_concat(
@@ -179,7 +200,11 @@ def poison_queue_with_filter(
                     ),
                 )
                 publisher.publish(topic, stamped)
-                seen_dlq.update(fresh)
+                for k in fresh:
+                    seen_dlq.add(k)
+                    seen_order.append(k)
+                while len(seen_order) > dedup_capacity:
+                    seen_dlq.discard(seen_order.popleft())
             # ok rows AND non-qualifying error rows continue downstream
             return out.filter(~poison_pred)
 

@@ -195,20 +195,22 @@ class Router:
         """(subscriber, publisher) with router decorators applied — resolved
         once per handler so stateful decorators keep their state across
         batches (`router.go:724-760` decorates once per handler at run)."""
-        if h.eff_sub is None or h.eff_sub_ver != len(self._sub_decorators):
-            sub = h.subscriber
-            for dec in self._sub_decorators:
-                sub = dec(sub)
-            h.eff_sub = sub
+        if h.eff_sub is None:
+            h.eff_sub, h.eff_sub_ver = h.subscriber, 0
+        if h.eff_sub_ver < len(self._sub_decorators):
+            # late-registered decorators wrap AROUND the existing chain —
+            # never rebuilt from raw, so stateful inner decorators (e.g.
+            # counters) keep their accumulated state
+            for dec in self._sub_decorators[h.eff_sub_ver:]:
+                h.eff_sub = dec(h.eff_sub)
             h.eff_sub_ver = len(self._sub_decorators)
-        if h.publisher is not None and (
-            h.eff_pub is None or h.eff_pub_ver != len(self._pub_decorators)
-        ):
-            pub = h.publisher
-            for dec in self._pub_decorators:
-                pub = dec(pub)
-            h.eff_pub = pub
-            h.eff_pub_ver = len(self._pub_decorators)
+        if h.publisher is not None:
+            if h.eff_pub is None:
+                h.eff_pub, h.eff_pub_ver = h.publisher, 0
+            if h.eff_pub_ver < len(self._pub_decorators):
+                for dec in self._pub_decorators[h.eff_pub_ver:]:
+                    h.eff_pub = dec(h.eff_pub)
+                h.eff_pub_ver = len(self._pub_decorators)
         return h.eff_sub, h.eff_pub
 
     def _onion(self, h: _Handler) -> HandlerFn:
@@ -288,6 +290,28 @@ class Router:
                 commit(h.sub_topic)
         return total
 
+    def _require_cursor_subscribers(self) -> None:
+        """Every active handler's EFFECTIVE subscriber must expose
+        commit(); raises with a wrapper-aware hint otherwise."""
+        for h in self._handlers.values():
+            if h.stopped:
+                continue
+            eff = self._endpoints(h)[0]
+            if getattr(eff, "commit", None) is None:
+                raw = type(h.subscriber).__name__
+                seen = type(eff).__name__
+                hint = (
+                    f" (the registered {raw} is wrapped by {seen}, which does"
+                    " not forward commit — subclass ForwardingPubSubDecorator)"
+                    if eff is not h.subscriber
+                    else ""
+                )
+                raise ValueError(
+                    f"run_polling requires cursor-aware subscribers; handler "
+                    f"{h.name!r} uses {seen} (no commit()){hint} — wrap it in "
+                    "a GroupSubscriber or use run_once/run_stream"
+                )
+
     def run_polling(
         self,
         interval_sec: float = 0.5,
@@ -318,26 +342,13 @@ class Router:
         Drive such loops by ``max_passes`` / ``close()`` (or an interval
         longer than the max backoff), as examples/15 does.
         """
-        for h in self._handlers.values():
-            if h.stopped:
-                continue
-            eff = self._endpoints(h)[0]
-            if getattr(eff, "commit", None) is None:
-                raw = type(h.subscriber).__name__
-                seen = type(eff).__name__
-                hint = (
-                    f" (the registered {raw} is wrapped by {seen}, which does"
-                    " not forward commit — subclass ForwardingPubSubDecorator)"
-                    if eff is not h.subscriber
-                    else ""
-                )
-                raise ValueError(
-                    f"run_polling requires cursor-aware subscribers; handler "
-                    f"{h.name!r} uses {seen} (no commit()){hint} — wrap it in "
-                    "a GroupSubscriber or use run_once/run_stream"
-                )
+        self._require_cursor_subscribers()
         passes = idle = consumed = 0
         while not self.closed:
+            # re-validated EVERY pass: a decorator registered mid-loop
+            # re-resolves endpoints, and one that hides commit() must fail
+            # loudly here, not silently fall back to full-topic re-reads
+            self._require_cursor_subscribers()
             n = self.run_once()
             consumed += n
             passes += 1
