@@ -183,6 +183,32 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the quarantined all-pairs recall oracle, the same pairing
     as q_knn_bruteforce / q_ann_lsh_hyperplane. §2.B similarity
     mandate [NS].
+
+    Mega-buckets (found by the sf5 scale run, not theory): a tight
+    angular CLUSTER lands on one side of almost every hyperplane, so
+    its bucket stays huge no matter how many bits — at sf5 two buckets
+    hold ~1/3 of the corpus each (~0.5G candidate pairs per bucket),
+    and scoring them with the interpreted per-pair JVM dot stalls for
+    10+ minutes in one task. The scoring is therefore two-stage:
+
+    1. PRUNE (vectorized, approximate-with-margin): one applyInPandas
+       pass per bucket does the all-pairs cosine as chunked numpy block
+       matmuls (BLAS, ~10^9 flops/s/core instead of ~10^5 interpreted
+       pairs/s) and keeps only pairs within 2e-6 of the bucket's
+       10th-best per kind — a superset of the bucket's true top-10 as
+       long as numpy's and the JVM's float64 dots agree within 1e-6
+       (they agree to ~1e-15 at dim 64).
+    2. SETTLE (exact, tiny): the few dozen surviving pairs per bucket
+       join back to their vectors and are re-scored by the SAME JVM
+       round(dot/(|a||b|), 6) expression as before — so cross-engine
+       determinism vs the DuckDB oracle is untouched; numpy only ever
+       PRUNES, never decides a published value.
+
+    Candidate VOLUME stays quadratic in the largest bucket (inherent to
+    bucket-join semantics, same in the oracle); at 100 TB the semantic
+    levers are more bands/bits or a bucket-size cap, and the prune
+    stage needs the largest bucket's vectors to fit one executor
+    (17 MB at sf5; chunk rows if a bucket outgrows that).
     """
     tune_session(spark)
     sig = spread(load(spark, sf_dir, "embeddings")).select(
@@ -191,25 +217,76 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
     )
     sig = sig.withColumn("bucket", lsh_bucket(F.col("emb")))
-    b = sig.select(
+
+    def _bucket_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # positional j>i below must mean id_j>id_i
+        ids = ids[order]
+        labels = pdf["label"].to_numpy(dtype=np.int64)[order]
+        embs = np.array(pdf["emb"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = embs / norms[:, None]
+        margin = 2e-6
+        out_i: list = []
+        out_j: list = []
+        chunk = 1024
+        j_all = np.arange(n)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = unit[s:e] @ unit.T  # (e-s, n) block
+            upper = j_all[None, :] > np.arange(s, e)[:, None]
+            cross = labels[s:e, None] != labels[None, :]
+            for mask, keep_top in ((upper & cross, True), (upper & ~cross, False)):
+                vals = sims[mask]
+                if vals.size == 0:
+                    continue
+                if vals.size > 10:
+                    if keep_top:  # hard negatives: highest cosine
+                        thr = np.partition(vals, -10)[-10] - margin
+                        sel = mask & (sims >= thr)
+                    else:  # hard positives: lowest cosine
+                        thr = np.partition(vals, 9)[9] + margin
+                        sel = mask & (sims <= thr)
+                else:
+                    sel = mask
+                bi, bj = np.nonzero(sel)
+                out_i.append(ids[s + bi])
+                out_j.append(ids[bj])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_i), "id_b": np.concatenate(out_j)}
+        )
+
+    cand = sig.groupBy("bucket").applyInPandas(
+        _bucket_candidates, "id_a long, id_b long"
+    )
+    a_side = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("label").alias("label_a"),
+        "bucket",
+    )
+    b_side = sig.select(
         F.col("vec_id").alias("id_b"),
         F.col("emb").alias("emb_b"),
         F.col("label").alias("label_b"),
-        F.col("bucket").alias("bucket_b"),
     )
     pairs = (
-        sig.join(
-            b,
-            (F.col("bucket_b") == F.col("bucket"))
-            & (F.col("id_b") > F.col("vec_id")),
-        )
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
         .select(
-            F.col("vec_id").alias("id_a"),
+            "id_a",
             "id_b",
-            F.col("label").alias("label_a"),
+            "label_a",
             "label_b",
             "bucket",
-            F.round(cosine("emb", "emb_b"), 6).alias("cos"),
+            F.round(cosine("emb_a", "emb_b"), 6).alias("cos"),
         )
     )
     neg = (
