@@ -1,0 +1,122 @@
+"""Engine-only scale sweep: run EVERY registered query at a scale dir and
+flag stragglers — the generalization of the sf5 finding that caught
+q_hard_negative_mining_ann's mega-bucket stall (SCALE.md round 4).
+
+No oracle here (that's test_scale_parity's job on the bounded family);
+this answers a different question: does any of the 690 declared plans hit
+a wall-clock cliff when the data grows 50×? Each query gets a watchdog
+budget; on expiry its Spark jobs are cancelled via job-group and the query
+is recorded as OVER_BUDGET rather than hanging the sweep.
+
+    python tools_scale_sweep.py [sf_dir] [budget_sec] [name_filter...]
+    python tools_scale_sweep.py sf_dir budget --shard K M   # names[K::M]
+
+Output: one JSON line per query (name, status, wall, rows), then a summary
+line; exit 1 if any non-quarantined query went over budget or errored.
+Known-quadratic recall oracles (documented quarantine, SCALE.md) are swept
+but reported separately and don't fail the run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+
+# Documented scale-quarantined queries: correct by design, quadratic by
+# ground truth (they are the recall oracles for their ANN/LSH twins).
+QUARANTINE = {
+    "q_knn_bruteforce",
+    "q_dedup_embedding_cosine",
+    "q_hard_negative_mining",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_minhash_lsh",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "scale_data/sf5"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    rest = sys.argv[3:]
+    shard = None
+    if rest[:1] == ["--shard"]:
+        shard = (int(rest[1]), int(rest[2]))
+        rest = rest[3:]
+    name_filter = rest
+
+    import __spark_entry__ as entry
+    from watermill_spark.session import get_spark
+
+    spark = get_spark("scale-sweep")
+    sc = spark.sparkContext
+    queries = entry.queries()
+    names = [
+        n for n in sorted(queries)
+        if not name_filter or any(f in n for f in name_filter)
+    ]
+    if shard is not None:
+        names = names[shard[0]::shard[1]]
+
+    results = []
+    for i, name in enumerate(names):
+        group = f"sweep-{name}"
+        status, rows = "ok", -1
+        t0 = time.monotonic()
+
+        def run():
+            nonlocal status, rows
+            try:
+                sc.setJobGroup(group, name, interruptOnCancel=True)
+                rows = queries[name](spark, sf_dir).count()
+            except Exception as exc:  # cancelled or genuinely failed
+                status = "cancelled" if "cancelled" in str(exc).lower() else (
+                    f"error: {type(exc).__name__}"
+                )
+            finally:
+                sc.clearJobGroup()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(budget)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(30)
+            status = "OVER_BUDGET"
+        wall = round(time.monotonic() - t0, 2)
+        rec = {
+            "name": name,
+            "status": status,
+            "wall_sec": wall,
+            "rows": rows,
+            "quarantined": name in QUARANTINE,
+        }
+        results.append(rec)
+        print(json.dumps(rec, sort_keys=True), flush=True)
+
+    bad = [
+        r for r in results
+        if r["status"] != "ok" and not r["quarantined"]
+    ]
+    slow = sorted(
+        (r for r in results if r["status"] == "ok"),
+        key=lambda r: -r["wall_sec"],
+    )[:10]
+    print(json.dumps({
+        "summary": True,
+        "sf_dir": sf_dir,
+        "budget_sec": budget,
+        "total": len(results),
+        "ok": sum(r["status"] == "ok" for r in results),
+        "failed_or_over_budget": [r["name"] for r in bad],
+        "quarantined_swept": [
+            {"name": r["name"], "status": r["status"], "wall": r["wall_sec"]}
+            for r in results if r["quarantined"]
+        ],
+        "slowest_ok": [{"name": r["name"], "wall": r["wall_sec"]} for r in slow],
+    }, sort_keys=True), flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
