@@ -40,9 +40,22 @@ def main() -> int:
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
     rest = sys.argv[3:]
     shard = None
-    if rest[:1] == ["--shard"]:
-        shard = (int(rest[1]), int(rest[2]))
-        rest = rest[3:]
+    done: set[str] = set()
+    while rest and rest[0] in ("--shard", "--resume"):
+        if rest[0] == "--shard":
+            shard = (int(rest[1]), int(rest[2]))
+            rest = rest[3:]
+        else:  # --resume FILE: skip names already recorded there
+            try:
+                with open(rest[1]) as fh:
+                    for line in fh:
+                        try:
+                            done.add(json.loads(line)["name"])
+                        except (ValueError, KeyError):
+                            pass
+            except OSError:
+                pass
+            rest = rest[2:]
     name_filter = rest
 
     import __spark_entry__ as entry
@@ -57,6 +70,7 @@ def main() -> int:
     ]
     if shard is not None:
         names = names[shard[0]::shard[1]]
+    names = [n for n in names if n not in done]
 
     results = []
     for i, name in enumerate(names):
