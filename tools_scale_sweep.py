@@ -32,6 +32,13 @@ QUARANTINE = {
     "q_hard_negative_mining",
     "q_dedup_jaccard_pairs",
     "q_dedup_minhash_lsh",
+    # leave-one-out O(n²) eval by design (docstring names the sampled+ANN
+    # path as the 100-TB form)
+    "q_knn_classifier_eval",
+    # banding diagnostic: candidate-pair volume is quadratic on this
+    # corpus's ground truth (31-token vocabulary ⇒ ~6% true near-dups),
+    # same reality as the quarantined pair emitters
+    "q_lsh_band_sweep",
 }
 
 

@@ -180,11 +180,17 @@ def q_recommendation_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # no localCheckpoint here: at sf5 the distinct basket grain is ~20M+
+    # rows, and pinning it on-heap (MEMORY_AND_DISK, deserialized) while
+    # the co-purchase self-join's map-side combine runs on all cores
+    # OOMed the shared local heap (caught by the sf5 engine sweep).
+    # Lineage is ONE cheap join+distinct — recomputing it for the three
+    # consumers is strictly lighter than holding it resident.
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("o_custkey", "l_partkey")
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
     pop = baskets.groupBy("l_partkey").agg(bcount("n_buyers"))
     tot = baskets.agg(bcount("n_events")).crossJoin(
         F.broadcast(pop.agg(bcount("n_catalog")))

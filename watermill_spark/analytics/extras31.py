@@ -289,7 +289,11 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are computed once and reused across configurations;
     each config's banding is an |docs|×n_bands explode joined per-bucket.
-    Verification touches candidates only. §2.B [NS].
+    Verification touches candidates only. NOTE this corpus's ground truth
+    makes CANDIDATE VOLUME itself quadratic (31-token vocabulary ⇒ ~6%
+    of all pairs are true near-dups), so like the quarantined pair
+    emitters this diagnostic is run on a sample at extreme SF — it tunes
+    banding, it is not a pipeline stage. §2.B [NS].
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))

@@ -34,14 +34,14 @@ from .extras48 import _SQL_DAILY_1995, _SQL_GAMMAS, _spark_centered_daily, _spar
       SELECT d, rev,
              CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
              CAST(SUM(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-                  AS DECIMAL(18,6)) AS cum,
+                  AS DECIMAL(28,6)) AS cum,
              CAST(SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
-                      AS DECIMAL(28,6))) OVER (ORDER BY d ROWS UNBOUNDED
-                      PRECEDING) AS DECIMAL(28,6)) AS cum2,
+                      AS DECIMAL(38,6))) OVER (ORDER BY d ROWS UNBOUNDED
+                      PRECEDING) AS DECIMAL(38,6)) AS cum2,
              CAST(COUNT(*) OVER () AS BIGINT) AS n,
-             CAST(SUM(rev) OVER () AS DECIMAL(18,6)) AS tot,
+             CAST(SUM(rev) OVER () AS DECIMAL(28,6)) AS tot,
              CAST(SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
-                      AS DECIMAL(28,6))) OVER () AS DECIMAL(28,6)) AS tot2
+                      AS DECIMAL(38,6))) OVER () AS DECIMAL(38,6)) AS tot2
       FROM daily
     ),
     scored AS (
@@ -93,16 +93,19 @@ def q_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = wseq.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     r2 = (F.col("rev").cast("double") * F.col("rev").cast("double")).cast(
-        "decimal(28,6)"
+        "decimal(38,6)"
     )
+    # cumulative/total sums are 28,6 / 38,6, not the per-day 18,6: the
+    # series total is ~50x the sf0.1 value at sf5 and overflowed 18,6
+    # (caught by the sf5 engine sweep — NUMERIC_VALUE_OUT_OF_RANGE)
     idx = daily.select(
         "d",
         F.row_number().over(wseq).cast("bigint").alias("t"),
-        F.sum("rev").over(wrun).cast("decimal(18,6)").alias("cum"),
-        F.sum(r2).over(wrun).cast("decimal(28,6)").alias("cum2"),
+        F.sum("rev").over(wrun).cast("decimal(28,6)").alias("cum"),
+        F.sum(r2).over(wrun).cast("decimal(38,6)").alias("cum2"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-        F.sum("rev").over(wall).cast("decimal(18,6)").alias("tot"),
-        F.sum(r2).over(wall).cast("decimal(28,6)").alias("tot2"),
+        F.sum("rev").over(wall).cast("decimal(28,6)").alias("tot"),
+        F.sum(r2).over(wall).cast("decimal(38,6)").alias("tot2"),
     )
     sse_split = (
         F.col("cum2").cast("double")
