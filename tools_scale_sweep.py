@@ -13,8 +13,11 @@ is recorded as OVER_BUDGET rather than hanging the sweep.
 
 Output: one JSON line per query (name, status, wall, rows), then a summary
 line; exit 1 if any non-quarantined query went over budget or errored.
-Known-quadratic recall oracles (documented quarantine, SCALE.md) are swept
-but reported separately and don't fail the run.
+Known-quadratic recall oracles (documented quarantine, SCALE.md) are
+SKIPPED by default at scale — their cancelled tasks outlive
+cancelJobGroup (pandas-UDF/hash-agg tasks don't observe the interrupt)
+and the zombies OOMed the shared JVM on the first sf5 run. Sweep one
+explicitly (own process) by passing its name as a filter.
 """
 
 from __future__ import annotations
@@ -81,29 +84,56 @@ def main() -> int:
 
     results = []
     for i, name in enumerate(names):
+        # Quadratic-by-ground-truth recall oracles are SKIPPED at scale,
+        # not watchdogged: their cancelled tasks do not die promptly
+        # (pandas-UDF / huge hash-agg tasks outlive cancelJobGroup), and
+        # the zombies' held buffers OOMed the shared JVM mid-sweep on the
+        # first sf5 run — poisoning every later query with
+        # ConnectionRefused. Sweep them deliberately, one per process:
+        #   python tools_scale_sweep.py DIR BUDGET <name>
+        if name in QUARANTINE and not name_filter:
+            rec = {"name": name, "status": "SKIPPED_QUARANTINED",
+                   "wall_sec": 0.0, "rows": -1, "quarantined": True}
+            results.append(rec)
+            print(json.dumps(rec, sort_keys=True), flush=True)
+            continue
         group = f"sweep-{name}"
-        status, rows = "ok", -1
+        # one holder per iteration: a lingering cancelled thread from a
+        # previous query must not overwrite THIS query's status (the
+        # shared-nonlocal version misattributed a stale cancellation)
+        holder = {"status": "ok", "rows": -1}
         t0 = time.monotonic()
 
-        def run():
-            nonlocal status, rows
+        def run(holder=holder, name=name, group=group):
             try:
                 sc.setJobGroup(group, name, interruptOnCancel=True)
-                rows = queries[name](spark, sf_dir).count()
+                holder["rows"] = queries[name](spark, sf_dir).count()
             except Exception as exc:  # cancelled or genuinely failed
-                status = "cancelled" if "cancelled" in str(exc).lower() else (
-                    f"error: {type(exc).__name__}"
+                holder["status"] = (
+                    "cancelled" if "cancelled" in str(exc).lower()
+                    else f"error: {type(exc).__name__}"
                 )
             finally:
-                sc.clearJobGroup()
+                # PySpark 4 dropped SparkContext.clearJobGroup; clearing
+                # the thread-local property is the public equivalent
+                try:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                except Exception:
+                    pass
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         t.join(budget)
         if t.is_alive():
             sc.cancelJobGroup(group)
-            t.join(30)
-            status = "OVER_BUDGET"
+            t.join(120)  # drain: wait for the cancel to actually land
+            holder["status"] = "OVER_BUDGET" + (
+                "" if not t.is_alive() else "_ZOMBIE"
+            )
+            if t.is_alive():
+                print(json.dumps({"warn": "zombie tasks survive cancel",
+                                  "name": name}), file=sys.stderr, flush=True)
+        status, rows = holder["status"], holder["rows"]
         wall = round(time.monotonic() - t0, 2)
         rec = {
             "name": name,

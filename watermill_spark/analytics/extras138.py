@@ -60,16 +60,33 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count, mean distance, closest pair, distinct left docs.
 
     Determinism: levenshtein is an integer metric with one standard
-    definition in both engines; means route through DECIMAL.
+    definition in both engines; means route through DECIMAL. The Spark
+    side scores with the threshold form ``levenshtein(a, b, 12)`` (banded
+    DP, returns -1 past the threshold) — for every pair the oracle keeps
+    (dist ≤ 12) the banded distance equals the full distance, so the
+    published values are engine-identical.
 
-    Scale: the self-join is a (lang, prefix) equi-join — never a cross
-    product; at 100 TB widen the block key with a length bucket (edit
-    distance ≤ d bounds the length gap at d) and cap block size, the
-    same salting discipline as the LSH band join. The 64-char head cap
-    bounds per-pair cost at O(64²) cells. §2.B join family + dedup
-    mandate [NS].
+    Scale (rewritten after the sf5 engine sweep caught a >300 s stall):
+    the naive (lang, prefix) self-join is an equi-join, but candidate
+    volume is QUADRATIC IN THE LARGEST BLOCK — on this 31-token-vocabulary
+    corpus one block holds 4.5k docs at sf5 (~20M pairs), and because a
+    block is one join-key group, all ~20M interpreted per-pair levenshtein
+    evaluations landed in ONE task. AQE's skew-join split never fires: the
+    skewed partition is <1 MB — byte-based skew heuristics are blind to
+    join-CONDITION compute skew. Two physical fixes, semantics untouched:
+    (1) chunk-salted pair enumeration — each doc gets a deterministic
+    chunk ``ca = xxhash64(doc_id) % S``; the left side explodes to target
+    chunks [ca, S), the join adds ``target == b.ca`` to the key, and
+    (ca < b.ca) OR (ca == b.ca AND id < id) keeps each unordered pair
+    exactly once — the mega-block's pairs now spread across S tasks;
+    (2) the distance moved OUT of the join condition into a post-join
+    projection (codegen) using the banded threshold form. At 100 TB the
+    same shape holds: S scales with max-block-size²/target-task-pairs.
+    The 64-char head cap bounds per-pair cost at O(13·64) cells. §2.B
+    join family + dedup mandate [NS].
     """
     tune_session(spark)
+    S = 32  # salt chunks: max-block pairs per task ~ (4.5k)^2/S at sf5
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= 6)
@@ -78,24 +95,34 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.lower(F.substring("text", 1, 64)).alias("head"),
             F.lower(F.substring("text", 1, 6)).alias("blk"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int").alias("ca"),
         )
     )
-    a = d.alias("a")
-    b = d.alias("b")
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns]).withColumn(
+        "tj", F.explode(F.sequence(F.col("a_ca"), F.lit(S - 1)))
+    )
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     pairs = a.join(
         b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a_lang") == F.col("b_lang"))
+        & (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("tj") == F.col("b_ca"))
+        & (
+            (F.col("a_ca") < F.col("b_ca"))
+            | (
+                (F.col("a_ca") == F.col("b_ca"))
+                & (F.col("a_doc_id") < F.col("b_doc_id"))
+            )
+        ),
     ).select(
-        F.col("a.lang").alias("lang"),
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.levenshtein(F.col("a.head"), F.col("b.head"))
+        F.col("a_lang").alias("lang"),
+        F.least("a_doc_id", "b_doc_id").alias("id_a"),
+        F.greatest("a_doc_id", "b_doc_id").alias("id_b"),
+        F.levenshtein(F.col("a_head"), F.col("b_head"), 12)
         .cast("bigint")
         .alias("dist"),
     )
-    kept = pairs.filter(F.col("dist") <= 12)
+    kept = pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= 12))
     return (
         kept.groupBy("lang")
         .agg(
