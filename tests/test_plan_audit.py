@@ -33,6 +33,10 @@ BY_DESIGN = {
     # fact side can only be a broadcast nested-loop join — O(n) work
     "q11_important_parts": {"BNLJ"},
     "q_scalar_subquery": {"BNLJ"},
+    # diagnostic_doc_sample's 1-row corpus-count broadcast, re-derived once
+    # per consumer of the sampled-docs chain (sigs + toksets + each join
+    # side) — always a 1-row build side
+    "q_minhash_jaccard_calibration": {"BNLJ"},
     "q_supplier_pareto": {"BNLJ"},  # 1-row grand-total joined to every rank row
     "q_order_size_histogram": {"BNLJ"},  # 1-row total joined to histogram rows
     "q_user_power_curve": {"BNLJ"},  # 1-row total joined to decile rows
@@ -671,6 +675,7 @@ BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
 # plan changes). Unlisted flags default to CARTESIAN 0 / BNLJ 0 / SMJ 1.
 MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
+    "q_minhash_jaccard_calibration": {"BNLJ": 6},
     "q_abc_xyz_matrix": {"BNLJ": 1},
     "q_acf_significance": {"BNLJ": 2},
     "q_adf_test": {"BNLJ": 1},

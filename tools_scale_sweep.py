@@ -42,6 +42,14 @@ QUARANTINE = {
     # corpus's ground truth (31-token vocabulary ⇒ ~6% true near-dups),
     # same reality as the quarantined pair emitters
     "q_lsh_band_sweep",
+    # leave-one-out all-pairs MRR baseline (docstring: "deliberately the
+    # all-pairs exact baseline, like q_knn_bruteforce"; production swaps
+    # in the LSH/IVF candidate generator and keeps the scoring tail)
+    "q_retrieval_mrr",
+    # token-keyed pair join is Σ df(token)² — quadratic on this corpus's
+    # saturated token distribution; production dfs-caps ultra-common
+    # tokens / feeds LSH candidates into the same scorer
+    "q_tfidf_cosine_pairs",
 }
 
 

@@ -65,19 +65,60 @@ def _banded(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
     return sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
-    banded = _banded(sigs, n_hashes, band_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    salt: int = 32,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
+
+    Chunk-salted bucket self-join (sf5 engine-sweep finding, same disease
+    as q_edit_distance_dedup): pair volume is quadratic in the largest
+    bucket, a bucket is ONE join-key group, and AQE's byte-based skew
+    split never fires on a <1 MB partition whose cost is join-condition
+    compute. On this near-dup-saturated corpus buckets average ~700 docs
+    (SCALE.md), so one bucket's clique used to land in one task. Each doc
+    gets a deterministic chunk ``ca = xxhash64(doc_id) % salt``; the left
+    side explodes to target chunks [ca, salt) and ``target == b.ca`` joins
+    the key, so a k-doc bucket's k²/2 pairs spread across ~salt tasks.
+    (ca < b.ca) OR (ca == b.ca AND id < id) keeps each unordered pair
+    exactly once; the emitted set is bit-identical to the naive join.
+    """
+    banded = _banded(sigs, n_hashes, band_size).withColumn(
+        "ca", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        "band_idx",
+        "band_key",
+        F.col("ca").alias("ca_a"),
+        F.explode(F.sequence(F.col("ca"), F.lit(salt - 1))).alias("tj"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col("ca").alias("ca_b"),
+    )
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("tj") == F.col("ca_b"))
+            & (
+                (F.col("ca_a") < F.col("ca_b"))
+                | (
+                    (F.col("ca_a") == F.col("ca_b"))
+                    & (F.col("id_a") < F.col("id_b"))
+                )
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -107,6 +148,43 @@ def lsh_star_edges(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = B
     )
 
 
+def diagnostic_doc_sample(docs: DataFrame, cap: int = 5000) -> DataFrame:
+    """Deterministic TIERED doc sample for quadratic DIAGNOSTICS
+    (calibration, precision/recall grading): full corpus when
+    |docs| <= cap (every sf<=0.1 published value stays bit-identical),
+    the 1/16 md5-slice of doc_ids up to 16*cap, the 1/256 slice above —
+    so the slice stays roughly constant-size and pair volume stays
+    bounded however far the corpus scales. The estimators need O(10^4)
+    pairs, not the 11G clique pairs the sf5 corpus generates
+    (engine-sweep finding); grading runs on the sample, production dedup
+    (star edges / clusters) runs in full. Mirror of ``_SQL_SDOCS`` so
+    both engines sample identically.
+    """
+    tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("_n_docs") <= cap)
+            | ((F.col("_n_docs") <= 16 * cap) & (F.substring(h2, 1, 1) == "0"))
+            | (h2 == "00")
+        )
+        .drop("_n_docs")
+    )
+
+
+# DuckDB mirror of diagnostic_doc_sample: prepend, then point the minhash
+# CTE chain at sdocs instead of documents.
+_SQL_SDOCS = """
+    WITH sdocs AS (
+      SELECT * FROM documents
+      WHERE (SELECT COUNT(*) FROM documents) <= 5000
+         OR ((SELECT COUNT(*) FROM documents) <= 80000
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00'
+    ),"""
+
+
 # Shared SQL CTEs for the MinHash pipeline (DuckDB oracle).
 _SQL_MINHASH_BASE = """
     WITH toks AS (
@@ -133,6 +211,13 @@ _SQL_MINHASH_CTES = _SQL_MINHASH_BASE + """, cand AS (
        AND a.doc_id < b.doc_id
     )
 """
+
+# Same chain over the diagnostic doc sample (full corpus <= 5000 docs,
+# 1/16 md5-slice above): for grading/calibration queries whose pair
+# volume is quadratic by ground truth on this corpus.
+_SQL_MINHASH_CTES_SAMPLED = _SQL_SDOCS + _SQL_MINHASH_CTES.replace(
+    "WITH toks", "toks", 1
+).replace("FROM documents", "FROM sdocs")
 
 # Star-reduced edge variant (see lsh_star_edges): identical connectivity,
 # linear — not quadratic — in bucket depth.

@@ -348,10 +348,17 @@ def q_lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact medians; losses accumulate as DECIMAL(38,15); (loss, index)
     total order.
 
-    Scale: grid size is constant (41); the candidate scoring is TWO full
-    passes total (one for medians — grid×rows conditional aggregation —
-    one for losses), both map-side combinable broadcasts, never
-    per-candidate scans. §2.B [NS].
+    Scale (median stage rewritten after the sf5 engine sweep OOMed it):
+    ``F.median`` is an exact-percentile aggregate that BUFFERS every
+    group value on-heap — 41 slopes × 30M rows = 1.2G doubles killed the
+    executor at sf5. Exact medians now come from a weighted cumsum over
+    the DISTINCT (x, y) domain: one groupBy compresses the fact table to
+    its value domain (599,646 pairs on this corpus — identical at sf0.1
+    and sf5, bounded by price×quantity cardinality, not row count), the
+    41-slope grid expands only that, and a per-slope window cumsum of
+    counts picks the two middle ranks (handles even n; sort-based, so it
+    SPILLS instead of OOMing). The loss pass is a plain map-side-combined
+    sum, never buffered. §2.B [NS].
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -383,10 +390,35 @@ def q_lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    wpts = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.partitionBy("gi").orderBy("v")
+    wrun = wv.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        wpts.crossJoin(F.broadcast(grid))
+        .select(
+            "gi", "b", "c", (F.col("y") - F.col("b") * F.col("x")).alias("v")
+        )
+        .withColumn("cum", F.sum("c").over(wrun))
+        .withColumn("prev", F.col("cum") - F.col("c"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p1", F.floor((F.col("n") + 1) / 2))
+        .withColumn("p2", F.ceil((F.col("n") + 1) / 2))
+    )
+    hit = (F.col("prev") < F.col("p1")) & (F.col("p1") <= F.col("cum"))
+    hit2 = (F.col("prev") < F.col("p2")) & (F.col("p2") <= F.col("cum"))
     cand = (
-        pts.crossJoin(F.broadcast(grid))
+        ranked.filter(hit | hit2)
         .groupBy("gi", "b")
-        .agg(F.median(F.col("y") - F.col("b") * F.col("x")).alias("a"))
+        .agg(
+            (
+                (
+                    F.sum(F.when(hit, F.col("v")).otherwise(F.lit(0.0)))
+                    + F.sum(F.when(hit2, F.col("v")).otherwise(F.lit(0.0)))
+                )
+                / 2.0
+            ).alias("a")
+        )
         .localCheckpoint(eager=True)
     )
     loss = (

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .dedup import _SQL_MINHASH_CTES, lsh_candidate_pairs, minhash_signatures
+from .dedup import (
+    _SQL_MINHASH_CTES_SAMPLED,
+    diagnostic_doc_sample,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from .det import bcount, dec
 from .registry import load, register, spread
 
@@ -29,11 +34,11 @@ _SPLIT = (("train", 0, 8), ("val", 8, 9), ("test", 9, 10))  # md5 decile cuts
 
 @register(
     "q_minhash_jaccard_calibration",
-    oracle=_SQL_MINHASH_CTES
+    oracle=_SQL_MINHASH_CTES_SAMPLED
     + """
     , toksets AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      FROM documents
+      FROM sdocs
     ),
     scored AS (
       SELECT c.doc_a, c.doc_b,
@@ -81,12 +86,20 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     agreement counts are integers; Jaccards divide exact integer set
     sizes; all means ride DECIMAL(38,15).
 
-    Scale: scoring is candidates-only (the LSH join's output), never
-    all pairs; signature equality is 8 string compares. §2.B [NS] /
+    Scale (rewritten after the sf5 engine sweep): scoring is
+    candidates-only, but on this near-dup-saturated corpus the candidate
+    CLIQUE volume is itself quadratic by ground truth (~11G pairs at sf5,
+    one 94k-doc band bucket). Calibration is a DIAGNOSTIC — its MAE
+    estimate needs O(10^4) pairs, not all of them — so it runs on the
+    deterministic ``diagnostic_doc_sample`` (full corpus ≤ 5000 docs, so
+    every sf ≤ 0.1 value is unchanged; 1/16 md5 doc-slice above = uniform
+    1/256 pair sample), mirrored exactly in the oracle's sdocs CTE.
+    Production dedup (star edges / signature clusters) never pays this:
+    only the grading does, and grading samples. §2.B [NS] /
     LLM-pipeline surface.
     """
     tune_session(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = diagnostic_doc_sample(spread(load(spark, sf_dir, "documents")))
     sigs = minhash_signatures(docs)
     cand = lsh_candidate_pairs(sigs)
     toksets = docs.select(

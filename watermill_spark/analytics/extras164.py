@@ -180,31 +180,41 @@ def q_recommendation_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    # no localCheckpoint here: at sf5 the distinct basket grain is ~20M+
-    # rows, and pinning it on-heap (MEMORY_AND_DISK, deserialized) while
-    # the co-purchase self-join's map-side combine runs on all cores
-    # OOMed the shared local heap (caught by the sf5 engine sweep).
-    # Lineage is ONE cheap join+distinct — recomputing it for the three
-    # consumers is strictly lighter than holding it resident.
-    baskets = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
+    # Single-evaluation restructure (sf5 engine-sweep finding): the basket
+    # grain used to feed FOUR consumers (pop, tot, both self-join sides),
+    # so the 30M-row join+distinct was recomputed up to 4x — and pinning
+    # it resident either OOMed the heap (MEMORY_AND_DISK) or paid more in
+    # checkpoint I/O than it saved (DISK_ONLY, measured). Instead the
+    # grain collapses ONCE to per-customer part lists (750k rows, ~20M
+    # ints — two orders of magnitude smaller, cheap to keep), pairs come
+    # from a double explode of each list (k² per basket, bounded by
+    # basket size — no self-join, no second scan), and pop/tot both
+    # derive from the same lists. One heavy shuffle remains: the
+    # (ante, cons) count aggregation, which map-side combines.
+    from pyspark.storagelevel import StorageLevel
+
+    baskets = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey"
     )
-    pop = baskets.groupBy("l_partkey").agg(bcount("n_buyers"))
-    tot = baskets.agg(bcount("n_events")).crossJoin(
-        F.broadcast(pop.agg(bcount("n_catalog")))
+    lists = (
+        baskets.groupBy("o_custkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    b = baskets.select(
-        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("cons")
+    pop = (
+        lists.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(bcount("n_buyers"))
+    )
+    tot = pop.agg(
+        F.sum("n_buyers").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_catalog"),
     )
     pairs = (
-        baskets.join(
-            b,
-            (F.col("ck") == F.col("o_custkey"))
-            & (F.col("cons") != F.col("l_partkey")),
-        )
-        .groupBy(F.col("l_partkey").alias("ante"), "cons")
+        lists.select(F.explode("ps").alias("ante"), "ps")
+        .select("ante", F.explode("ps").alias("cons"))
+        .filter(F.col("cons") != F.col("ante"))
+        .groupBy("ante", "cons")
         .agg(bcount("co"))
     )
     recs = pairs.select(

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .dedup import _SQL_MINHASH_CTES, lsh_candidate_pairs, minhash_signatures
+from .dedup import (
+    _SQL_MINHASH_CTES_SAMPLED,
+    diagnostic_doc_sample,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from .det import bcount, dec
 from .registry import load, register, spread
 
@@ -224,11 +229,11 @@ def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lsh_precision_recall",
-    oracle=_SQL_MINHASH_CTES
+    oracle=_SQL_MINHASH_CTES_SAMPLED
     + """,
     toksets AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      FROM documents
+      FROM sdocs
     ),
     tok AS (
       SELECT doc_id, unnest(ts) AS tok FROM toksets
@@ -273,14 +278,19 @@ def q_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection have Jaccard 0 and cannot reach any threshold), via the
     token-keyed join — the same candidate shape as containment.
 
-    Scale: the evaluation is deliberately quadratic-ish in the corpus (it
-    IS the exact baseline); at 100 TB it runs on a stratified sample of
-    the corpus (q_stratified_sample's hash sampling) while the LSH side
-    runs in full — precision/recall estimates need only the sample. §2.B
-    [NS].
+    Scale (the sampled path the previous docstring promised, made real
+    after the sf5 engine sweep caught this query >300 s): the exact-
+    Jaccard ground truth AND the clique candidates are quadratic by
+    ground truth on this corpus (~11G clique pairs at sf5). Grading is a
+    DIAGNOSTIC — precision/recall estimates need only a sample — so both
+    sides run on the deterministic ``diagnostic_doc_sample`` (full corpus
+    ≤ 5000 docs, so every sf ≤ 0.1 value is unchanged; 1/16 md5 doc-slice
+    above = uniform 1/256 pair sample), mirrored in the oracle's sdocs
+    CTE. Production dedup (star edges / clusters) runs in full and never
+    enumerates cliques. §2.B [NS].
     """
     tune_session(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = diagnostic_doc_sample(spread(load(spark, sf_dir, "documents")))
     cand = lsh_candidate_pairs(minhash_signatures(docs))
     toksets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
@@ -311,9 +321,17 @@ def q_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    n_truth = truth.count()
-    n_cand = cand.count()
-    tp = cand.join(truth, ["doc_a", "doc_b"]).count()
+    # one pass for all three counts (the three separate .count() calls
+    # recomputed the quadratic truth DAG three times — sf5 sweep finding)
+    both = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    r = both.agg(
+        F.count("c").alias("n_cand"),
+        F.count("t").alias("n_truth"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1)).alias("tp"),
+    ).collect()[0]
+    n_truth, n_cand, tp = r["n_truth"], r["n_cand"], r["tp"]
     # ratios as Spark expressions (SQL half-away rounding, matching the
     # oracle — Python round() would use banker's rounding)
     one = spark.range(1)

@@ -243,7 +243,7 @@ def q_cohen_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, rev,
              CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
              CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER
-                  (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,6))
+                  (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,6))
                AS cum
       FROM daily
     ),
@@ -319,7 +319,9 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "rev",
         F.row_number().over(wseq).cast("bigint").alias("t"),
-        F.sum(dec("rev")).over(wrun).cast("decimal(18,6)").alias("cum"),
+        # cumulative sum is 28,6, not the per-day 18,6: the series total
+        # crossed 1e12 at sf5 and overflowed 18,6 (engine-sweep finding)
+        F.sum(dec("rev")).over(wrun).cast("decimal(28,6)").alias("cum"),
     )
     terms = idx.select(
         "d",
