@@ -99,7 +99,11 @@ def main() -> int:
         # first sf5 run — poisoning every later query with
         # ConnectionRefused. Sweep them deliberately, one per process:
         #   python tools_scale_sweep.py DIR BUDGET <name>
-        if name in QUARANTINE and not name_filter:
+        # The bypass requires the quarantined name to appear EXACTLY in
+        # the filter — a broad substring like 'q_dedup' must not drag a
+        # quarantined quadratic into the shared JVM alongside healthy
+        # queries (the zombie-task OOM scenario this skip exists for).
+        if name in QUARANTINE and name not in (name_filter or []):
             rec = {"name": name, "status": "SKIPPED_QUARANTINED",
                    "wall_sec": 0.0, "rows": -1, "quarantined": True}
             results.append(rec)

@@ -15,15 +15,26 @@ def main() -> int:
     rows, summary = [], None
     with open(path) as fh:
         for line in fh:
-            rec = json.loads(line)
+            line = line.strip()
+            if not line or not line.startswith("{"):
+                continue  # stderr warn lines, shard separators
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
             if rec.get("summary"):
                 summary = rec
-            else:
+            elif "status" in rec:
                 rows.append(rec)
+            # records missing 'status' (older formats, hand-concatenated
+            # shards) are skipped rather than raising KeyError below
     ok = [r for r in rows if r["status"] == "ok"]
-    bad = [r for r in rows if r["status"] != "ok" and not r["quarantined"]]
-    quar = [r for r in rows if r["quarantined"]]
-    walls = sorted(r["wall_sec"] for r in ok)
+    bad = [
+        r for r in rows
+        if r["status"] != "ok" and not r.get("quarantined", False)
+    ]
+    quar = [r for r in rows if r.get("quarantined", False)]
+    walls = sorted(r.get("wall_sec", 0.0) for r in ok)
     n = len(walls)
     pct = lambda p: walls[min(n - 1, int(p * n))] if n else 0.0  # noqa: E731
     print(f"swept: {len(rows)}  ok: {len(ok)}  "
@@ -36,11 +47,13 @@ def main() -> int:
         for r in bad:
             print(f"  {r['name']}: {r['status']} ({r['wall_sec']}s)")
     print("\nslowest ok:")
-    for r in sorted(ok, key=lambda r: -r["wall_sec"])[:12]:
-        print(f"| `{r['name']}` | {r['wall_sec']:.1f} | {r['rows']} |")
+    for r in sorted(ok, key=lambda r: -r.get("wall_sec", 0.0))[:12]:
+        print(f"| `{r['name']}` | {r.get('wall_sec', 0.0):.1f} "
+              f"| {r.get('rows', -1)} |")
     print("\nquarantined (documented quadratic recall oracles):")
     for r in quar:
-        print(f"| `{r['name']}` | {r['status']} | {r['wall_sec']:.1f} |")
+        print(f"| `{r['name']}` | {r['status']} "
+              f"| {r.get('wall_sec', 0.0):.1f} |")
     if summary:
         print("\nsummary line present:", summary.get("ok"), "/",
               summary.get("total"))

@@ -148,40 +148,59 @@ def lsh_star_edges(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = B
     )
 
 
-def diagnostic_doc_sample(docs: DataFrame, cap: int = 5000) -> DataFrame:
+# Single source of truth for the diagnostic sample size; _SQL_SDOCS is
+# generated from it below so the Spark and DuckDB sides cannot diverge.
+DIAG_SAMPLE_CAP = 5000
+
+
+def diagnostic_doc_sample(docs: DataFrame) -> DataFrame:
     """Deterministic TIERED doc sample for quadratic DIAGNOSTICS
     (calibration, precision/recall grading): full corpus when
-    |docs| <= cap (every sf<=0.1 published value stays bit-identical),
-    the 1/16 md5-slice of doc_ids up to 16*cap, the 1/256 slice above —
-    so the slice stays roughly constant-size and pair volume stays
-    bounded however far the corpus scales. The estimators need O(10^4)
-    pairs, not the 11G clique pairs the sf5 corpus generates
-    (engine-sweep finding); grading runs on the sample, production dedup
-    (star edges / clusters) runs in full. Mirror of ``_SQL_SDOCS`` so
-    both engines sample identically.
+    |docs| <= DIAG_SAMPLE_CAP (every sf<=0.1 published value stays
+    bit-identical), the 1/16 md5-slice of doc_ids up to 16*cap, the
+    1/256 slice up to 256*cap, the 1/4096 slice above — each tier adds
+    one md5 hex digit, so the expected sample stays in [cap, 16*cap]
+    up to 4096*cap (~20M) docs. Beyond that the pattern extends by
+    recursing on further hex digits; at today's tested scales (sf5 =
+    250k docs) three tiers suffice. The estimators need O(10^4) pairs,
+    not the 11G clique pairs the sf5 corpus generates (engine-sweep
+    finding); grading runs on the sample, production dedup (star edges
+    / clusters) runs in full. Mirror of ``_SQL_SDOCS`` (generated from
+    the same ``DIAG_SAMPLE_CAP``) so both engines sample identically.
     """
+    cap = DIAG_SAMPLE_CAP
     tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h3 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
     return (
         docs.crossJoin(F.broadcast(tot))
         .filter(
             (F.col("_n_docs") <= cap)
-            | ((F.col("_n_docs") <= 16 * cap) & (F.substring(h2, 1, 1) == "0"))
-            | (h2 == "00")
+            | (
+                (F.col("_n_docs") <= 16 * cap)
+                & (F.substring(h3, 1, 1) == "0")
+            )
+            | (
+                (F.col("_n_docs") <= 256 * cap)
+                & (F.substring(h3, 1, 2) == "00")
+            )
+            | (h3 == "000")
         )
         .drop("_n_docs")
     )
 
 
 # DuckDB mirror of diagnostic_doc_sample: prepend, then point the minhash
-# CTE chain at sdocs instead of documents.
-_SQL_SDOCS = """
+# CTE chain at sdocs instead of documents. Generated from DIAG_SAMPLE_CAP
+# so a cap change cannot silently break engine/oracle sampling parity.
+_SQL_SDOCS = f"""
     WITH sdocs AS (
       SELECT * FROM documents
-      WHERE (SELECT COUNT(*) FROM documents) <= 5000
-         OR ((SELECT COUNT(*) FROM documents) <= 80000
+      WHERE (SELECT COUNT(*) FROM documents) <= {DIAG_SAMPLE_CAP}
+         OR ((SELECT COUNT(*) FROM documents) <= {16 * DIAG_SAMPLE_CAP}
              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
-         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00'
+         OR ((SELECT COUNT(*) FROM documents) <= {256 * DIAG_SAMPLE_CAP}
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00')
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) = '000'
     ),"""
 
 

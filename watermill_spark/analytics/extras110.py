@@ -407,18 +407,16 @@ def q_lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = (F.col("prev") < F.col("p1")) & (F.col("p1") <= F.col("cum"))
     hit2 = (F.col("prev") < F.col("p2")) & (F.col("p2") <= F.col("cum"))
+    # Even-n midpoint as lo + (hi-lo)/2 — the same interpolation form
+    # DuckDB's median()/quantile uses — rather than (lo+hi)/2, which can
+    # differ by 1 ULP in double arithmetic (odd n: hit == hit2, so
+    # lo == hi and the expression collapses to the single middle value).
+    _lo = F.sum(F.when(hit, F.col("v")).otherwise(F.lit(0.0)))
+    _hi = F.sum(F.when(hit2, F.col("v")).otherwise(F.lit(0.0)))
     cand = (
         ranked.filter(hit | hit2)
         .groupBy("gi", "b")
-        .agg(
-            (
-                (
-                    F.sum(F.when(hit, F.col("v")).otherwise(F.lit(0.0)))
-                    + F.sum(F.when(hit2, F.col("v")).otherwise(F.lit(0.0)))
-                )
-                / 2.0
-            ).alias("a")
-        )
+        .agg((_lo + (_hi - _lo) / 2.0).alias("a"))
         .localCheckpoint(eager=True)
     )
     loss = (
