@@ -37,6 +37,9 @@ BY_DESIGN = {
     # per consumer of the sampled-docs chain (sigs + toksets + each join
     # side) — always a 1-row build side
     "q_minhash_jaccard_calibration": {"BNLJ"},
+    # tiered vec_id sample flag: the 1-row embeddings-count broadcast is
+    # re-derived by the candidate pass and both settle-join sides
+    "q_knn_classifier_eval_sampled": {"BNLJ"},
     "q_supplier_pareto": {"BNLJ"},  # 1-row grand-total joined to every rank row
     "q_order_size_histogram": {"BNLJ"},  # 1-row total joined to histogram rows
     "q_user_power_curve": {"BNLJ"},  # 1-row total joined to decile rows
@@ -676,6 +679,7 @@ BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
 MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
+    "q_knn_classifier_eval_sampled": {"BNLJ": 3},
     "q_abc_xyz_matrix": {"BNLJ": 1},
     "q_acf_significance": {"BNLJ": 2},
     "q_adf_test": {"BNLJ": 1},

@@ -672,3 +672,55 @@ def test_poison_filter_requeued_message_deadletters_again(ps, spark):
     # memory transport re-reads the first copy too (suppressed, replay key)
     # but the requeued delivery dead-letters again: 2 total, not 1
     assert ps.subscribe(dlq).count() == 2
+
+
+def test_poison_filter_wholly_poisoned_100k_batch_stays_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """A batch that is WHOLLY poisoned (bad deploy / schema break — the
+    DLQ's core scenario) must dead-letter without any driver-side
+    materialization (r4 verdict item 3: the old implementation collected
+    every key and built an N-literal isin plan). DataFrame.collect and
+    toPandas are hard-failed for the duration; the replay dedup must come
+    from the distributed anti-join against the DLQ topic itself."""
+    from pyspark.sql import DataFrame
+
+    from watermill_spark.sources.parquet import ParquetPubSub
+    from watermill_spark.streaming.router import CTX_HANDLER, CTX_SUB_TOPIC
+
+    ps = ParquetPubSub(spark, str(tmp_path / "pq"))
+    dlq = "poison"
+    pqf = mw.poison_queue_with_filter(ps, dlq, lambda err: err.contains("bad"))
+    handler = pqf(lambda df: df.withColumn(ERROR_COL, F.lit("bad: deploy")))
+    big = (
+        spark.range(100_000)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("uuid"),
+            F.create_map(F.lit("n"), F.col("id").cast("string")).alias(
+                "metadata"
+            ),
+            F.encode(F.lit("p"), "utf-8").alias("payload"),
+            F.lit("tin").alias("topic"),
+            F.current_timestamp().alias("event_time"),
+        )
+        .withColumn(CTX_SUB_TOPIC, F.lit("tin"))
+        .withColumn(CTX_HANDLER, F.lit("h"))
+        .withColumn(ERROR_COL, F.lit(None).cast("string"))
+    )
+
+    def boom(self, *a, **k):  # noqa: ARG001
+        raise AssertionError("driver-side materialization in the poison path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    assert handler(big).count() == 0  # every row dead-lettered, none survive
+    monkeypatch.undo()
+    assert ps.subscribe(dlq).count() == 100_000
+
+    # checkpoint replay of the same batch: anti-join vs the DLQ suppresses
+    # every key — still with collect forbidden
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    assert handler(big).count() == 0
+    monkeypatch.undo()
+    assert ps.subscribe(dlq).count() == 100_000

@@ -35,20 +35,21 @@ QUARANTINE = {
     "q_hard_negative_mining",
     "q_dedup_jaccard_pairs",
     "q_dedup_minhash_lsh",
-    # leave-one-out O(n²) eval by design (docstring names the sampled+ANN
-    # path as the 100-TB form)
+    # leave-one-out O(n²) eval by design; registered scale twin:
+    # q_knn_classifier_eval_sampled (extras175, swept ok at sf5)
     "q_knn_classifier_eval",
     # banding diagnostic: candidate-pair volume is quadratic on this
     # corpus's ground truth (31-token vocabulary ⇒ ~6% true near-dups),
     # same reality as the quarantined pair emitters
     "q_lsh_band_sweep",
-    # leave-one-out all-pairs MRR baseline (docstring: "deliberately the
-    # all-pairs exact baseline, like q_knn_bruteforce"; production swaps
-    # in the LSH/IVF candidate generator and keeps the scoring tail)
+    # leave-one-out all-pairs MRR baseline; registered scale twin:
+    # q_retrieval_mrr_ann (extras175, swept ok at sf5 — LSH candidates,
+    # scoring tail unchanged)
     "q_retrieval_mrr",
     # token-keyed pair join is Σ df(token)² — quadratic on this corpus's
-    # saturated token distribution; production dfs-caps ultra-common
-    # tokens / feeds LSH candidates into the same scorer
+    # saturated token distribution; registered scale twin:
+    # q_tfidf_cosine_pairs_capped (extras175, swept ok at sf5 — df-cap
+    # stopword guard over the diagnostic doc sample)
     "q_tfidf_cosine_pairs",
 }
 

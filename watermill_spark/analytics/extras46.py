@@ -63,10 +63,11 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neighbor sets are deterministic (sim rounded to 6 with vec_id
     tiebreak); majority votes break ties by smallest label.
 
-    Scale: deliberately the O(n²) exact evaluator — at 100 TB the same
-    eval runs on a hash-sampled query subset with the LSH/IVF candidate
-    pruning supplying neighbors (q_ann_recall_eval measures what that
-    pruning costs). §2.B [NS].
+    Scale: deliberately the O(n²) exact evaluator — the registered
+    production twin is `q_knn_classifier_eval_sampled` (extras175): the
+    same eval on a hash-sampled query subset with LSH candidate pruning
+    supplying neighbors (q_ann_recall_eval measures what that pruning
+    costs). §2.B [NS].
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))

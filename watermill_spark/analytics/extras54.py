@@ -265,9 +265,10 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-cast per query before the exact-sum mean.
 
     Scale: deliberately the all-pairs exact baseline (like
-    q_knn_bruteforce); production swaps the candidate generator for the
-    LSH/IVF path and keeps this scoring tail unchanged. §2.B similarity
-    surface [NS].
+    q_knn_bruteforce); the registered production twin is
+    `q_retrieval_mrr_ann` (extras175), which swaps the candidate
+    generator for the LSH-bucket path and keeps this scoring tail
+    unchanged. §2.B similarity surface [NS].
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))

@@ -158,7 +158,10 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation cost is Σ_token df(token)² — bounded by
     dropping ultra-common tokens in production (df cap); the join is
-    token-partitioned, no doc×doc stage exists. §2.B dedup surface [NS].
+    token-partitioned, no doc×doc stage exists. The registered production
+    twin is `q_tfidf_cosine_pairs_capped` (extras175): the df-cap
+    stopword guard over the diagnostic doc sample. §2.B dedup surface
+    [NS].
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))

@@ -417,6 +417,17 @@ def decode_message(buf: bytes, fields: list[Field]) -> dict:
         key, pos = decode_varint(buf, pos)
         number, wire = key >> 3, key & 7
         f = by_num.get(number)
+        if f is not None:
+            # spec conformance: a known field number carrying a DIFFERENT
+            # wire type than its declared type is treated as an unknown
+            # field (preserved, not misparsed) — matching the Go runtime.
+            # Repeated packable scalars legitimately arrive as either the
+            # packed LEN form or unpacked scalar records.
+            ok_wires = {_WIRE_OF[f.type]}
+            if f.repeated and f.type in _PACKABLE:
+                ok_wires.add(_WIRE_LEN)
+            if wire not in ok_wires:
+                f = None
         if f is None:
             pos = _skip(wire, buf, pos)
             unknown += buf[tag_start:pos]

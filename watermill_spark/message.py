@@ -50,6 +50,10 @@ MESSAGE_COLUMNS = [f.name for f in MESSAGE_SCHEMA.fields]
 REASON_POISONED = "_watermill_reason_poisoned"
 POISONED_TOPIC = "_watermill_poisoned_on_topic"
 POISONED_HANDLER = "_watermill_poisoned_by_handler"
+# Engine extension (no reference analog): RFC3339 dead-letter time, stamped
+# by the poison middleware so the replay-dedup anti-join can be bounded to
+# a retention window instead of scanning the whole DLQ.
+POISONED_AT = "_watermill_poisoned_at"
 DELAYED_UNTIL = "_watermill_delayed_until"
 DELAYED_FOR = "_watermill_delayed_for"
 REQUEUER_RETRIES = "_watermill_requeuer_retries"

@@ -34,6 +34,12 @@ class BatchMetric:
     num_input_rows: int
     input_rows_per_sec: float
     duration_ms: int
+    # stateful-operator footprint (0 for stateless queries): summed over
+    # the query's state operators from StreamingQueryProgress — the
+    # bounded-state evidence a watermarked query must show at scale
+    state_rows: int = 0
+    state_bytes: int = 0
+    watermark: str = ""
 
 
 class RouterMetricsListener(StreamingQueryListener):
@@ -53,6 +59,17 @@ class RouterMetricsListener(StreamingQueryListener):
             duration = int(p.durationMs.get("triggerExecution", 0))
         except Exception:  # noqa: BLE001
             duration = 0
+        state_rows = state_bytes = 0
+        try:
+            for op in p.stateOperators or []:
+                state_rows += int(op.numRowsTotal or 0)
+                state_bytes += int(op.memoryUsedBytes or 0)
+        except Exception:  # noqa: BLE001 - shape varies across versions
+            pass
+        try:
+            watermark = str(p.eventTime.get("watermark", "") or "")
+        except Exception:  # noqa: BLE001
+            watermark = ""
         self.batches.append(
             BatchMetric(
                 query_name=p.name or p.id,
@@ -60,6 +77,9 @@ class RouterMetricsListener(StreamingQueryListener):
                 num_input_rows=p.numInputRows,
                 input_rows_per_sec=p.inputRowsPerSecond or 0.0,
                 duration_ms=duration,
+                state_rows=state_rows,
+                state_bytes=state_bytes,
+                watermark=watermark,
             )
         )
 
