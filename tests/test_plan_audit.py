@@ -166,7 +166,10 @@ BY_DESIGN = {
     "q_brand_cannibalization": {"SMJ"},
     # bipartite projection: the lineitem x orders incidence build plus the
     # customer-keyed self-join of the deduped (supplier, customer) set —
-    # both are the correct co-partitioned shuffle joins at scale
+    # both are the correct co-partitioned shuffle joins at scale; r5 adds
+    # two more static SMJs (the per-supplier audience-size sa/sb joins,
+    # whose broadcast hints were removed as corpus-scaled — AQE converts
+    # them to broadcast at runtime while sizes permit)
     "q_supplier_audience_overlap": {"SMJ"},
     # same 4-table trade-graph edge build as pagerank/BFS (lineitem x
     # orders SMJ); wedge enumeration runs on the collapsed ≤|nations|²
@@ -680,6 +683,7 @@ MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
     "q_knn_classifier_eval_sampled": {"BNLJ": 3},
+    "q_supplier_audience_overlap": {"SMJ": 3},
     "q_abc_xyz_matrix": {"BNLJ": 1},
     "q_acf_significance": {"BNLJ": 2},
     "q_adf_test": {"BNLJ": 1},
@@ -945,6 +949,220 @@ MAX_COUNTS = {
 
 _DEFAULT_MAX = {"CARTESIAN": 0, "BNLJ": 0, "SMJ": 1}
 
+# --------------------------------------------------------------------------
+# Broadcast-side cardinality class (r4 verdict item 4)
+#
+# A broadcast is safe at 100 TB only when its build side is cardinality-
+# bounded: a dim table, a 1-row aggregate, a top-k, or a literal grid. A
+# broadcast whose build side derives from a FACT-CLASS table with no
+# bounding reduction (e.g. a per-key aggregate over lineitem: |keys| grows
+# with the corpus) is an OOM-class risk AQE only partially absorbs (it can
+# demote the join, losing the plan the query was designed around) — every
+# such shape must be whitelisted below with the rationale written down.
+# --------------------------------------------------------------------------
+
+# The audit targets EXPLICIT F.broadcast() hints: the plan is rebuilt with
+# spark.sql.autoBroadcastJoinThreshold=-1, under which the optimizer's own
+# size-based broadcasts (correct at the audited SF, re-decided by AQE with
+# real stats at scale) disappear and only hint-pinned BroadcastExchanges
+# remain — those are hand-made scale decisions that must be bounded.
+
+# tables whose row count scales with the corpus (everything but the fixed
+# region/nation dims)
+_FACT_TABLES = {
+    "lineitem",
+    "orders",
+    "events",
+    "documents",
+    "embeddings",
+    "customer",
+    "supplier",
+    "part",
+    "partsupp",
+}
+
+_TREE_LINE = re.compile(r"^([ :+\-*]*)(\S.*?) \((\d+)\)\s*$")
+_SCAN_TABLE = re.compile(r"/([a-z_0-9]+)\.parquet")
+_KEYS_N = re.compile(r"^Keys \[(\d+)\]|^Keys: \[\]", re.M)
+_BOUNDING_NAMES = (
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+)
+
+
+# aggregate keys that look like per-entity identifiers: an aggregate keyed
+# by one of these over a fact table has data-scaled output cardinality
+# (|customers|, |parts|, |docs| ... rows), NOT a bounded grid.
+# nationkey/regionkey are excluded: they end in 'key' but name the two
+# fixed-size dims (25/5 values) — a per-nation rollup is a bounded grid.
+_ENTITY_KEY = re.compile(
+    r"(?<!nation)(?<!region)(?:key|id|uuid|qid|nid)\d*$", re.IGNORECASE
+)
+
+
+def _broadcast_fact_flags(plan: str) -> list[str]:
+    """Flags for BroadcastExchange subtrees whose build side derives from a
+    fact-class table without a bounding reduction.
+
+    Cardinality classes, decided from the subtree (nearest-first):
+    - BOUNDED: any Limit/TakeOrdered/WindowGroupLimit (top-k); an aggregate
+      with zero grouping keys (1-row); or an aggregate whose topmost
+      grouping keys are all non-entity columns (grid/type/date class —
+      event_type, day, bucket, ... have corpus-independent domains).
+    - FLAGGED: no reduction at all (raw/filtered fact rows — |fact| rows),
+      or the topmost aggregate is keyed by an entity id (custkey, user_id,
+      doc_id, ... — output grows with the corpus).
+
+    Works on the formatted-explain text: tree lines (`name (id)`) give the
+    subtree structure per tree section (main plan + each subquery); detail
+    blocks (`(id) name`) give scan locations and aggregate keys.
+    Known limitation: localCheckpoint/cache boundaries print as Scan
+    ExistingRDD, hiding fact provenance (those queries pin their shapes in
+    test_scale_plans.py); and the bounding check is subtree-granular, not
+    path-granular.
+    """
+    # detail blocks: id -> (name, body)
+    details: dict[int, tuple[str, str]] = {}
+    cur_id, cur_name, body = None, None, []
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (\S.*?)(?: \[codegen id : \d+\])?$", line)
+        if m:
+            if cur_id is not None:
+                details[cur_id] = (cur_name, "\n".join(body))
+            cur_id, cur_name, body = int(m.group(1)), m.group(2), []
+        elif cur_id is not None:
+            body.append(line)
+    if cur_id is not None:
+        details[cur_id] = (cur_name, "\n".join(body))
+
+    def agg_keys(node_id: int) -> list[str] | None:
+        """Grouping-key base names of an aggregate detail block, [] for a
+        global (1-row) aggregate, None if unparseable."""
+        det = details.get(node_id)
+        if det is None:
+            return None
+        if re.search(r"Keys \[0\]|^Keys: \[\]", det[1], re.M):
+            return []
+        km = re.search(r"Keys \[\d+\]: \[(.*?)\]", det[1], re.S)
+        if not km:
+            return None
+        keys = []
+        for part in km.group(1).split(","):
+            # strip '#<exprid>' suffixes and any cast/alias decoration:
+            # take the last identifier before the '#'
+            m = re.search(r"([A-Za-z_][A-Za-z_0-9]*)#\d+", part)
+            keys.append(m.group(1) if m else part.strip())
+        return keys
+
+    def is_bounding(node_id: int, name: str) -> bool:
+        if any(name.startswith(b) for b in _BOUNDING_NAMES):
+            return True
+        if "Aggregate" in name:
+            keys = agg_keys(node_id)
+            if keys is not None and not keys:
+                return True  # 1-row global aggregate
+            if keys and all(not _ENTITY_KEY.search(k) for k in keys):
+                return True  # grid/type/date-keyed: corpus-independent
+        if name.startswith("Filter"):
+            det = details.get(node_id)
+            # the similarity family's query-set idiom: vec_id < N_QUERIES
+            # (a literal bound on a dense unique id = fixed row count,
+            # however large the corpus)
+            if det and re.search(
+                r"Condition.*vec_id#\d+L? (?:<|<=|=) \d+", det[1]
+            ):
+                return True
+        return False
+
+    def scan_tables(node_id: int, name: str) -> set[str]:
+        if not name.startswith("Scan parquet"):
+            return set()
+        det = details.get(node_id)
+        if det is None:
+            return set()
+        return set(_SCAN_TABLE.findall(det[1]))
+
+    # group consecutive tree-shaped lines into trees (main plan + subqueries)
+    flags: list[str] = []
+    tree: list[tuple[int, str, int]] = []  # (depth, name, id)
+
+    def audit_tree(t: list[tuple[int, str, int]]) -> None:
+        for i, (depth, name, nid) in enumerate(t):
+            if not name.startswith("BroadcastExchange"):
+                continue
+            sub = []
+            for j in range(i + 1, len(t)):
+                if t[j][0] <= depth:
+                    break
+                sub.append(t[j])
+            facts: set[str] = set()
+            bounded = False
+            for d2, n2, id2 in sub:
+                facts |= scan_tables(id2, n2) & _FACT_TABLES
+                if is_bounding(id2, n2):
+                    bounded = True
+            if facts and not bounded:
+                flags.append(
+                    f"BroadcastExchange({nid}) over fact tables "
+                    f"{sorted(facts)} with no bounding reduction"
+                )
+
+    for line in plan.splitlines():
+        m = _TREE_LINE.match(line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2).lstrip("* "), int(m.group(3))))
+        else:
+            if tree:
+                audit_tree(tree)
+            tree = []
+    if tree:
+        audit_tree(tree)
+    return flags
+
+
+# Whitelisted unbounded-fact-broadcast shapes: name -> why the hint is
+# intentional. NOTE an explicit F.broadcast hint is NOT demoted by AQE —
+# it forces the broadcast at any size — so every entry must argue either
+# (a) the build side is bounded in a way the text-plan detector cannot see,
+# or (b) the query is a documented scale-quarantined diagnostic whose
+# registered production twin avoids the shape. The 100+ hint sites that
+# could NOT make that argument (raw customer/supplier/part mid-dims, the
+# per-user/per-doc aggregate broadcasts, a grid-vs-users orientation bug in
+# q_logrank_test) were FIXED in round 5 instead of whitelisted: hints
+# removed so CBO/AQE decides per scale (plans at tested SFs unchanged —
+# the optimizer re-derives the same broadcasts from size stats).
+BCAST_BY_DESIGN: dict[str, str] = {
+    # quarantined all-pairs recall oracles: the corpus-side broadcast IS
+    # the documented deliberate-quadratic diagnostic; registered scale
+    # twins (extras175 / extras161 / similarity.py LSH-IVF paths) carry
+    # the production shape. Swept deliberately, never in the shared sweep.
+    "q_dedup_embedding_cosine": "quarantined recall oracle; twin: SemDeDup/LSH paths",
+    "q_hard_negative_mining": "quarantined recall oracle; twin: q_hard_negative_mining_ann",
+    "q_knn_classifier_eval": "quarantined recall oracle; twin: q_knn_classifier_eval_sampled",
+    "q_retrieval_mrr": "quarantined recall oracle; twin: q_retrieval_mrr_ann",
+    # IVF centroid seed set: the (vec_id % 200 == 0) slice — |corpus|/200
+    # rows by construction (~500 rows at sf5). Grows linearly with the
+    # corpus: at ~1e8+ vectors the seed count must be capped (n_cells is a
+    # parameter, not a plan change) — the docstrings state this; the hint
+    # is correct for any sane n_cells.
+    "q_knn_ivf": "centroid seeds = corpus/200; cap n_cells past ~1e8 vectors",
+    "q_ivf_probe_sweep": "centroid seeds = corpus/200; cap n_cells past ~1e8 vectors",
+    # rank-window boundary rows: the broadcast side is Window -> Filter
+    # keeping only per-group boundary rows (|quantiles| / |groups| rows);
+    # the detector sees the fact scan but cannot see the filter's
+    # selectivity.
+    "q_histogram_quantile_error": "window-boundary rows: |quantile_cuts| survive the rank filter",
+    "q_levene_test": "window-boundary rows: per-group medians, |groups| rows survive",
+    # exact Mann-Whitney pair expansion for the rank-biserial effect size:
+    # deliberately O(nA*nB) on the user cohorts (single aggregated output,
+    # swept ok at sf5); the rank-sum production form is q_mannwhitney_u /
+    # q_auc_mann_whitney.
+    "q_effect_sizes": "exact U pair expansion; rank-sum twin: q_mannwhitney_u",
+}
+
 _FLAG_PAT = {
     # detail-section operator headers: exactly one "(<id>) <Op>" line per
     # physical operator instance (the tree section puts the id *after* the
@@ -1010,3 +1228,28 @@ def test_plan_has_no_unexplained_red_flags(spark, name):
         f"{name}: red-flag operators exceed their pinned maxima "
         f"{{flag: (observed, allowed)}} = {over}"
     )
+    # second plan build with auto-broadcast off: surviving
+    # BroadcastExchanges are explicit F.broadcast() hints only
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.catalog.clearCache()
+        hint_plan = q.fn(spark, SF)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bflags = _broadcast_fact_flags(hint_plan)
+    if bflags and name not in BCAST_BY_DESIGN:
+        raise AssertionError(
+            f"{name}: explicitly-hinted broadcast build side derives from "
+            f"a fact table with no bounding reduction (grid/dim/1-row/"
+            f"top-k) and no BCAST_BY_DESIGN rationale: {bflags}"
+        )
+
+
+def test_bcast_whitelist_is_consistent():
+    for name in BCAST_BY_DESIGN:
+        assert name in REGISTRY, f"{name}: stale BCAST_BY_DESIGN entry"

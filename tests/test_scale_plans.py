@@ -42,21 +42,27 @@ def test_pushdown_and_pruning_reach_scan(spark):
 
 
 def test_dim_joins_broadcast_no_sort_merge(spark):
-    """q05 (5-way star join): every dim join is broadcast; the lineitem side
-    reaches the aggregation without a single pre-agg shuffle."""
+    """q05 (5-way star join): the true-dim joins (nation/region — fixed 25/5
+    rows) are broadcast in the STATIC plan. The customer- and supplier-side
+    joins lost their explicit broadcast hints in round 5 (both corpus-scaled: a hint
+    would force an OOM-class broadcast at 100 TB, and hints are NOT demoted
+    by AQE) — so CBO's static estimates may plan them as SortMergeJoin,
+    which AQE converts to broadcast at runtime while sizes permit and keeps
+    as SMJ at scale: exactly the adaptive behavior we want. Pin: >=2
+    broadcast dim joins, at most the two corpus-scaled SMJs, and AQE on."""
     plan = _plan(spark, REGISTRY["q05_nation_revenue"].fn(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
-    # exactly one exchange: the final group-by on (n_name)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 2
+    assert "AdaptiveSparkPlan" in plan
+    # shuffle budget: the final group-by on (n_name), plus at most two
+    # exchanges per adaptive corpus-scaled SMJ
     body = plan.split("== Physical Plan ==")[1].split("== ")[0]
-    n_shuffles = body.count("Exchange (")  # BroadcastExchange excluded by '('? no —
-    # count only shuffle exchanges explicitly:
     n_shuffles = sum(
         1
         for line in body.splitlines()
         if "+- Exchange" in line or line.strip().startswith("Exchange")
     )
-    assert n_shuffles <= 1, body
+    assert n_shuffles <= 5, body
 
 
 def test_topk_uses_window_group_limit(spark):

@@ -1,0 +1,531 @@
+"""Streaming scale-proof harness (r4 verdict item 1).
+
+The batch registry is proven at 50x data (SWEEP_sf5.jsonl); this drives
+the STREAMING side at sf-scale volume through the same transport stack
+and records the evidence the batch ladder records: per-micro-batch
+durations, state-store rows/bytes trajectories (bounded-state proof for
+watermarked operators), and end-to-end msg/s, written as JSONL for
+SCALE.md. Reference analog: the stress mode of the universal acceptance
+suite (`pubsub/tests/test_pubsub.go:216-233`) — parallelism and volume
+over the same semantic assertions.
+
+Scenarios (each also asserts correctness, not just survival):
+
+- sessionize  — session_window(user, 30 min gap) with a 2 h watermark in
+  APPEND mode over the events table streamed as messages; output windows
+  cross-checked against the identical session_window aggregation run in
+  BATCH mode, restricted to sessions the final watermark closed.
+- sliding    — window(ts, 1 h, 15 min) x event_type sliding aggregation,
+  same watermark/append/cross-check scheme.
+- dedup      — every message published twice, dropDuplicatesWithinWatermark
+  on uuid; output must equal the distinct count while state stays bounded.
+- delayed    — shard-keyed applyInPandasWithState delayed-release at
+  volume: N now-deliverable + M future-stamped messages; all must release
+  (timeout path included) with state draining back to zero.
+- soak       — multi-handler Router.run_stream over >=100k messages with
+  a mid-flight close() (kill) and a checkpoint-resumed restart; per-topic
+  outputs must be complete and uuid-exact (no loss, no dupes).
+- compact    — small-file growth under micro-batch publishes, then
+  ParquetPubSub.compact() while a checkpointed streaming reader is live:
+  the generation swap makes the consolidated file a NEW file to the
+  source (re-delivery), so the reader's sink dedups by uuid — the
+  documented at-least-once + idempotent-consumer pairing; batch-scan
+  speedup is measured before/after.
+
+Usage:
+    python tools_streaming_scale.py [SF_DIR] [scenario ...]
+    # default SF_DIR=scale_data/sf1, all scenarios
+Emits one JSON line per scenario (appendable to SCALE.md evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from watermill_spark.observability import RouterMetricsListener  # noqa: E402
+from watermill_spark.session import get_spark  # noqa: E402
+from watermill_spark.sources.parquet import ParquetPubSub  # noqa: E402
+
+N_FILES = 64  # topic files => micro-batch granularity via maxFilesPerTrigger
+
+
+def _events_as_messages(spark, sf_dir: str, ps: ParquetPubSub, topic: str):
+    """Publish the events table as time-ordered message files.
+
+    repartitionByRange(ts) + sortWithinPartitions makes file k hold the
+    k-th time slice, but the file SOURCE orders by modification time and
+    one parallel write finishes its tasks in arbitrary order — consumed
+    as-is, micro-batches arrive time-shuffled and the watermark drops
+    most of the stream as late (measured: 2/3 of events dropped). The
+    mtimes are therefore re-stamped in part-index order after the write,
+    so micro-batches advance event time the way a live stream would."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    msgs = (
+        ev.select(
+            F.col("event_id").cast("string").alias("uuid"),
+            F.create_map(
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("value"), F.col("value").cast("string"),
+            ).alias("metadata"),
+            F.encode(F.coalesce(F.col("props"), F.lit("")), "utf-8").alias(
+                "payload"
+            ),
+            F.lit(topic).alias("topic"),
+            F.col("ts").alias("event_time"),
+        )
+        .repartitionByRange(N_FILES, "event_time")
+        .sortWithinPartitions("event_time")
+    )
+    ps.publish(topic, msgs)
+    _stamp_mtimes_in_path_order(ps, topic)
+    return ev.count()
+
+
+def _stamp_mtimes_in_path_order(ps: ParquetPubSub, topic: str) -> None:
+    """Make file-source order == part-index order == event-time order."""
+    d = os.path.join(ps.base_dir, topic)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    base = time.time() - 2 * len(files)
+    for i, f in enumerate(files):
+        os.utime(os.path.join(d, f), (base + i, base + i))
+
+
+def _publish_sentinel(spark, ps: ParquetPubSub, topic: str) -> None:
+    """Append one watermark-closing event 5 h past the stream's end (own
+    key, last-listed file): its arrival pushes the final watermark past
+    every REAL session/window end, so append mode flushes them all and the
+    cross-check against the batch aggregation is EXACT (no '< watermark'
+    boundary ambiguity). The sentinel's own group stays in state,
+    unemitted — it never appears in the output."""
+    d = os.path.join(ps.base_dir, topic)
+    max_t = ps.subscribe(topic).agg(F.max("event_time")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [("__sentinel__", {"user_id": "__sentinel__",
+                           "event_type": "__sentinel__"},
+          b"", topic, max_t)],
+        ps.subscribe(topic).schema,
+    ).select(
+        "uuid", "metadata", "payload", "topic",
+        (F.col("event_time") + F.expr("INTERVAL 5 HOURS")).alias("event_time"),
+    )
+    ps.publish(topic, sent.coalesce(1))
+    newest = max(
+        (f for f in os.listdir(d) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(d, f)),
+    )
+    os.utime(os.path.join(d, newest), None)  # ensure it lists last
+
+
+def _stream(ps, topic, files_per_trigger=4):
+    return (
+        ps.spark.readStream.schema(ps.subscribe(topic).schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(os.path.join(ps.base_dir, topic))
+    )
+
+
+def _run_to_completion(spark, df, ckpt, name, sink_fn=None, mode="append"):
+    """availableNow run with a metrics listener; returns (listener, rows)."""
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    rows = []
+    sink = sink_fn or (lambda bdf, _i: rows.extend(bdf.collect()))
+    q = (
+        df.writeStream.outputMode(mode)
+        .queryName(name)
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.streams.removeListener(listener)
+    return listener, rows
+
+
+def _metrics_summary(listener, n_rows, wall):
+    durs = sorted(b.duration_ms for b in listener.batches if b.num_input_rows)
+    srows = [b.state_rows for b in listener.batches]
+    sbytes = [b.state_bytes for b in listener.batches]
+    mid = durs[len(durs) // 2] if durs else 0
+    return {
+        "batches": len(listener.batches),
+        "batch_ms_p50": mid,
+        "batch_ms_max": max(durs) if durs else 0,
+        "state_rows_peak": max(srows) if srows else 0,
+        "state_rows_final": srows[-1] if srows else 0,
+        "state_mb_peak": round(max(sbytes) / 1e6, 1) if sbytes else 0.0,
+        "msgs_per_sec": round(n_rows / wall) if wall else 0,
+        "wall_sec": round(wall, 1),
+    }
+
+
+def scenario_sessionize(spark, sf_dir, work):
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    n = _events_as_messages(spark, sf_dir, ps, "ev")
+    _publish_sentinel(spark, ps, "ev")
+    src = (
+        _stream(ps, "ev")
+        .withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.element_at("metadata", "user_id").alias("user_id"),
+            F.session_window("event_time", "30 minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t0 = time.monotonic()
+    listener, out = _run_to_completion(
+        spark, src, os.path.join(work, "ck_sess"), "sessionize"
+    )
+    wall = time.monotonic() - t0
+    # the sentinel closed every real session -> EXACT equality with the
+    # batch-mode session_window over the real events
+    batch = (
+        ps.subscribe("ev")
+        .filter(F.element_at("metadata", "user_id") != "__sentinel__")
+        .groupBy(
+            F.element_at("metadata", "user_id").alias("user_id"),
+            F.session_window("event_time", "30 minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expect_rows, expect_events = batch.agg(
+        F.count(F.lit(1)), F.sum("n_events")
+    ).collect()[0]
+    got_events = sum(r["n_events"] for r in out)
+    ok = len(out) == expect_rows and got_events == expect_events == n
+    return {
+        "scenario": "sessionize",
+        "input_rows": n,
+        "sessions_emitted": len(out),
+        "sessions_expected": int(expect_rows),
+        "events_in_sessions": int(got_events),
+        "ok": bool(ok),
+        **_metrics_summary(listener, n, wall),
+    }
+
+
+def scenario_sliding(spark, sf_dir, work):
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    n = _events_as_messages(spark, sf_dir, ps, "ev")
+    _publish_sentinel(spark, ps, "ev")
+    src = (
+        _stream(ps, "ev")
+        .withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour", "15 minutes"),
+            F.element_at("metadata", "event_type").alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t0 = time.monotonic()
+    listener, out = _run_to_completion(
+        spark, src, os.path.join(work, "ck_slide"), "sliding"
+    )
+    wall = time.monotonic() - t0
+    batch = (
+        ps.subscribe("ev")
+        .filter(F.element_at("metadata", "event_type") != "__sentinel__")
+        .groupBy(
+            F.window("event_time", "1 hour", "15 minutes"),
+            F.element_at("metadata", "event_type").alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expect_rows, expect_events = batch.agg(
+        F.count(F.lit(1)), F.sum("n_events")
+    ).collect()[0]
+    got_events = sum(r["n_events"] for r in out)
+    # each event lands in 4 sliding windows (1 h span / 15 min slide)
+    ok = len(out) == expect_rows and got_events == expect_events == 4 * n
+    return {
+        "scenario": "sliding",
+        "input_rows": n,
+        "windows_emitted": len(out),
+        "windows_expected": int(expect_rows),
+        "ok": bool(ok),
+        **_metrics_summary(listener, n, wall),
+    }
+
+
+def scenario_dedup(spark, sf_dir, work):
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    n = _events_as_messages(spark, sf_dir, ps, "ev")
+    # duplicate delivery: publish the same topic contents a second time
+    ps.publish("ev", ps.subscribe("ev"))
+    src = (
+        _stream(ps, "ev", files_per_trigger=8)
+        .withWatermark("event_time", "2 hours")
+        .dropDuplicatesWithinWatermark(["uuid"])
+        .groupBy().count()  # count survivors stream-side (update mode)
+    )
+    counts = []
+    t0 = time.monotonic()
+    listener, _ = _run_to_completion(
+        spark,
+        src,
+        os.path.join(work, "ck_dedup"),
+        "dedup",
+        sink_fn=lambda bdf, _i: counts.extend(
+            r["count"] for r in bdf.collect()
+        ),
+        mode="update",
+    )
+    wall = time.monotonic() - t0
+    survivors = counts[-1] if counts else 0
+    return {
+        "scenario": "dedup",
+        "input_rows": 2 * n,
+        "survivors": int(survivors),
+        "distinct_expected": n,
+        "ok": bool(survivors == n),
+        **_metrics_summary(listener, 2 * n, wall),
+    }
+
+
+def scenario_delayed(spark, sf_dir, work, n_now=100_000, n_delayed=50_000):
+    from watermill_spark.message import DELAYED_UNTIL
+    from watermill_spark.streaming.stateful import delayed_release
+
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    now_msgs = spark.range(n_now).select(
+        F.concat(F.lit("now-"), F.col("id")).alias("uuid"),
+        F.create_map(F.lit("kind"), F.lit("now")).alias("metadata"),
+        F.encode(F.lit("p"), "utf-8").alias("payload"),
+        F.lit("d").alias("topic"),
+        F.current_timestamp().alias("event_time"),
+    )
+    # stamped 5 s into the future: parked by the first batches, released
+    # by the state timeout path while the processing-time query keeps
+    # ticking (availableNow would stop before the timeout fires)
+    until = F.date_format(
+        F.to_timestamp(
+            F.from_unixtime(F.unix_timestamp(F.current_timestamp()) + 5)
+        ),
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+    )
+    late_msgs = spark.range(n_delayed).select(
+        F.concat(F.lit("late-"), F.col("id")).alias("uuid"),
+        F.create_map(F.lit(DELAYED_UNTIL), until).alias("metadata"),
+        F.encode(F.lit("p"), "utf-8").alias("payload"),
+        F.lit("d").alias("topic"),
+        F.current_timestamp().alias("event_time"),
+    )
+    ps.publish("d", now_msgs.unionAll(late_msgs).repartition(N_FILES))
+    # shard-keyed release: bounded state PER SHARD (the 100-TB shape —
+    # keying by the constant topic would funnel every parked message into
+    # one state entry / one task)
+    src = _stream(ps, "d", files_per_trigger=8).withColumn(
+        "topic", F.concat(F.lit("s"), F.crc32(F.col("uuid")) % 32)
+    )
+    released = delayed_release(src, key_col="topic")
+    seen: set = set()
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.monotonic()
+    q = (
+        released.writeStream.outputMode("append")
+        .queryName("delayed")
+        .foreachBatch(
+            lambda bdf, _i: seen.update(
+                r["uuid"] for r in bdf.select("uuid").collect()
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ck_delay"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and len(seen) < n_now + n_delayed:
+        time.sleep(1)
+    q.stop()
+    spark.streams.removeListener(listener)
+    wall = time.monotonic() - t0
+    return {
+        "scenario": "delayed",
+        "input_rows": n_now + n_delayed,
+        "released": len(seen),
+        "ok": bool(len(seen) == n_now + n_delayed),
+        **_metrics_summary(listener, n_now + n_delayed, wall),
+    }
+
+
+def scenario_soak(spark, sf_dir, work, n_msgs=150_000):
+    """Three concurrent handlers over the same input, kill mid-flight,
+    checkpoint-resume, assert per-topic completeness + uuid exactness."""
+    from watermill_spark.streaming import Router
+
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    msgs = spark.range(n_msgs).select(
+        F.concat(F.lit("m"), F.col("id")).alias("uuid"),
+        F.create_map(F.lit("n"), F.col("id").cast("string")).alias("metadata"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+        F.lit("tin").alias("topic"),
+        F.current_timestamp().alias("event_time"),
+    ).repartition(N_FILES)
+    ps.publish("tin", msgs)
+
+    def handlers(r):
+        r.add_handler(
+            "upper", "tin", ps, "t_upper", ps,
+            lambda df: df.withColumn(
+                "payload", F.upper(F.col("payload").cast("string")).cast("binary")
+            ),
+        )
+        r.add_handler(
+            "stamp", "tin", ps, "t_stamp", ps,
+            lambda df: df.withColumn(
+                "metadata",
+                F.map_concat(F.col("metadata"), F.create_map(F.lit("s"), F.lit("1"))),
+            ),
+        )
+        r.add_handler("pass", "tin", ps, "t_pass", ps, lambda df: df)
+
+    ck = os.path.join(work, "ck_soak")
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.monotonic()
+    r1 = Router()
+    handlers(r1)
+    r1.run_stream(ck, available_now=False, processing_time="1 second",
+                  max_files_per_trigger=4)
+    # kill mid-flight: wait until some-but-not-all input is processed
+    deadline = time.monotonic() + 90
+    while time.monotonic() < deadline:
+        done = ps.subscribe("t_pass").count()
+        if 10_000 < done < n_msgs:
+            break
+        time.sleep(1)
+    r1.close()  # graceful stop = crash-equivalent for file-source offsets
+    mid_counts = {t: ps.subscribe(t).count() for t in ("t_upper", "t_stamp", "t_pass")}
+    # restart from the same checkpoints; drain the rest
+    r2 = Router()
+    handlers(r2)
+    r2.run_stream(ck, available_now=True, max_files_per_trigger=4)
+    r2.await_termination()
+    spark.streams.removeListener(listener)
+    wall = time.monotonic() - t0
+    oks, finals = [], {}
+    for t in ("t_upper", "t_stamp", "t_pass"):
+        got = ps.subscribe(t)
+        total, distinct = got.agg(
+            F.count(F.lit(1)), F.count_distinct("uuid")
+        ).collect()[0]
+        finals[t] = [int(total), int(distinct)]
+        oks.append(total == n_msgs and distinct == n_msgs)
+    return {
+        "scenario": "soak_kill_restart",
+        "input_rows": n_msgs,
+        "handlers": 3,
+        "killed_at": mid_counts,
+        "final_total_distinct": finals,
+        "ok": bool(all(oks)),
+        **_metrics_summary(listener, 3 * n_msgs, wall),
+    }
+
+
+def scenario_compact(spark, sf_dir, work, n_batches=200, rows_per_batch=500):
+    """Small-file growth -> mid-stream compact(): the consolidated file is
+    NEW to the checkpointed file source (generation swap), so it re-delivers
+    — the sink dedups by uuid (at-least-once + idempotent consumer, the
+    transport's documented contract)."""
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    for b in range(n_batches):
+        ps.publish(
+            "c",
+            spark.range(rows_per_batch).select(
+                F.concat(F.lit(f"b{b}-"), F.col("id")).alias("uuid"),
+                F.create_map().cast("map<string,string>").alias("metadata"),
+                F.encode(F.lit("p"), "utf-8").alias("payload"),
+                F.lit("c").alias("topic"),
+                F.current_timestamp().alias("event_time"),
+            ).coalesce(1),
+        )
+    n_total = n_batches * rows_per_batch
+    stats_before = ps.topic_file_stats("c")
+    t0 = time.monotonic()
+    ps.subscribe("c").agg(F.count(F.lit(1))).collect()
+    scan_before = time.monotonic() - t0
+
+    seen: set = set()
+    q = (
+        _stream(ps, "c", files_per_trigger=20)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, _i: seen.update(
+                r["uuid"] for r in bdf.select("uuid").collect()
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ck_compact"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # let the reader get partway, then compact under it
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and len(seen) < n_total // 3:
+        time.sleep(0.5)
+    compact_res = ps.compact("c", target_files=4)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and len(seen) < n_total:
+        time.sleep(1)
+    q.stop()
+    stats_after = ps.topic_file_stats("c")
+    t0 = time.monotonic()
+    ps.subscribe("c").agg(F.count(F.lit(1))).collect()
+    scan_after = time.monotonic() - t0
+    return {
+        "scenario": "compact_mid_stream",
+        "input_rows": n_total,
+        "files_before": stats_before["n_files"],
+        "files_after": stats_after["n_files"],
+        "compact": compact_res,
+        "scan_sec_before": round(scan_before, 2),
+        "scan_sec_after": round(scan_after, 2),
+        "uuids_delivered": len(seen),
+        "ok": bool(len(seen) == n_total),
+    }
+
+
+SCENARIOS = {
+    "sessionize": scenario_sessionize,
+    "sliding": scenario_sliding,
+    "dedup": scenario_dedup,
+    "delayed": scenario_delayed,
+    "soak": scenario_soak,
+    "compact": scenario_compact,
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "scale_data/sf1"
+    names = sys.argv[2:] or list(SCENARIOS)
+    spark = get_spark("streaming-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rc = 0
+    for name in names:
+        work = tempfile.mkdtemp(prefix=f"wm-stream-{name}-")
+        try:
+            rec = SCENARIOS[name](spark, sf_dir, work)
+        except Exception as exc:  # noqa: BLE001
+            rec = {"scenario": name, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(rec, sort_keys=True), flush=True)
+        if not rec.get("ok"):
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -94,7 +94,7 @@ def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         ev.crossJoin(F.broadcast(mu))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .join(cust, F.col("c_custkey") == F.col("user_id"))
         .select(
             F.col("c_mktsegment").alias("seg"),
             F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("pred"),
@@ -186,7 +186,7 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     inc = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
     )

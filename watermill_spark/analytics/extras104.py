@@ -302,7 +302,7 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     ratings = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(

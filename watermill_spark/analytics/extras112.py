@@ -306,7 +306,7 @@ def q_rank_biased_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     yb = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.year("o_orderdate").cast("bigint").alias("yr"),
             F.col("p_brand").alias("brand"),

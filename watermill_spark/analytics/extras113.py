@@ -96,7 +96,7 @@ def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nd")
     )
     bd = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("d"))
         .agg(F.sum(dec("l_quantity")).cast("double").alias("q"))
     )

@@ -166,7 +166,7 @@ def q_rule_metrics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     baskets = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
         .distinct()
     )

@@ -308,7 +308,7 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", (F.col("rev") / F.col("qty")).alias("m1"))
     )
     pairs = sale.join(
-        F.broadcast(part), sale.l_partkey == part.p_partkey
+        part, sale.l_partkey == part.p_partkey
     ).select("m1", (F.col("m1") - F.col("p_retailprice")).alias("diff"))
     mom = pairs.agg(
         bcount("n"),

@@ -239,7 +239,7 @@ def q_customer_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("mx"),
     )
     cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
         .agg(
             bcount("n_orders"),

@@ -294,7 +294,7 @@ def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cut")
     )
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .crossJoin(F.broadcast(rng))
         .select(
             F.when(F.col("c_mktsegment") == "BUILDING", 1)

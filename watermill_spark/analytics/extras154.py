@@ -283,8 +283,8 @@ def q_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"), F.col("tot").alias("tot_b")
     )
     return (
-        inter.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
+        inter.join(ta, "source_a")
+        .join(tb, "source_b")
         .select(
             "source_a",
             "source_b",
@@ -351,8 +351,8 @@ def q_two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"),
@@ -364,7 +364,7 @@ def q_two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("src").alias("n")).union(e.select("dst")).distinct()
     b = e.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
     hop2 = (
-        e.join(F.broadcast(b), F.col("dst") == F.col("mid"))
+        e.join(b, F.col("dst") == F.col("mid"))
         .filter(F.col("src") != F.col("dst2"))
         .select("src", F.col("dst2").alias("dst"))
         .distinct()

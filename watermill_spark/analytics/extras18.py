@@ -81,7 +81,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     by = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", F.year("l_shipdate").alias("y"))
         .agg(
             F.sum(_rev()).alias("rev"),

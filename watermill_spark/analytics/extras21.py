@@ -219,7 +219,7 @@ def q_top_movers_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     bd = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", F.date_trunc("day", "l_shipdate").alias("day"))
         .agg(
             F.sum(

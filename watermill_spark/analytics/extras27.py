@@ -144,7 +144,7 @@ def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     top5 = (
         joined.groupBy("p_brand")
         .agg(F.sum(dec("l_extendedprice")).alias("rev"))

@@ -50,7 +50,7 @@ def q_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     per = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -136,8 +136,8 @@ def q_supplier_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
     return (
-        pairs.join(F.broadcast(sa), "supp_a")
-        .join(F.broadcast(sb), "supp_b")
+        pairs.join(sa, "supp_a")
+        .join(sb, "supp_b")
         .select(
             F.col("supp_a").cast("bigint").alias("supp_a"),
             F.col("supp_b").cast("bigint").alias("supp_b"),

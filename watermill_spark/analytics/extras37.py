@@ -337,7 +337,7 @@ def q_fixed_effects_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("l_discount").alias("x"),
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("y"),
         F.col("p_brand").alias("brand"),
@@ -434,8 +434,8 @@ def q_rca_trade_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     part = load(spark, sf_dir, "part")
     flows = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             F.col("s_nationkey").alias("nation"), F.col("p_type").alias("ptype")
         )

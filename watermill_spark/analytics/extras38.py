@@ -277,7 +277,7 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
-    base = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+    base = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
         F.when(F.col("s_nationkey") < 5, 1).otherwise(0).alias("treated"),
         F.when(F.year("l_shipdate") >= 1996, 1).otherwise(0).alias("post"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),

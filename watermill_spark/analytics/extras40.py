@@ -78,7 +78,7 @@ def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     g = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("grp"))
         .agg(bcount("n_g"), F.sum(dec("o_totalprice")).alias("s_g"))
     )
@@ -195,7 +195,7 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     y = F.col("l_extendedprice")
     g = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             bcount("n_g"),

@@ -104,7 +104,7 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(dl), "doc_id")
+        tf.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select("term", sc.alias("sc"))

@@ -315,7 +315,9 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(arm).alias("arm"),
     )
     grid = spark.range(0, 30).select(F.col("id").cast("bigint").alias("day"))
-    j = grid.crossJoin(F.broadcast(life))
+    # broadcast the 30-row day grid and stream the per-user side: the
+    # previous orientation broadcast `life` (|users| rows, data-scaled)
+    j = life.crossJoin(F.broadcast(grid))
     per_day = j.groupBy("day").agg(
         F.count_if((F.col("arm") == "A") & (F.col("life_days") >= F.col("day")))
         .cast("bigint")

@@ -65,8 +65,8 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(bcount("w"))
@@ -271,7 +271,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    lines = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_orderkey",
         F.col("p_brand").alias("b"),
         F.col("l_extendedprice").alias("v"),

@@ -161,7 +161,7 @@ def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("p_brand").alias("g"),
         F.col("l_discount").alias("x"),
         F.col("l_quantity").alias("y"),

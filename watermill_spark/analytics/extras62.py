@@ -77,7 +77,7 @@ def q_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    base = li.join(part, li.l_partkey == part.p_partkey)
     agg = base.groupBy(F.col("p_brand").alias("b")).agg(
         F.sum(dec("l_extendedprice")).alias("rev"), bcount("cnt")
     )

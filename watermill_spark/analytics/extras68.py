@@ -179,7 +179,7 @@ def q_taylors_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     daily = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("g"),
             F.col("o_orderdate").cast("date").alias("d"),

@@ -94,7 +94,7 @@ def q_coupon_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     order_region = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             "o_custkey",
             "o_orderkey",

@@ -320,8 +320,8 @@ def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     flows = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .filter(F.year("o_orderdate").isin(1995, 1996))
         .select(
             F.col("s_nationkey").alias("nation"),

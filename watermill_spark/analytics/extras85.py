@@ -183,7 +183,7 @@ def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     votes = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("b"))
         .agg(F.sum(dec("l_extendedprice")).cast("double").alias("v"))
     )

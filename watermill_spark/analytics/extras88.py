@@ -122,7 +122,7 @@ def q_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     crit = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("b"))
         .agg(
             F.sum(dec("l_extendedprice")).cast("double").alias("c1"),

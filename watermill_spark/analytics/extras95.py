@@ -317,7 +317,7 @@ def q_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     daily = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("day"))
         .agg(F.sum(dec("l_extendedprice")).alias("rev"))
     )

@@ -203,7 +203,7 @@ def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     daily = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("l_shipdate").cast("date").alias("d"),

@@ -142,7 +142,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_orderkey").agg(
         F.sum(_disc_price()).cast("double").alias("revenue")
     )
-    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         rev.join(o, rev.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -192,9 +192,9 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnr = cust.join(F.broadcast(nr), cust.c_nationkey == nr.n_nationkey)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cnr), orders.o_custkey == cnr.c_custkey)
+        .join(cnr, orders.o_custkey == cnr.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cnr.n_nationkey),
         )
         .groupBy("n_name")
@@ -275,7 +275,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -314,7 +314,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0).cast("double")

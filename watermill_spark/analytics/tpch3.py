@@ -91,7 +91,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(euro_sup.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(euro_sup.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -100,8 +100,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(euro_sup), best.l_suppkey == euro_sup.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(euro_sup, best.l_suppkey == euro_sup.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -157,10 +157,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_nationkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -225,8 +225,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     ).cast(DEC)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -275,7 +275,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     per_part = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("value_dec"))
@@ -330,8 +330,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_sup, li.l_suppkey == bad_sup.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -371,7 +371,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("qty"))
         .filter(F.col("qty") > 50.0)
@@ -455,7 +455,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        sole_late.join(sup, F.col("l1.l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(bcount("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
