@@ -1,0 +1,226 @@
+"""Streaming near-dup filter: greedy-semantics oracle, micro-batch
+invariance, chain behavior, replay idempotence, transport wiring.
+
+The load-bearing property is that the admitted set equals the SEQUENTIAL
+greedy pass (doc_id order, first-seen-wins, rejected docs register
+nothing) regardless of how the stream is sliced into micro-batches — so
+the brute-force Python oracle below is the ground truth everything is
+compared against.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from watermill_spark.message import new_message
+from watermill_spark.sources.parquet import ParquetPubSub
+from watermill_spark.streaming.dedup import DUP_OF, StreamingNearDupFilter
+
+SF = "/root/testdata/sf0.001"
+N_HASHES, BAND_SIZE = 8, 2
+
+
+def _bands_py(text: str | None) -> set[tuple[int, str]]:
+    # Token semantics match analytics/dedup.py::_tokens: split on single
+    # spaces, empty string IS a token (two empty docs are identical docs);
+    # only NULL text yields no bands.
+    if text is None:
+        return set()
+    toks = sorted(set(text.split(" ")))
+    mh = [
+        min(hashlib.md5(f"{s}:{t}".encode()).hexdigest() for t in toks)
+        for s in range(N_HASHES)
+    ]
+    return {
+        (b, mh[b * BAND_SIZE] + "|" + mh[b * BAND_SIZE + 1])
+        for b in range(N_HASHES // BAND_SIZE)
+    }
+
+
+def _greedy_oracle(docs: list[tuple[int, str]]):
+    """Sequential greedy first-seen-wins over doc_id order."""
+    taken: dict[tuple[int, str], int] = {}
+    admitted, rejected = [], {}
+    for doc_id, text in sorted(docs):
+        bs = _bands_py(text)
+        owners = sorted(taken[b] for b in bs if b in taken)
+        if owners:
+            rejected[doc_id] = owners[0]
+        else:
+            admitted.append(doc_id)
+            for b in bs:
+                taken[b] = doc_id
+    return set(admitted), rejected
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="wm-streamdedup-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _corpus(spark, limit=500):
+    rows = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(limit)
+        .collect()
+    )
+    return [(r.doc_id, r.text) for r in rows]
+
+
+def test_one_shot_matches_greedy_oracle(spark, workdir):
+    docs = _corpus(spark)
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    adm, rej, rep = f.process_batch(
+        spark.createDataFrame(docs, "doc_id LONG, text STRING"), 0
+    )
+    want_adm, want_rej = _greedy_oracle(docs)
+    got_adm = {r.doc_id for r in adm.collect()}
+    got_rej = {r.doc_id: r.dup_of for r in rej.collect()}
+    assert got_adm == want_adm
+    assert got_rej == want_rej
+    assert rep.count() == 0
+    # the near-dup-saturated corpus must actually exercise in-batch chains
+    assert f.last_rounds >= 1
+
+
+def test_microbatch_invariance(spark, workdir):
+    """Survivors are identical however the stream is sliced."""
+    docs = _corpus(spark)
+    want_adm, want_rej = _greedy_oracle(docs)
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    got_adm, got_rej = set(), {}
+    n_slices = 7
+    per = (len(docs) + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        chunk = docs[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        adm, rej, rep = f.process_batch(
+            spark.createDataFrame(chunk, "doc_id LONG, text STRING"), i
+        )
+        got_adm |= {r.doc_id for r in adm.collect()}
+        got_rej.update({r.doc_id: r.dup_of for r in rej.collect()})
+        assert rep.count() == 0
+    assert got_adm == want_adm
+    assert got_rej == want_rej
+
+
+# Deterministic chain fixture (searched offline, pinned): bands(A)∩bands(B)
+# and bands(B)∩bands(C) are non-empty while bands(A)∩bands(C) is empty —
+# so greedy admits A, rejects B, and must ADMIT C because the rejected B
+# registered nothing. A per-bucket-min single pass (no fixpoint) would
+# wrongly reject C.
+CHAIN = [
+    (1, "kappa theta eps zeta delta"),
+    (2, "alpha theta zeta beta eps"),
+    (3, "theta alpha delta"),
+]
+
+
+def test_rejected_doc_does_not_block_chain(spark, workdir):
+    ba, bb, bc = (_bands_py(t) for _, t in CHAIN)
+    assert ba & bb and bb & bc and not (ba & bc)  # fixture still valid
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    adm, rej, _ = f.process_batch(
+        spark.createDataFrame(CHAIN, "doc_id LONG, text STRING"), 0
+    )
+    assert {r.doc_id for r in adm.collect()} == {1, 3}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}
+    assert f.last_rounds == 2  # round 1 admits A rejects B; round 2 admits C
+
+
+def test_chain_across_batches(spark, workdir):
+    """Same chain, one doc per micro-batch — prefix state via the registry."""
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    verdicts = []
+    for i, (doc_id, text) in enumerate(CHAIN):
+        adm, rej, _ = f.process_batch(
+            spark.createDataFrame([(doc_id, text)], "doc_id LONG, text STRING"), i
+        )
+        verdicts.append((sorted(r.doc_id for r in adm.collect()),
+                         sorted(r.doc_id for r in rej.collect())))
+    assert verdicts == [([1], []), ([], [2]), ([3], [])]
+
+
+def test_replay_is_idempotent(spark, workdir):
+    docs = _corpus(spark, limit=100)
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    adm1, rej1, rep1 = f.process_batch(df, 0)
+    adm_ids = {r.doc_id for r in adm1.collect()}
+    rej_map = {r.doc_id: r.dup_of for r in rej1.collect()}
+    reg_rows = f.registry().count()
+    assert rep1.count() == 0
+
+    # Redelivery of the same slice (at-least-once): admitted docs come back
+    # as replays, rejections are reproduced, the registry does not grow.
+    adm2, rej2, rep2 = f.process_batch(df, 1)
+    assert {r.doc_id for r in rep2.collect()} == adm_ids
+    assert {r.doc_id: r.dup_of for r in rej2.collect()} == rej_map
+    assert adm2.count() == 0
+    assert f.registry().count() == reg_rows
+
+
+def test_empty_and_null_text_semantics(spark, workdir):
+    """Empty-string docs are identical docs (dedupe against each other);
+    NULL-text docs produce no bands and are always admitted."""
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    adm, rej, _ = f.process_batch(
+        spark.createDataFrame([(7, ""), (8, "alpha beta gamma"), (10, None)],
+                              "doc_id LONG, text STRING"), 0
+    )
+    assert {r.doc_id for r in adm.collect()} == {7, 8, 10}
+    assert rej.count() == 0
+    adm2, rej2, _ = f.process_batch(
+        spark.createDataFrame([(9, ""), (11, None)], "doc_id LONG, text STRING"), 1
+    )
+    assert {r.doc_id for r in adm2.collect()} == {11}
+    assert {(r.doc_id, r.dup_of) for r in rej2.collect()} == {(9, 7)}
+
+
+def test_attach_end_to_end(spark, workdir):
+    """Transport wiring: in_topic → admitted/duplicates topics, per-file
+    micro-batches, DUP_OF stamped, batch commits recorded."""
+    docs = _corpus(spark, limit=200)
+    want_adm, want_rej = _greedy_oracle(docs)
+    ps = ParquetPubSub(spark, os.path.join(workdir, "topics"))
+    # three ordered publishes -> three files -> three micro-batches
+    per = (len(docs) + 2) // 3
+    for i in range(3):
+        chunk = docs[i * per : (i + 1) * per]
+        msgs = [
+            new_message(text, metadata={"doc_id": str(doc_id)},
+                        uuid=f"m{doc_id}")
+            for doc_id, text in chunk
+        ]
+        ps.publish("docs_in", spark.createDataFrame(
+            msgs, schema="uuid STRING, metadata MAP<STRING,STRING>, "
+                         "payload BINARY, topic STRING, event_time TIMESTAMP"
+        ).coalesce(1))
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    q = f.attach(ps, "docs_in", "docs_ok", "docs_dup",
+                 os.path.join(workdir, "cp"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    ok = ps.subscribe("docs_ok")
+    dup = ps.subscribe("docs_dup")
+    got_adm = {int(r.uuid[1:]) for r in ok.select("uuid").collect()}
+    got_rej = {
+        int(r.uuid[1:]): int(r.metadata[DUP_OF])
+        for r in dup.select("uuid", "metadata").collect()
+    }
+    assert got_adm == want_adm
+    assert got_rej == want_rej
+    # idempotent-sink commit markers: one per micro-batch
+    commits = os.listdir(os.path.join(workdir, "cp", "commits-neardup"))
+    assert len([c for c in commits if not c.endswith(".tmp")]) >= 3
