@@ -29,7 +29,8 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize(
-    "scenario", ["sessionize", "sliding", "dedup", "delayed", "soak", "compact"]
+    "scenario",
+    ["sessionize", "sliding", "dedup", "delayed", "soak", "compact", "neardup"],
 )
 def test_streaming_scenario_at_scale(spark, scenario):
     import tools_streaming_scale as tss

@@ -496,6 +496,94 @@ def scenario_compact(spark, sf_dir, work, n_batches=200, rows_per_batch=500):
     }
 
 
+def scenario_neardup(spark, sf_dir, work):
+    """Streaming MinHash-LSH near-dup filter at corpus volume: the
+    documents table streamed in doc_id-ordered micro-batches through
+    StreamingNearDupFilter.attach(); the admitted/rejected split and every
+    dup_of attribution must EQUAL the one-shot run on a fresh registry
+    (the micro-batch-invariance contract at scale), with the bucket
+    registry (on-disk state) growing linearly in admitted docs."""
+    from watermill_spark.streaming.dedup import DUP_OF, StreamingNearDupFilter
+
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    n = docs.count()
+    msgs = (
+        docs.select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("uuid"),
+            F.create_map(
+                F.lit("doc_id"), F.col("doc_id").cast("string")
+            ).alias("metadata"),
+            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+            F.lit("docs").alias("topic"),
+            F.current_timestamp().alias("event_time"),
+        )
+        .repartitionByRange(N_FILES, F.expr("cast(substring(uuid, 2) as long)"))
+        .sortWithinPartitions(F.expr("cast(substring(uuid, 2) as long)"))
+    )
+    ps.publish("docs", msgs)
+    _stamp_mtimes_in_path_order(ps, "docs")  # batches arrive in doc_id order
+
+    f = StreamingNearDupFilter(spark, os.path.join(work, "reg"))
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.monotonic()
+    q = f.attach(ps, "docs", "ok", "dup", os.path.join(work, "ck"),
+                 max_files_per_trigger=4)
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    spark.streams.removeListener(listener)
+
+    ok_ids = ps.subscribe("ok").select(
+        F.element_at("metadata", "doc_id").cast("long").alias("doc_id")
+    )
+    dup_rows = ps.subscribe("dup").select(
+        F.element_at("metadata", "doc_id").cast("long").alias("doc_id"),
+        F.element_at("metadata", DUP_OF).cast("long").alias("dup_of"),
+    )
+    n_ok, n_dup = ok_ids.count(), dup_rows.count()
+    reg_rows = f.registry().count()
+
+    # one-shot twin on a fresh registry: same greedy semantics, one batch
+    f2 = StreamingNearDupFilter(spark, os.path.join(work, "reg2"))
+    adm1, rej1, _ = f2.process_batch(docs, 0)
+    adm_mismatch = (
+        ok_ids.join(adm1, "doc_id", "left_anti").count()
+        + adm1.join(ok_ids, "doc_id", "left_anti").count()
+    )
+    dup_mismatch = (
+        dup_rows.join(rej1, ["doc_id", "dup_of"], "left_anti").count()
+        + rej1.join(dup_rows, ["doc_id", "dup_of"], "left_anti").count()
+    )
+    ok = (
+        n_ok + n_dup == n
+        and adm_mismatch == 0
+        and dup_mismatch == 0
+        and reg_rows > 0
+    )
+    rec = {
+        "scenario": "neardup_filter",
+        "input_rows": n,
+        "admitted": int(n_ok),
+        "rejected": int(n_dup),
+        "registry_rows": int(reg_rows),
+        "adm_mismatch_vs_oneshot": int(adm_mismatch),
+        "dupof_mismatch_vs_oneshot": int(dup_mismatch),
+        "ok": bool(ok),
+        **_metrics_summary(listener, n, wall),
+    }
+    # foreachBatch keeps no state-store state; the real state is the
+    # on-disk registry — report it instead of the (zero) store gauges
+    rec.pop("state_rows_peak", None)
+    rec.pop("state_rows_final", None)
+    rec.pop("state_mb_peak", None)
+    return rec
+
+
 SCENARIOS = {
     "sessionize": scenario_sessionize,
     "sliding": scenario_sliding,
@@ -503,6 +591,7 @@ SCENARIOS = {
     "delayed": scenario_delayed,
     "soak": scenario_soak,
     "compact": scenario_compact,
+    "neardup": scenario_neardup,
 }
 
 
