@@ -502,6 +502,18 @@ def test_cross_process_group_rebalance_kill_one(spark, tmp_path):
         while _time.time() < deadline and n_effects() < total:
             assert w2.poll() is None, "surviving worker died"
             _time.sleep(0.5)
+        # effects land BEFORE the batch ack commits (at-least-once order),
+        # so give the survivor time to commit its final ack before we
+        # terminate it — otherwise the last in-flight batch stays unacked
+        # and the cursor check below races (seen flaky: exactly one
+        # poll-limit batch, 50 rows, left unacked).
+        deadline = _time.time() + 60
+        while (
+            _time.time() < deadline
+            and producer.subscribe_group(topic, "workers")[0].count() > 0
+        ):
+            assert w2.poll() is None, "surviving worker died"
+            _time.sleep(0.5)
     finally:
         for w in (w1, w2):
             if w.poll() is None:
