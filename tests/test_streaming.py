@@ -527,3 +527,40 @@ def test_stream_soak_concurrent_handlers_chaos(ps, spark, tmp_path):
     p2 = {bytes(x["payload"]).decode() for x in ps.subscribe(o2).collect()}
     assert all(p.startswith("p") for p in p1)
     assert all(p.startswith("P") for p in p2)
+
+
+def test_stream_survives_file_vanishing_mid_run(ps, spark, tmp_path):
+    """Pins the `ignoreMissingFiles` contract of `subscribe_stream` that
+    `compact()` relies on: a file listed by the source but deleted before
+    its batch is read (exactly what the compact generation swap does to an
+    in-flight reader at volume — observed FILE_NOT_EXIST at sf1) must be
+    SKIPPED, not kill the query; the consolidated generation then
+    re-delivers the contents as new files (at-least-once)."""
+    import os
+
+    t = _t("vanish")
+    for i in range(3):
+        ps.publish(t, _msgs(spark, 10, start=i * 10).coalesce(1))
+    d = os.path.join(ps.base_dir, t)
+    files = sorted(
+        (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    seen, state = [], {"deleted": False}
+
+    def sink(bdf, bid):
+        seen.extend(r.uuid for r in bdf.select("uuid").collect())
+        if not state["deleted"]:
+            os.remove(files[-1])  # listed by the source, not yet read
+            state["deleted"] = True
+
+    q = (
+        ps.subscribe_stream(t, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck-vanish"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # the vanished file must not kill the query
+    assert len(seen) == 20  # two surviving files delivered, third skipped

@@ -127,11 +127,7 @@ def _publish_sentinel(spark, ps: ParquetPubSub, topic: str) -> None:
 
 
 def _stream(ps, topic, files_per_trigger=4):
-    return (
-        ps.spark.readStream.schema(ps.subscribe(topic).schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(os.path.join(ps.base_dir, topic))
-    )
+    return ps.subscribe_stream(topic, max_files_per_trigger=files_per_trigger)
 
 
 def _run_to_completion(spark, df, ckpt, name, sink_fn=None, mode="append"):

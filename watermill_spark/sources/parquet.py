@@ -60,9 +60,30 @@ class ParquetPubSub(PubSub):
             return self.spark.createDataFrame([], MESSAGE_SCHEMA)
         return self.spark.read.schema(MESSAGE_SCHEMA).parquet(d)
 
-    def subscribe_stream(self, topic: str) -> DataFrame:
+    def subscribe_stream(
+        self, topic: str, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
+        """Streaming subscribe (file source, checkpointed by file).
+
+        ``ignoreMissingFiles`` is load-bearing for `compact()`: the
+        generation swap renames the old files away, so a micro-batch
+        planned over the old listing would otherwise kill the query with
+        FILE_NOT_EXIST (observed at sf1 volume). With the option set, the
+        swapped-away files are skipped — and the consolidated generation
+        re-delivers the ENTIRE topic as new files, so nothing is lost:
+        at-least-once is preserved by the swap itself and the duplicates
+        are absorbed by the uuid-idempotent sink (the transport's
+        documented pairing). Without a concurrent compact, files never
+        vanish and the option is inert.
+        """
         self.subscribe_initialize(topic)
-        return self.spark.readStream.schema(MESSAGE_SCHEMA).parquet(self._dir(topic))
+        r = (
+            self.spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+        )
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(self._dir(topic))
 
     def subscribe_initialize(self, topic: str) -> None:
         os.makedirs(self._dir(topic), exist_ok=True)
@@ -85,11 +106,15 @@ class ParquetPubSub(PubSub):
 
         Generation-swap protocol (no transactional log on plain parquet):
         write the consolidated copy to a sibling `<topic>.compact-tmp` dir,
-        then atomically rename old→trash, new→live, then delete trash. A
-        reader holding the old listing keeps reading the trash generation
-        until it re-lists — the same guarantee window a Hive-style
-        non-transactional table gives; production would use Delta/Iceberg
-        `OPTIMIZE` which is this operation behind a real log.
+        then atomically rename old→trash, new→live, then delete trash.
+        A reader holding the old LISTING plans against paths that no
+        longer exist after the swap — batch readers fail that one read and
+        retry against the new generation; streaming readers skip the
+        vanished files (`ignoreMissingFiles`, see `subscribe_stream`) and
+        re-receive the full contents as the consolidated files, which are
+        new to the checkpoint (at-least-once, uuid-idempotent sink absorbs
+        it). Production would use Delta/Iceberg `OPTIMIZE`, which is this
+        operation behind a real log.
 
         Returns {before: n_files, after: n_files}.
         """

@@ -73,7 +73,6 @@ from watermill_spark.analytics.dedup import (
     _banded,
     minhash_signatures,
 )
-from watermill_spark.message import MESSAGE_SCHEMA
 from watermill_spark.streaming.exactly_once import IdempotentBatchSink
 
 REGISTRY_SCHEMA = StructType(
@@ -296,13 +295,15 @@ class StreamingNearDupFilter:
             pubsub.publish(dup_topic, dup)
 
         sink = IdempotentBatchSink(commit_dir, work)
-        stream = pubsub.subscribe_stream(in_topic)
         if max_files_per_trigger:
-            stream = (
-                self.spark.readStream.schema(MESSAGE_SCHEMA)
-                .option("maxFilesPerTrigger", max_files_per_trigger)
-                .parquet(os.path.join(pubsub.base_dir, in_topic))
-            )
+            try:
+                stream = pubsub.subscribe_stream(
+                    in_topic, max_files_per_trigger=max_files_per_trigger
+                )
+            except TypeError:  # transport without per-trigger batching
+                stream = pubsub.subscribe_stream(in_topic)
+        else:
+            stream = pubsub.subscribe_stream(in_topic)
         writer = (
             stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
