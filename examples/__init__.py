@@ -27,6 +27,7 @@ _ALIASES = {
     "example_16_server_sent_events": "16_server_sent_events.py",
     "example_17_cqrs_ordered_events": "17_cqrs_ordered_events.py",
     "example_18_io_quickstart": "18_io_quickstart.py",
+    "example_19_training_data_ingest": "19_training_data_ingest.py",
 }
 
 

@@ -192,3 +192,20 @@ def test_example_io_quickstart(spark, tmp_path):
         "via_io_subscriber": 5,
         "shell_produced": 2,
     }
+
+
+def test_example_training_data_ingest(spark, tmp_path):
+    from examples import example_19_training_data_ingest as mod
+
+    out = mod.main(spark, str(tmp_path / "ex19"))
+    # 60 corpus docs + 2 junk: both junk docs rejected at the quality
+    # gate with distinct reasons; the dup-saturated sf0.001 corpus leaves
+    # 3 first-seen survivors (greedy, deterministic), everything else is
+    # a near-dup attributed to an admitted doc
+    assert out["raw"] == 62
+    assert out["low_quality"] == {"too_short": 1, "low_alpha_ratio": 1}
+    assert out["clean"] == 3
+    assert out["near_dups"] == 57
+    assert out["clean"] + out["near_dups"] == 60
+    assert out["sample_dup_of"] == [0]
+    assert out["registry_rows"] == 12
