@@ -224,3 +224,35 @@ def test_attach_end_to_end(spark, workdir):
     # idempotent-sink commit markers: one per micro-batch
     commits = os.listdir(os.path.join(workdir, "cp", "commits-neardup"))
     assert len([c for c in commits if not c.endswith(".tmp")]) >= 3
+
+
+def test_crash_replay_same_batch_id(spark, workdir):
+    """Crash between the registry append and the batch commit marker ⇒
+    Structured Streaming replays the SAME batch_id. The re-derivation must
+    read only prefix state (its own half-committed subdir excluded), so it
+    reproduces the original decisions exactly and the overwrite rewrites
+    the same rows — found in review: reading its own rows classified its
+    own admissions as replays and ERASED them from the registry."""
+    docs = _corpus(spark, limit=120)
+    want_adm, want_rej = _greedy_oracle(docs)
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    adm1, rej1, rep1 = f.process_batch(df, 0)  # registry written, "crash"
+    reg_after_first = {
+        (r.band_idx, r.band_key, r.owner) for r in f.registry().collect()
+    }
+    adm2, rej2, rep2 = f.process_batch(df, 0)  # replay, same batch_id
+    assert {r.doc_id for r in adm2.collect()} == want_adm
+    assert {r.doc_id: r.dup_of for r in rej2.collect()} == want_rej
+    assert rep2.count() == 0  # a replayed batch is not "redelivery"
+    reg_after_replay = {
+        (r.band_idx, r.band_key, r.owner) for r in f.registry().collect()
+    }
+    assert reg_after_replay == reg_after_first  # registry content identical
+
+    # and the NEXT batch still sees the admissions (nothing was erased)
+    adm3, rej3, rep3 = f.process_batch(df, 1)
+    assert adm3.count() == 0
+    assert {r.doc_id for r in rep3.collect()} == want_adm
+    assert {r.doc_id: r.dup_of for r in rej3.collect()} == want_rej

@@ -11,7 +11,12 @@ component is what a training-data pipeline actually needs at ingest:
 Semantics — **greedy first-seen-wins, independent of micro-batch
 boundaries**: processing docs ordered by ``doc_id``, a doc is REJECTED iff
 it shares at least one LSH band with a smaller-id doc that was ADMITTED;
-otherwise it is admitted and registers all its bands. This is the
+otherwise it is admitted and registers all its bands. The
+slicing-invariance guarantee assumes batches arrive in ``doc_id`` order
+(the natural ingest order — assign arrival-ordered ids at the front
+door). Out-of-order arrival is still deterministic *for a given slicing*
+(earlier-batch admissions win over any id), it just no longer equals the
+id-ordered sequential pass. This is the
 sequential greedy pass a single-node dedup service would make, computed
 distributed:
 
@@ -125,17 +130,36 @@ class StreamingNearDupFilter:
 
     # -- registry ---------------------------------------------------------
 
-    def registry(self) -> DataFrame:
-        """All registered (band_idx, band_key, owner) rows."""
-        return (
-            self.spark.read.schema(REGISTRY_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(self.registry_dir)
-        )
+    def registry(self, exclude_batch: int | None = None) -> DataFrame:
+        """Registered (band_idx, band_key, owner) rows from COMMITTED batch
+        subdirs (``_SUCCESS`` present), optionally excluding one batch.
+
+        ``exclude_batch`` is the crash-replay linchpin: a batch that died
+        between its registry append and its commit marker is replayed with
+        the SAME batch_id, and its re-derivation must read only the PREFIX
+        state — reading its own (possibly partial) previous write would
+        classify its own admissions as replays, overwrite the subdir with
+        an empty set, and erase them from the registry (found in review;
+        pinned by test_crash_replay_same_batch_id).
+        """
+        skip = None if exclude_batch is None else f"batch={exclude_batch}"
+        paths = []
+        for d in sorted(os.listdir(self.registry_dir)):
+            full = os.path.join(self.registry_dir, d)
+            if (
+                d.startswith("batch=")
+                and d != skip
+                and os.path.exists(os.path.join(full, "_SUCCESS"))
+            ):
+                paths.append(full)
+        if not paths:
+            return self.spark.createDataFrame([], REGISTRY_SCHEMA)
+        return self.spark.read.schema(REGISTRY_SCHEMA).parquet(*paths)
 
     def _append_registry(self, rows: DataFrame, batch_id: int) -> None:
-        # Overwrite of a batch-keyed subdir = idempotent under replay: the
-        # same batch re-derives the same rows from the same prefix state.
+        # Overwrite of a batch-keyed subdir is idempotent under replay
+        # BECAUSE the re-derivation never read this subdir (see registry):
+        # same prefix state in, same rows out.
         out = os.path.join(self.registry_dir, f"batch={batch_id}")
         rows.select("band_idx", "band_key", "owner").write.mode(
             "overwrite"
@@ -153,7 +177,9 @@ class StreamingNearDupFilter:
         banded = _banded(sigs, self.n_hashes, self.band_size).localCheckpoint()
 
         # Stage 1: hits against the persistent registry reject immediately.
-        reg = self.registry()
+        # The current batch's own subdir is excluded so a crash-replay
+        # re-derives from pure prefix state (see registry()).
+        reg = self.registry(exclude_batch=batch_id)
         hits = (
             banded.join(reg, ["band_idx", "band_key"], "inner")
             .groupBy("doc_id")
@@ -229,11 +255,14 @@ class StreamingNearDupFilter:
 
         # Canonical attribution, computed once at the end so it is
         # round-order-independent: dup_of = MIN admitted owner over all of
-        # the rejected doc's buckets (registry ∪ this batch's admissions) —
-        # exactly the owner the sequential greedy pass blames, because the
-        # minimum owner is itself < doc and registered before doc's turn.
+        # the rejected doc's buckets (prefix registry ∪ this batch's
+        # admissions) — exactly the owner the sequential greedy pass
+        # blames, because the minimum owner is itself < doc and registered
+        # before doc's turn.
         rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
-        all_owned = self.registry()
+        all_owned = reg.unionByName(
+            new_rows.select("band_idx", "band_key", "owner")
+        )
         rejected = (
             banded.join(rejected_ids, "doc_id", "inner")
             .join(all_owned, ["band_idx", "band_key"], "inner")
