@@ -256,3 +256,52 @@ def test_crash_replay_same_batch_id(spark, workdir):
     assert adm3.count() == 0
     assert {r.doc_id for r in rep3.collect()} == want_adm
     assert {r.doc_id: r.dup_of for r in rej3.collect()} == want_rej
+
+
+def test_registry_compaction_preserves_decisions(spark, workdir):
+    """compact_registry() merges per-batch subdirs into one generation
+    without changing any verdict; a crash that leaves both generations on
+    disk (duplicate rows) is also harmless."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = _corpus(spark, limit=300)
+    f = StreamingNearDupFilter(spark, _os.path.join(workdir, "reg"))
+    per = 100
+    for i in range(3):
+        f.process_batch(
+            spark.createDataFrame(docs[i * per : (i + 1) * per],
+                                  "doc_id LONG, text STRING"), i
+        )
+    before = {(r.band_idx, r.band_key, r.owner) for r in f.registry().collect()}
+    assert len([d for d in _os.listdir(f.registry_dir)
+                if d.startswith("batch=")]) == 3
+
+    # simulate the crash window: consolidated gen written, old dirs still
+    # present -> duplicate rows must not change anything
+    res = f.compact_registry(target_files=2)
+    assert res == {"before": 3, "after": 1}
+    after = {(r.band_idx, r.band_key, r.owner) for r in f.registry().collect()}
+    assert after == before
+
+    # decisions identical post-compaction: replaying the same docs yields
+    # all-replay/all-same-rejects, and a fresh doc still dedups correctly
+    adm, rej, rep = f.process_batch(
+        spark.createDataFrame(docs, "doc_id LONG, text STRING"), 99
+    )
+    want_adm, want_rej = _greedy_oracle(docs)
+    assert {r.doc_id for r in rep.collect()} == want_adm
+    assert {r.doc_id: r.dup_of for r in rej.collect()} == want_rej
+    assert adm.count() == 0
+
+    # crash-window duplicates: copy the consolidated gen under a batch name
+    comp = [d for d in _os.listdir(f.registry_dir) if d.startswith("compacted-")]
+    _shutil.copytree(_os.path.join(f.registry_dir, comp[0]),
+                     _os.path.join(f.registry_dir, "batch=777"))
+    dup_rows = f.registry()
+    assert dup_rows.count() > len(before)  # rows really are duplicated
+    _, rej2, rep2 = f.process_batch(
+        spark.createDataFrame(docs, "doc_id LONG, text STRING"), 100
+    )
+    assert {r.doc_id for r in rep2.collect()} == want_adm
+    assert {r.doc_id: r.dup_of for r in rej2.collect()} == want_rej

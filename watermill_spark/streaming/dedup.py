@@ -147,7 +147,7 @@ class StreamingNearDupFilter:
         for d in sorted(os.listdir(self.registry_dir)):
             full = os.path.join(self.registry_dir, d)
             if (
-                d.startswith("batch=")
+                (d.startswith("batch=") or d.startswith("compacted-"))
                 and d != skip
                 and os.path.exists(os.path.join(full, "_SUCCESS"))
             ):
@@ -155,6 +155,49 @@ class StreamingNearDupFilter:
         if not paths:
             return self.spark.createDataFrame([], REGISTRY_SCHEMA)
         return self.spark.read.schema(REGISTRY_SCHEMA).parquet(*paths)
+
+    def compact_registry(self, target_files: int = 32) -> dict:
+        """Merge the accumulated per-batch registry subdirs into one
+        consolidated generation (small-files control: one subdir per
+        micro-batch means a 10k-batch stream pays a 10k-dir listing per
+        batch; at 100 TB the registry is a Delta/Iceberg table and this is
+        OPTIMIZE).
+
+        Call between batches (single-writer, like topic compact). Crash-
+        safe ordering: the consolidated dir is committed FIRST, then the
+        merged batch dirs are removed — a crash in between leaves rows
+        present twice, which is harmless (duplicate (bucket, owner) rows
+        change no join verdict and no MIN(owner)); the next compaction
+        collapses them. Consolidated dirs are named ``compacted-<k>`` so
+        process_batch's own-batch exclusion (``batch=<id>``) never matches
+        them.
+        """
+        import shutil
+
+        olds = [
+            d
+            for d in sorted(os.listdir(self.registry_dir))
+            if (d.startswith("batch=") or d.startswith("compacted-"))
+            and os.path.exists(os.path.join(self.registry_dir, d, "_SUCCESS"))
+        ]
+        if len(olds) <= 1:
+            return {"before": len(olds), "after": len(olds)}
+        gen = 1 + max(
+            (int(d.split("-")[1]) for d in olds if d.startswith("compacted-")),
+            default=-1,
+        )
+        out = os.path.join(self.registry_dir, f"compacted-{gen}")
+        (
+            self.spark.read.schema(REGISTRY_SCHEMA)
+            .parquet(*[os.path.join(self.registry_dir, d) for d in olds])
+            .dropDuplicates(["band_idx", "band_key"])
+            .repartition(target_files)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        for d in olds:  # only after the consolidated generation committed
+            shutil.rmtree(os.path.join(self.registry_dir, d), ignore_errors=True)
+        return {"before": len(olds), "after": 1}
 
     def _append_registry(self, rows: DataFrame, batch_id: int) -> None:
         # Overwrite of a batch-keyed subdir is idempotent under replay
