@@ -210,10 +210,22 @@ def q_recommendation_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_buyers").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).cast("bigint").alias("n_catalog"),
     )
+    # The (ante, cons) key domain is the query's one genuinely huge
+    # intermediate (254M distinct at sf1, ~1.3G at sf5 — bounded by
+    # catalog², not rows). At the session default of 32 shuffle
+    # partitions the FINAL aggregation hash-map holds ~40M keys per task,
+    # which exhausted the 8g local heap at sf5 on the round-5 host (the
+    # round-4 host finished the same plan at 398 s by margin, not by
+    # design). Widening just this exchange keeps per-task state ~5M keys;
+    # an explicit repartition on the grouping keys is reused by the
+    # aggregation, so it costs no extra shuffle — and at true cluster
+    # scale this is exactly the operator whose partitioning you size by
+    # key-domain, not by the session default.
     pairs = (
         lists.select(F.explode("ps").alias("ante"), "ps")
         .select("ante", F.explode("ps").alias("cons"))
         .filter(F.col("cons") != F.col("ante"))
+        .repartition(256, "ante", "cons")
         .groupBy("ante", "cons")
         .agg(bcount("co"))
     )
