@@ -299,3 +299,154 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(_dot(e, e)), 6).alias("l2_norm"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
+
+
+# -- multi-table hyperplane banding (streaming near-dup + pair mining) -------
+
+#: defaults calibrated to the synthetic corpus: its true near-dup pairs sit
+#: at cosine 0.40-0.48 (θ ≈ 61-66°, per-plane agree-prob ≈ 0.63-0.66), so a
+#: single long signature would never collide them. 16 tables × 4 bits gives
+#: per-table collision ≈ 0.63⁴ ≈ 0.16 and overall recall ≈ 1-(1-0.16)¹⁶ ≈
+#: 0.94 at the decision threshold. Production corpora with real near-dups
+#: (cosine ≥ 0.9) raise N_BITS and the verify threshold together — the
+#: recall math is the same banding trade MinHash-LSH makes.
+N_TABLES = 16
+N_BAND_BITS = 4
+
+
+def hyperplane_bands(
+    emb: Column, n_tables: int = N_TABLES, n_bits: int = N_BAND_BITS
+) -> Column:
+    """array<struct<band_idx int, band_key long>> — one packed-sign-bit key
+    per hash table. Plane (t, b) is plane index j = t*n_bits + b of the same
+    deterministic ±1 family as `lsh_bucket` (`_plane_sign`), so Spark and
+    DuckDB derive bit-identical bands with no shared RNG; each per-plane dot
+    is rounded to 6 places before the sign test so fold order can never flip
+    a bit between engines.
+
+    Pure nested higher-order JVM expression — no UDF, no shuffle: the 100-TB
+    cost is one narrow map over the vectors.
+    """
+
+    def key(t: Column) -> Column:
+        def bit(b: Column) -> Column:
+            # long-cast: plane index j*_P1 exceeds int32 past j ≈ 29
+            j = t.cast("long") * n_bits + b.cast("long")
+            dot = F.aggregate(
+                F.transform(emb, lambda x, i: x * _plane_sign(j, i)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.when(
+                F.round(dot, 6) >= 0, F.pow(F.lit(2.0), b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + bit(b),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("band_idx"), key(t).alias("band_key")
+        ),
+    )
+
+
+def sql_hyperplane_bands(n_tables: int = N_TABLES, n_bits: int = N_BAND_BITS) -> str:
+    """DuckDB mirror of `hyperplane_bands`, as a lateral-join fragment:
+    emits (band_idx, band_key) per input row given a lateral `range(0,{n})
+    r(t)`. Generated from the SAME constants so the two engines cannot
+    drift (the ADVICE-r4 lesson from diagnostic_doc_sample's SQL mirror).
+    """
+    return f"""
+      CAST(r.t AS INTEGER) AS band_idx,
+      CAST(list_sum(list_transform(range(0,{n_bits}), b ->
+        CASE WHEN round(list_sum(list_transform(range(1, len(embedding)+1), d ->
+               CAST(embedding[d] AS DOUBLE) *
+               (CASE WHEN (((r.t*{n_bits}+b)*{_P1} + (d-1)*{_P2}) % {_MOD}) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END))), 6) >= 0
+        THEN (1 << b) ELSE 0 END)) AS BIGINT) AS band_key
+    """
+
+
+EMB_DEDUP_TAU = 0.40  # corpus-calibrated: matches q_dedup_embedding_cosine
+
+
+@register(
+    "q_dedup_embedding_lsh_pairs",
+    oracle=f"""
+    WITH bands AS (
+      SELECT vec_id, {sql_hyperplane_bands()}
+      FROM embeddings, range(0,{N_TABLES}) r(t)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id)
+    SELECT a_id, b_id,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = a_id
+    JOIN embeddings eb ON eb.vec_id = b_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= {EMB_DEDUP_TAU}
+    ORDER BY sim DESC, a_id, b_id
+    """,
+)
+def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS the scale way: multi-table hyperplane-LSH
+    candidates (recall stage), exact cosine re-score (precision stage).
+
+    This is `q_dedup_embedding_cosine`'s production twin — same output
+    contract (a_id < b_id, sim ≥ τ) minus the LSH recall loss (~6% at the
+    corpus's 0.40-0.48 sims; see banding-constant docstring) — and it is
+    the batch face of `streaming/dedup.py::StreamingEmbeddingDedupFilter`:
+    both build bands with `hyperplane_bands`, so this query's DuckDB parity
+    pins the banding expression the streaming filter trusts.
+
+    Plan at 100 TB: one narrow map + explode stamps 16 (band_idx, band_key)
+    rows per vector (constant 16× inflation of a 2-long-column projection —
+    NOT of the vectors); the self-equi-join on the band shuffles those
+    narrow keys only; DISTINCT bounds re-scoring to unique candidate pairs;
+    the two joins back to `embeddings` fetch vectors for exactly the
+    candidates instead of carrying 64 doubles through the band shuffle.
+    No cartesian anywhere — candidate volume is the corpus's true near-dup
+    pair count times a constant, not n².
+    """
+    tune_session(spark)
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    bands = emb.select(
+        "vec_id",
+        F.explode(hyperplane_bands(F.col("embedding").cast("array<double>"))).alias(
+            "band"
+        ),
+    ).select("vec_id", F.col("band.band_idx").alias("band_idx"),
+             F.col("band.band_key").alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").cast("array<double>").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").cast("array<double>").alias("b_emb"))
+    sim = F.round(cosine("a_emb", "b_emb"), 6)
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= EMB_DEDUP_TAU)
+        .orderBy(F.desc("sim"), "a_id", "b_id")
+    )

@@ -390,3 +390,396 @@ def _union(spark: SparkSession, parts: list[DataFrame], ddl: str) -> DataFrame:
     for p in parts:
         out = out.unionByName(p)
     return out
+
+
+# -- embedding modality -------------------------------------------------------
+
+EMB_REGISTRY_BANDS = StructType(
+    [
+        StructField("band_idx", IntegerType(), nullable=False),
+        StructField("band_key", LongType(), nullable=False),
+        StructField("owner", LongType(), nullable=False),
+    ]
+)
+EMB_REGISTRY_VECS = "owner LONG, emb ARRAY<DOUBLE>"
+
+
+class StreamingEmbeddingDedupFilter:
+    """SemDeDup-at-ingest: streaming embedding near-duplicate filter.
+
+    The embedding-modality twin of `StreamingNearDupFilter` — together they
+    cover both axes a training-data ingest gate needs (surface-form near-dups
+    via MinHash over tokens; semantic near-dups via vector cosine). Reference
+    analog remains the Deduplicator middleware
+    (`message/router/middleware/deduplicator.go:117-129`), the exact-hash
+    degenerate case of both.
+
+    Semantics — greedy first-seen-wins on the VERIFIED conflict graph:
+    processing docs in ``doc_id`` order, a doc is REJECTED iff some
+    smaller-id ADMITTED doc (a) shares at least one multi-table hyperplane
+    LSH band with it (`analytics/similarity.py::hyperplane_bands`, the
+    recall stage — the banding expression is cross-engine pinned by
+    `q_dedup_embedding_lsh_pairs`' DuckDB parity) AND (b) has
+    ``round(cosine, 6) >= tau`` against it (the precision stage — LSH
+    candidates are only *likely* near; bucket collision alone must not
+    reject). Admitted docs register their bands AND their vector; rejected
+    docs register nothing. The admitted set equals the sequential greedy
+    pass under this candidate relation whatever the micro-batch slicing
+    (same fixpoint-equality contract as the text twin, pinned in
+    `tests/test_streaming_embdedup.py`).
+
+    Two-part registry, because verification needs the owners' vectors:
+    ``batch=N/bands`` (band_idx, band_key, owner) joined for candidates,
+    ``batch=N/vecs`` (owner, emb) joined only for the candidate owners.
+    Unlike the text registry a bucket here CAN hold several owners (a
+    collision whose cosine fails tau leaves both docs admitted sharing the
+    band), so compaction dedups on the full (band_idx, band_key, owner)
+    row. Vecs are written before bands; a batch counts committed only when
+    both parts have _SUCCESS, and crash-replay re-derives from prefix
+    state by excluding its own batch_id exactly as the text filter does.
+
+    Scale notes (100 TB): the registry grows with the UNIQUE corpus —
+    bands at 16 narrow rows/doc, vecs at one 64-double row/doc. A
+    micro-batch pays one band equi-join (candidates), one vec fetch join
+    restricted to candidate owners, and the in-batch fixpoint over its own
+    conflict edges. Null/absent embeddings are bandless: always admitted,
+    never registered.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry_dir: str,
+        tau: float | None = None,
+        n_tables: int | None = None,
+        n_bits: int | None = None,
+        max_rounds: int = 64,
+    ):
+        from watermill_spark.analytics.similarity import (
+            EMB_DEDUP_TAU,
+            N_BAND_BITS,
+            N_TABLES,
+        )
+
+        self.spark = spark
+        self.registry_dir = registry_dir
+        self.tau = EMB_DEDUP_TAU if tau is None else tau
+        self.n_tables = N_TABLES if n_tables is None else n_tables
+        self.n_bits = N_BAND_BITS if n_bits is None else n_bits
+        self.max_rounds = max_rounds
+        self.last_rounds = 0
+        os.makedirs(registry_dir, exist_ok=True)
+
+    # -- registry ---------------------------------------------------------
+
+    def _committed_dirs(self, exclude_batch: int | None = None) -> list[str]:
+        skip = None if exclude_batch is None else f"batch={exclude_batch}"
+        out = []
+        for d in sorted(os.listdir(self.registry_dir)):
+            full = os.path.join(self.registry_dir, d)
+            if (
+                (d.startswith("batch=") or d.startswith("compacted-"))
+                and d != skip
+                and os.path.exists(os.path.join(full, "bands", "_SUCCESS"))
+                and os.path.exists(os.path.join(full, "vecs", "_SUCCESS"))
+            ):
+                out.append(full)
+        return out
+
+    def registry_bands(self, exclude_batch: int | None = None) -> DataFrame:
+        dirs = self._committed_dirs(exclude_batch)
+        if not dirs:
+            return self.spark.createDataFrame([], EMB_REGISTRY_BANDS)
+        return self.spark.read.schema(EMB_REGISTRY_BANDS).parquet(
+            *[os.path.join(d, "bands") for d in dirs]
+        )
+
+    def registry_vecs(self, exclude_batch: int | None = None) -> DataFrame:
+        dirs = self._committed_dirs(exclude_batch)
+        if not dirs:
+            return self.spark.createDataFrame([], EMB_REGISTRY_VECS)
+        return self.spark.read.schema(EMB_REGISTRY_VECS).parquet(
+            *[os.path.join(d, "vecs") for d in dirs]
+        )
+
+    def compact_registry(self, target_files: int = 32) -> dict:
+        """OPTIMIZE analog, same crash-safe ordering as the text filter:
+        write the consolidated generation (vecs first, bands last — the
+        commit order process_batch relies on), then remove the merged
+        dirs; a crash in between leaves duplicate rows, which change no
+        candidate set, no cosine verdict and no MIN(owner)."""
+        import shutil
+
+        olds = [os.path.basename(d) for d in self._committed_dirs()]
+        if len(olds) <= 1:
+            return {"before": len(olds), "after": len(olds)}
+        gen = 1 + max(
+            (int(d.split("-")[1]) for d in olds if d.startswith("compacted-")),
+            default=-1,
+        )
+        out = os.path.join(self.registry_dir, f"compacted-{gen}")
+        vec_paths = [os.path.join(self.registry_dir, d, "vecs") for d in olds]
+        band_paths = [os.path.join(self.registry_dir, d, "bands") for d in olds]
+        (
+            self.spark.read.schema(EMB_REGISTRY_VECS)
+            .parquet(*vec_paths)
+            .dropDuplicates(["owner"])
+            .repartition(target_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "vecs"))
+        )
+        (
+            self.spark.read.schema(EMB_REGISTRY_BANDS)
+            .parquet(*band_paths)
+            .dropDuplicates(["band_idx", "band_key", "owner"])
+            .repartition(target_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "bands"))
+        )
+        for d in olds:
+            shutil.rmtree(os.path.join(self.registry_dir, d), ignore_errors=True)
+        return {"before": len(olds), "after": 1}
+
+    # -- core -------------------------------------------------------------
+
+    def process_batch(
+        self, docs: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(doc_id long, embedding array<double>) -> (admitted, rejected,
+        replayed); rejected carries ``dup_of`` = MIN admitted owner that
+        verifies at tau — the same owner the sequential pass blames."""
+        from watermill_spark.analytics.similarity import cosine, hyperplane_bands
+
+        docs = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        ).localCheckpoint()
+        banded = (
+            docs.filter(F.col("emb").isNotNull())
+            .select(
+                "doc_id",
+                F.explode(
+                    hyperplane_bands(F.col("emb"), self.n_tables, self.n_bits)
+                ).alias("band"),
+            )
+            .select(
+                "doc_id",
+                F.col("band.band_idx").alias("band_idx"),
+                F.col("band.band_key").alias("band_key"),
+            )
+            .localCheckpoint()
+        )
+        verified = F.round(cosine("emb", "owner_emb"), 6) >= self.tau
+
+        # Stage 1: candidates against the prefix registry, cosine-verified.
+        reg_b = self.registry_bands(exclude_batch=batch_id)
+        reg_v = self.registry_vecs(exclude_batch=batch_id).select(
+            "owner", F.col("emb").alias("owner_emb")
+        )
+        cand = (
+            banded.join(reg_b, ["band_idx", "band_key"], "inner")
+            .select("doc_id", "owner")
+            .distinct()
+        )
+        hits = (
+            cand.join(docs, "doc_id")
+            .join(reg_v, "owner")
+            .filter(verified)
+            .groupBy("doc_id")
+            .agg(F.min("owner").alias("dup_of"))
+            .localCheckpoint()
+        )
+        # A verified hit on ONLY the doc's own registration = redelivery of
+        # an earlier-admitted doc (cos(self,self)=1; no other admitted doc
+        # can verify at tau against it — it would have been rejected, or
+        # the later one would have been).
+        replayed = hits.filter(F.col("dup_of") == F.col("doc_id")).select("doc_id")
+        rejected_id_parts = [
+            hits.filter(F.col("dup_of") != F.col("doc_id")).select("doc_id")
+        ]
+
+        # Stage 2: in-batch conflict edges (a < b, shared band, verified),
+        # then greedy-by-id fixpoint on that static graph: each round admits
+        # every undecided doc with no undecided smaller neighbor (its edges
+        # were all removed with rejected blockers), rejects neighbors of the
+        # newly admitted, and restricts the edge set to the survivors. The
+        # globally smallest undecided doc admits every round, so it
+        # terminates; equality with the sequential pass is the same
+        # induction as the text twin.
+        undecided = (
+            banded.select("doc_id")
+            .distinct()
+            .join(hits.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+            .distinct()
+        )
+        edges = (
+            pairs.join(undecided.select(F.col("doc_id").alias("a")), "a")
+            .join(undecided.select(F.col("doc_id").alias("b")), "b")
+            .join(docs.select(F.col("doc_id").alias("a"), "emb"), "a")
+            .join(
+                docs.select(F.col("doc_id").alias("b"), F.col("emb").alias("owner_emb")),
+                "b",
+            )
+            .filter(verified)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        admitted_parts = []
+        rounds = 0
+        while undecided.limit(1).count() > 0:
+            rounds += 1
+            if rounds > self.max_rounds:
+                raise RuntimeError(
+                    f"embedding near-dup fixpoint did not converge in "
+                    f"{self.max_rounds} rounds — pathological in-batch dup "
+                    "chain; shrink the micro-batch or raise max_rounds"
+                )
+            adm = (
+                undecided.join(
+                    edges.select(F.col("b").alias("doc_id")), "doc_id", "left_anti"
+                )
+                .localCheckpoint()
+            )
+            rej = (
+                edges.join(adm.select(F.col("doc_id").alias("a")), "a")
+                .select(F.col("b").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
+            )
+            undecided = (
+                undecided.join(adm, "doc_id", "left_anti")
+                .join(rej, "doc_id", "left_anti")
+                .localCheckpoint()
+            )
+            edges = (
+                edges.join(undecided.select(F.col("doc_id").alias("a")), "a")
+                .join(undecided.select(F.col("doc_id").alias("b")), "b")
+                .localCheckpoint()
+            )
+            admitted_parts.append(adm)
+            rejected_id_parts.append(rej)
+        self.last_rounds = rounds
+
+        spark = self.spark
+        admitted_banded_ids = (
+            _union(spark, [p.select("doc_id") for p in admitted_parts], "doc_id LONG")
+            if admitted_parts
+            else spark.createDataFrame([], "doc_id LONG")
+        )
+        bandless = docs.select("doc_id").join(
+            banded.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        admitted = admitted_banded_ids.unionByName(bandless).localCheckpoint()
+
+        new_bands = banded.join(admitted_banded_ids, "doc_id", "inner").select(
+            "band_idx", "band_key", F.col("doc_id").alias("owner")
+        )
+        new_vecs = docs.join(admitted_banded_ids, "doc_id", "inner").select(
+            F.col("doc_id").alias("owner"), "emb"
+        )
+        out = os.path.join(self.registry_dir, f"batch={batch_id}")
+        # vecs first: the committed-batch predicate requires BOTH parts, so
+        # a crash between the writes leaves the batch invisible
+        new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
+        new_bands.write.mode("overwrite").parquet(os.path.join(out, "bands"))
+
+        rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
+        all_bands = reg_b.unionByName(new_bands)
+        all_vecs = reg_v.unionByName(
+            new_vecs.select("owner", F.col("emb").alias("owner_emb"))
+        )
+        rejected = (
+            banded.join(rejected_ids, "doc_id", "inner")
+            .join(all_bands, ["band_idx", "band_key"], "inner")
+            .filter(F.col("owner") != F.col("doc_id"))
+            .select("doc_id", "owner")
+            .distinct()
+            .join(docs, "doc_id")
+            .join(all_vecs, "owner")
+            .filter(verified)
+            .groupBy("doc_id")
+            .agg(F.min("owner").alias("dup_of"))
+            .localCheckpoint()
+        )
+        return admitted, rejected, replayed
+
+    # -- transport wiring --------------------------------------------------
+
+    def attach(
+        self,
+        pubsub,
+        in_topic: str,
+        out_topic: str,
+        dup_topic: str,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Messages on `in_topic` (payload = utf-8 JSON array of doubles,
+        metadata["doc_id"] = long) are admitted to `out_topic` or rejected
+        to `dup_topic` with a ``DUP_OF`` metadata stamp. Same exactly-once
+        pairing as the text filter: IdempotentBatchSink per batch,
+        at-least-once topic publishes absorbed by a uuid-idempotent
+        consumer."""
+        commit_dir = os.path.join(checkpoint_dir, "commits-embdedup")
+
+        def work(batch_df: DataFrame, batch_id: int) -> None:
+            msgs = batch_df.localCheckpoint()
+            docs = msgs.select(
+                F.col("metadata")["doc_id"].cast("long").alias("doc_id"),
+                F.from_json(
+                    F.decode(F.coalesce(F.col("payload"), F.lit(b"")), "utf-8"),
+                    "array<double>",
+                ).alias("embedding"),
+            )
+            admitted, rejected, replayed = self.process_batch(docs, batch_id)
+            keyed = msgs.withColumn(
+                "doc_id", F.col("metadata")["doc_id"].cast("long")
+            )
+            ok = keyed.join(
+                admitted.unionByName(replayed), "doc_id", "inner"
+            ).drop("doc_id")
+            dup = (
+                keyed.join(rejected, "doc_id", "inner")
+                .withColumn(
+                    "metadata",
+                    F.map_concat(
+                        F.coalesce("metadata", F.create_map()),
+                        F.create_map(
+                            F.lit(DUP_OF), F.col("dup_of").cast("string")
+                        ),
+                    ),
+                )
+                .drop("doc_id", "dup_of")
+            )
+            pubsub.publish(out_topic, ok)
+            pubsub.publish(dup_topic, dup)
+
+        sink = IdempotentBatchSink(commit_dir, work)
+        if max_files_per_trigger:
+            try:
+                stream = pubsub.subscribe_stream(
+                    in_topic, max_files_per_trigger=max_files_per_trigger
+                )
+            except TypeError:
+                stream = pubsub.subscribe_stream(in_topic)
+        else:
+            stream = pubsub.subscribe_stream(in_topic)
+        writer = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
