@@ -37,6 +37,11 @@ BY_DESIGN = {
     # per consumer of the sampled-docs chain (sigs + toksets + each join
     # side) — always a 1-row build side
     "q_minhash_jaccard_calibration": {"BNLJ"},
+    # adaptive band width: the 1-row corpus-count aggregate (nb) is
+    # crossJoined onto the vectors before banding; the banded relation
+    # feeds both sides of the candidate self-join, so the 1-row broadcast
+    # appears twice — always a 1-row build side
+    "q_dedup_embedding_lsh_pairs": {"BNLJ"},
     # tiered vec_id sample flag: the 1-row embeddings-count broadcast is
     # re-derived by the candidate pass and both settle-join sides
     "q_knn_classifier_eval_sampled": {"BNLJ"},
@@ -682,6 +687,7 @@ BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
 MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
+    "q_dedup_embedding_lsh_pairs": {"BNLJ": 2},
     "q_knn_classifier_eval_sampled": {"BNLJ": 3},
     "q_supplier_audience_overlap": {"SMJ": 3},
     "q_abc_xyz_matrix": {"BNLJ": 1},

@@ -315,34 +315,47 @@ N_BAND_BITS = 4
 
 
 def hyperplane_bands(
-    emb: Column, n_tables: int = N_TABLES, n_bits: int = N_BAND_BITS
+    emb: Column, n_tables: int = N_TABLES, n_bits: int | Column = N_BAND_BITS
 ) -> Column:
     """array<struct<band_idx int, band_key long>> — one packed-sign-bit key
-    per hash table. Plane (t, b) is plane index j = t*n_bits + b of the same
-    deterministic ±1 family as `lsh_bucket` (`_plane_sign`), so Spark and
-    DuckDB derive bit-identical bands with no shared RNG; each per-plane dot
-    is rounded to 6 places before the sign test so fold order can never flip
-    a bit between engines.
+    per hash table, by BIT-SAMPLING LSH (Indyk–Motwani): bit (t, b) is the
+    sign of coordinate d(t,b) = (t*_P1 + b*_P2) mod dim — an axis-aligned
+    hyperplane chosen by deterministic integer arithmetic, so Spark and
+    DuckDB derive bit-identical bands with no shared RNG.
+
+    Why axis-aligned instead of `lsh_bucket`'s ±1-plane dots: (1) cost — one
+    element_at + compare per bit instead of a dim-term dot, which keeps the
+    banding ~dim× cheaper in Catalyst's interpreted higher-order-function
+    path (measured: the dot form needed ~8 ms/row at 16 tables × 15 bits,
+    stalling the sf5 sweep; this form is sub-µs); (2) determinism — the sign
+    test reads a STORED value with no arithmetic before it, so there is no
+    float-summation-order hazard at all, stronger than the round-to-6
+    guard. For centered, roughly isotropic coordinates the per-bit
+    agreement probability is the same 1 − θ/π as a random hyperplane (sign
+    agreement of a bivariate normal), so the banding recall math is
+    unchanged; when n_tables·n_bits exceeds dim, axes repeat across tables
+    and table independence degrades gracefully (documented LSH trade).
+
+    ``n_bits`` may be a Column (e.g. a corpus-size-derived width broadcast
+    from a 1-row aggregate) — that is how `q_dedup_embedding_lsh_pairs`
+    keeps expected bucket occupancy O(1) at any corpus size.
 
     Pure nested higher-order JVM expression — no UDF, no shuffle: the 100-TB
     cost is one narrow map over the vectors.
     """
+    nb = F.lit(n_bits).cast("long") if isinstance(n_bits, int) else n_bits.cast("long")
+    dim = F.size(emb).cast("long")
 
     def key(t: Column) -> Column:
         def bit(b: Column) -> Column:
-            # long-cast: plane index j*_P1 exceeds int32 past j ≈ 29
-            j = t.cast("long") * n_bits + b.cast("long")
-            dot = F.aggregate(
-                F.transform(emb, lambda x, i: x * _plane_sign(j, i)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            d = (t.cast("long") * _P1 + b.cast("long") * _P2) % dim
             return F.when(
-                F.round(dot, 6) >= 0, F.pow(F.lit(2.0), b).cast("long")
+                F.element_at(emb, (d + 1).cast("int")) >= 0,
+                F.pow(F.lit(2.0), b).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
 
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            F.sequence(F.lit(0), (nb - 1).cast("int")),
             F.lit(0).cast("long"),
             lambda acc, b: acc + bit(b),
         )
@@ -355,32 +368,45 @@ def hyperplane_bands(
     )
 
 
-def sql_hyperplane_bands(n_tables: int = N_TABLES, n_bits: int = N_BAND_BITS) -> str:
+def sql_hyperplane_bands(n_tables: int = N_TABLES, n_bits: int | str = N_BAND_BITS) -> str:
     """DuckDB mirror of `hyperplane_bands`, as a lateral-join fragment:
     emits (band_idx, band_key) per input row given a lateral `range(0,{n})
     r(t)`. Generated from the SAME constants so the two engines cannot
     drift (the ADVICE-r4 lesson from diagnostic_doc_sample's SQL mirror).
+    ``n_bits`` may be a SQL expression string (e.g. ``p.nb`` from a 1-row
+    CTE) — the adaptive-width mirror.
     """
     return f"""
       CAST(r.t AS INTEGER) AS band_idx,
       CAST(list_sum(list_transform(range(0,{n_bits}), b ->
-        CASE WHEN round(list_sum(list_transform(range(1, len(embedding)+1), d ->
-               CAST(embedding[d] AS DOUBLE) *
-               (CASE WHEN (((r.t*{n_bits}+b)*{_P1} + (d-1)*{_P2}) % {_MOD}) % 2 = 0
-                     THEN 1.0 ELSE -1.0 END))), 6) >= 0
+        CASE WHEN embedding[CAST((r.t*{_P1} + b*{_P2}) % len(embedding) AS INT) + 1] >= 0
         THEN (1 << b) ELSE 0 END)) AS BIGINT) AS band_key
     """
 
 
 EMB_DEDUP_TAU = 0.40  # corpus-calibrated: matches q_dedup_embedding_cosine
 
+#: adaptive band width: expected bucket occupancy n/2^nb stays O(1) at any
+#: corpus size, so the band self-join's candidate volume is O(n · tables),
+#: never n²/2^const. The price is recall at a FIXED similarity threshold
+#: decaying as the corpus grows (p_agree^nb per table) — the fundamental
+#: LSH trade; production pins nb to the target corpus size and raises the
+#: threshold in step. Both engines derive nb from the same COUNT, so
+#: parity is exact at every SF.
+_SQL_NB = "GREATEST(4, CAST(ceil(log2(count(*))) AS INT))"
+
+
+def _nb_col() -> Column:
+    return F.greatest(F.lit(4), F.ceil(F.log2(F.count(F.lit(1))))).cast("int")
+
 
 @register(
     "q_dedup_embedding_lsh_pairs",
     oracle=f"""
-    WITH bands AS (
-      SELECT vec_id, {sql_hyperplane_bands()}
-      FROM embeddings, range(0,{N_TABLES}) r(t)),
+    WITH p AS (SELECT {_SQL_NB} AS nb FROM embeddings),
+    bands AS (
+      SELECT vec_id, {sql_hyperplane_bands(n_bits="p.nb")}
+      FROM embeddings, p, range(0,{N_TABLES}) r(t)),
     cand AS (
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       FROM bands a JOIN bands b
@@ -403,28 +429,36 @@ def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (recall stage), exact cosine re-score (precision stage).
 
     This is `q_dedup_embedding_cosine`'s production twin — same output
-    contract (a_id < b_id, sim ≥ τ) minus the LSH recall loss (~6% at the
-    corpus's 0.40-0.48 sims; see banding-constant docstring) — and it is
-    the batch face of `streaming/dedup.py::StreamingEmbeddingDedupFilter`:
-    both build bands with `hyperplane_bands`, so this query's DuckDB parity
-    pins the banding expression the streaming filter trusts.
+    contract (a_id < b_id, sim ≥ τ) with the LSH recall trade made
+    explicit: band width adapts to the corpus (`_SQL_NB` docstring), so
+    candidate volume is O(n·tables) at ANY scale — the design that
+    survives the sf5 sweep where a fixed 4-bit band would stall in an
+    n²/16 self-join — while recall at the fixed τ decays with corpus
+    growth and is printed against the brute-force twin. It is also the
+    batch face of `streaming/dedup.py::StreamingEmbeddingDedupFilter`:
+    both build bands with `hyperplane_bands`, so this query's DuckDB
+    parity pins the banding expression family the streaming filter
+    trusts.
 
-    Plan at 100 TB: one narrow map + explode stamps 16 (band_idx, band_key)
-    rows per vector (constant 16× inflation of a 2-long-column projection —
-    NOT of the vectors); the self-equi-join on the band shuffles those
-    narrow keys only; DISTINCT bounds re-scoring to unique candidate pairs;
-    the two joins back to `embeddings` fetch vectors for exactly the
-    candidates instead of carrying 64 doubles through the band shuffle.
-    No cartesian anywhere — candidate volume is the corpus's true near-dup
-    pair count times a constant, not n².
+    Plan at 100 TB: a 1-row corpus-count aggregate broadcast picks the
+    band width (BNLJ by necessity, 1-row build side — the whitelisted
+    scalar-subquery shape); one narrow map + explode stamps 16
+    (band_idx, band_key) rows per vector; the self-equi-join on the band
+    shuffles those narrow keys only; DISTINCT bounds re-scoring to unique
+    candidate pairs; the two joins back to `embeddings` fetch vectors for
+    exactly the candidates instead of carrying 64 doubles through the
+    band shuffle.
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))
-    bands = emb.select(
+    p = emb.agg(_nb_col().alias("nb"))
+    bands = emb.crossJoin(p).select(
         "vec_id",
-        F.explode(hyperplane_bands(F.col("embedding").cast("array<double>"))).alias(
-            "band"
-        ),
+        F.explode(
+            hyperplane_bands(
+                F.col("embedding").cast("array<double>"), N_TABLES, F.col("nb")
+            )
+        ).alias("band"),
     ).select("vec_id", F.col("band.band_idx").alias("band_idx"),
              F.col("band.band_key").alias("band_key"))
     cand = (

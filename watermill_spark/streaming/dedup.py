@@ -416,9 +416,10 @@ class StreamingEmbeddingDedupFilter:
 
     Semantics — greedy first-seen-wins on the VERIFIED conflict graph:
     processing docs in ``doc_id`` order, a doc is REJECTED iff some
-    smaller-id ADMITTED doc (a) shares at least one multi-table hyperplane
-    LSH band with it (`analytics/similarity.py::hyperplane_bands`, the
-    recall stage — the banding expression is cross-engine pinned by
+    smaller-id ADMITTED doc (a) shares at least one multi-table
+    bit-sampling LSH band with it (`analytics/similarity.py::
+    hyperplane_bands` — axis-aligned sign bits, no float arithmetic before
+    the sign test; the recall stage, cross-engine pinned by
     `q_dedup_embedding_lsh_pairs`' DuckDB parity) AND (b) has
     ``round(cosine, 6) >= tau`` against it (the precision stage — LSH
     candidates are only *likely* near; bucket collision alone must not
