@@ -28,6 +28,7 @@ _ALIASES = {
     "example_17_cqrs_ordered_events": "17_cqrs_ordered_events.py",
     "example_18_io_quickstart": "18_io_quickstart.py",
     "example_19_training_data_ingest": "19_training_data_ingest.py",
+    "example_20_semantic_dedup_gate": "20_semantic_dedup_gate.py",
 }
 
 

@@ -209,3 +209,18 @@ def test_example_training_data_ingest(spark, tmp_path):
     assert out["clean"] + out["near_dups"] == 60
     assert out["sample_dup_of"] == [0]
     assert out["registry_rows"] == 12
+
+
+def test_example_semantic_dedup_gate(spark, tmp_path):
+    from examples import example_20_semantic_dedup_gate as mod
+
+    out = mod.main(spark, str(tmp_path / "ex20"))
+    # 50 corpus vectors + 5 verbatim re-submissions + 1 embedding-less doc:
+    # every re-submission is rejected and blamed on its original (exact
+    # cosine 1.0 >= tau; identical vectors always share every band); the
+    # embedding-less doc passes (the gate never blocks on missing features)
+    assert out["raw"] == 56
+    assert out["clean"] == 51
+    assert out["semantic_dups"] == {1000 + k: k for k in (0, 10, 20, 30, 40)}
+    assert out["no_embedding_passed"] == 1
+    assert out["registry_vec_rows"] == 50

@@ -30,7 +30,8 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize(
     "scenario",
-    ["sessionize", "sliding", "dedup", "delayed", "soak", "compact", "neardup"],
+    ["sessionize", "sliding", "dedup", "delayed", "soak", "compact", "neardup",
+     "embdedup"],
 )
 def test_streaming_scenario_at_scale(spark, scenario):
     import tools_streaming_scale as tss

@@ -580,6 +580,108 @@ def scenario_neardup(spark, sf_dir, work):
     return rec
 
 
+def scenario_embdedup(spark, sf_dir, work, dup_frac=0.25):
+    """Streaming EMBEDDING near-dup filter at corpus volume with a planted
+    ground truth: the embeddings table plus dup_frac exact duplicates
+    (copies of corpus vectors under fresh doc_ids ABOVE the originals, so
+    the greedy pass must blame the original). Scale-calibrated banding
+    (n_bits=16: 2^16 buckets/table keeps the registry join's per-bucket
+    fan-in O(1) as admitted docs accumulate) and tau=0.95 (real near-dup
+    threshold; the corpus's max cross-vector cosine is ~0.5, so ONLY the
+    planted duplicates may reject). EXACT gates: admitted == all
+    originals, rejected == exactly the planted dups, each blamed on its
+    original."""
+    from watermill_spark.streaming.dedup import DUP_OF, StreamingEmbeddingDedupFilter
+
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("emb"))
+        .localCheckpoint()
+    )
+    n = emb.count()
+    base = 10 ** len(str(n))  # id offset: dups sort after every original
+    dups = (
+        emb.filter(F.col("doc_id") % int(1 / dup_frac) == 0)
+        .select((F.col("doc_id") + base).alias("doc_id"), "emb")
+    )
+    n_dups = dups.count()
+    stream_docs = emb.unionByName(dups)
+    msgs = (
+        stream_docs.select(
+            F.concat(F.lit("e"), F.col("doc_id")).alias("uuid"),
+            F.create_map(
+                F.lit("doc_id"), F.col("doc_id").cast("string")
+            ).alias("metadata"),
+            F.encode(F.to_json(F.col("emb")), "utf-8").alias("payload"),
+            F.lit("emb").alias("topic"),
+            F.current_timestamp().alias("event_time"),
+        )
+        .repartitionByRange(N_FILES, F.expr("cast(substring(uuid, 2) as long)"))
+        .sortWithinPartitions(F.expr("cast(substring(uuid, 2) as long)"))
+    )
+    ps.publish("emb", msgs)
+    _stamp_mtimes_in_path_order(ps, "emb")  # batches arrive in doc_id order
+
+    f = StreamingEmbeddingDedupFilter(
+        spark, os.path.join(work, "reg"), tau=0.95, n_bits=16
+    )
+    listener = RouterMetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.monotonic()
+    q = f.attach(ps, "emb", "ok", "dup", os.path.join(work, "ck"),
+                 max_files_per_trigger=4)
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    spark.streams.removeListener(listener)
+
+    ok_ids = ps.subscribe("ok").select(
+        F.element_at("metadata", "doc_id").cast("long").alias("doc_id")
+    )
+    dup_rows = ps.subscribe("dup").select(
+        F.element_at("metadata", "doc_id").cast("long").alias("doc_id"),
+        F.element_at("metadata", DUP_OF).cast("long").alias("dup_of"),
+    ).localCheckpoint()
+    n_ok, n_dup = ok_ids.count(), dup_rows.count()
+    # ground truth: every planted dup rejected, blamed on its original
+    bad_attrib = dup_rows.filter(
+        F.col("doc_id") - base != F.col("dup_of")
+    ).count()
+    missed = int(n_dups) - int(n_dup)
+    false_rejects = dup_rows.filter(F.col("doc_id") < base).count()
+    reg_bands = f.registry_bands().count()
+    reg_vecs = f.registry_vecs().count()
+    ok = (
+        n_ok == n
+        and n_dup == n_dups
+        and bad_attrib == 0
+        and false_rejects == 0
+        and reg_vecs == n
+    )
+    rec = {
+        "scenario": "embdedup_filter",
+        "input_rows": int(n + n_dups),
+        "corpus": int(n),
+        "planted_dups": int(n_dups),
+        "admitted": int(n_ok),
+        "rejected": int(n_dup),
+        "missed_dups": int(missed),
+        "false_rejects": int(false_rejects),
+        "bad_attributions": int(bad_attrib),
+        "registry_band_rows": int(reg_bands),
+        "registry_vec_rows": int(reg_vecs),
+        "ok": bool(ok),
+        **_metrics_summary(listener, n + n_dups, wall),
+    }
+    # foreachBatch keeps no state-store state; the on-disk registry is the
+    # real state — reported above instead of the (zero) store gauges
+    rec.pop("state_rows_peak", None)
+    rec.pop("state_rows_final", None)
+    rec.pop("state_mb_peak", None)
+    return rec
+
+
 SCENARIOS = {
     "sessionize": scenario_sessionize,
     "sliding": scenario_sliding,
@@ -588,6 +690,7 @@ SCENARIOS = {
     "soak": scenario_soak,
     "compact": scenario_compact,
     "neardup": scenario_neardup,
+    "embdedup": scenario_embdedup,
 }
 
 
