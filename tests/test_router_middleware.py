@@ -724,3 +724,35 @@ def test_poison_filter_wholly_poisoned_100k_batch_stays_distributed(
     assert handler(big).count() == 0
     monkeypatch.undo()
     assert ps.subscribe(dlq).count() == 100_000
+
+
+def test_poison_queue_with_filter_shared_dlq_keeps_both_handlers(ps, spark):
+    """Two middleware instances SHARING one DLQ topic: H1's dead-letter for
+    a uuid must not suppress H2's for the same uuid — the replay-dedup key
+    includes the poisoning (handler, topic) identity (review finding: a
+    (uuid, retries)-only key made the second handler's failure vanish from
+    the DLQ and its downstream entirely)."""
+    tin, tout1, tout2 = _topic("in"), _topic("o1"), _topic("o2")
+    dlq = _topic("shared-dlq")
+    ps.publish(tin, _msgs(spark, 4))
+    n = metadata_get("n").cast("int")
+    r = Router()
+    for name, tout in (("h1", tout1), ("h2", tout2)):
+        r.add_handler(
+            name, tin, ps, tout, ps, passthrough_handler,
+            middleware=[
+                mw.poison_queue_with_filter(
+                    ps, dlq, lambda err: err.contains("bad")
+                ),
+                mw.fail_rows(n == 2, "bad: n is 2"),
+            ],
+        )
+    r.run_once()
+    poisoned = ps.subscribe(dlq).collect()
+    assert len(poisoned) == 2
+    assert {dict(p["metadata"])[mw.POISONED_HANDLER] for p in poisoned} == {
+        "h1", "h2",
+    }
+    # and a replay of the same deliveries stays suppressed per handler
+    r.run_once()
+    assert ps.subscribe(dlq).count() == 2

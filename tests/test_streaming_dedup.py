@@ -305,3 +305,41 @@ def test_registry_compaction_preserves_decisions(spark, workdir):
     )
     assert {r.doc_id for r in rep2.collect()} == want_adm
     assert {r.doc_id: r.dup_of for r in rej2.collect()} == want_rej
+
+
+def test_attach_passes_identityless_messages_through(spark, workdir):
+    """Messages without a numeric doc_id cannot be deduped or attributed —
+    they must pass through to the out topic, not silently vanish on the
+    inner joins (review finding)."""
+    ps = ParquetPubSub(spark, os.path.join(workdir, "topics"))
+    from watermill_spark.message import messages_df
+
+    msgs = [
+        new_message("alpha beta gamma delta", metadata={"doc_id": "1"}, uuid="d1"),
+        new_message("no id at all", metadata={}, uuid="anon-1"),
+        new_message("bad id", metadata={"doc_id": "doc-x"}, uuid="anon-2"),
+    ]
+    ps.publish("din", messages_df(spark, msgs))
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"))
+    q = f.attach(ps, "din", "dout", "ddup", os.path.join(workdir, "cp"))
+    assert q.awaitTermination(300)
+    assert {r.uuid for r in ps.subscribe("dout").collect()} == {
+        "d1", "anon-1", "anon-2",
+    }
+    assert ps.subscribe("ddup").count() == 0
+    # identity-less docs registered nothing
+    assert f.registry().count() == 4  # d1's bands only (8 hashes / band 2)
+
+
+def test_max_rounds_fallback_is_exact(spark, workdir):
+    """Hitting max_rounds must not kill the batch (it would poison-loop the
+    stream on replay): the residual docs are finished by an exact
+    driver-side sequential pass with identical results."""
+    f = StreamingNearDupFilter(spark, os.path.join(workdir, "reg"), max_rounds=1)
+    adm, rej, _ = f.process_batch(
+        spark.createDataFrame(CHAIN, "doc_id LONG, text STRING"), 0
+    )
+    # the A-B-C chain needs 2 distributed rounds; round 2 is replaced by
+    # the driver-side pass, same greedy result
+    assert {r.doc_id for r in adm.collect()} == {1, 3}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}

@@ -298,3 +298,64 @@ def test_attach_end_to_end(spark, workdir, corpus):
     }
     assert got_ok == oracle_adm
     assert got_dup == oracle_rej
+
+
+def test_attach_passes_identityless_messages_through(spark, workdir, corpus):
+    rows, _pairs, _adm_o, _rej_o = corpus
+    from watermill_spark.message import messages_df
+
+    ps = ParquetPubSub(spark, os.path.join(workdir, "topics"))
+    msgs = [
+        new_message(json.dumps(rows[0][1]), metadata={"doc_id": str(rows[0][0])},
+                    uuid="v0"),
+        new_message(json.dumps(rows[1][1]), metadata={}, uuid="anon-1"),
+    ]
+    ps.publish("ein", messages_df(spark, msgs))
+    f = StreamingEmbeddingDedupFilter(spark, os.path.join(workdir, "reg"))
+    q = f.attach(ps, "ein", "eout", "edup", os.path.join(workdir, "cp"))
+    assert q.awaitTermination(300)
+    assert {r.uuid for r in ps.subscribe("eout").collect()} == {"v0", "anon-1"}
+    assert ps.subscribe("edup").count() == 0
+    assert f.registry_vecs().count() == 1  # only the keyed doc registered
+
+
+def test_zero_norm_embeddings_are_bandless(spark, workdir):
+    """A zero (or null-element) vector has no direction: cosine against it
+    is 0/0 = NULL, which would break the cos(self,self)=1 replay invariant
+    and make redeliveries re-register forever (review finding). They are
+    treated like null embeddings: always admitted, never registered."""
+    filt = StreamingEmbeddingDedupFilter(spark, os.path.join(workdir, "reg"))
+    batch = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.0] * 4), (3, [1.0, None, 0.5, 0.5])],
+        "doc_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    adm, rej, rep = filt.process_batch(batch, 0)
+    assert {r.doc_id for r in adm.collect()} == {1, 2, 3}
+    assert rej.count() == 0 and rep.count() == 0
+    assert filt.registry_vecs().count() == 0
+    # redelivery: admitted again as bandless, registry still empty
+    adm2, rej2, rep2 = filt.process_batch(batch, 1)
+    assert {r.doc_id for r in adm2.collect()} == {1, 2, 3}
+    assert rej2.count() == 0 and rep2.count() == 0
+    assert filt.registry_vecs().count() == 0
+
+
+def test_max_rounds_fallback_is_exact(spark, workdir, corpus):
+    rows, pairs, _adm_o, _rej_o = corpus
+    tri = sorted(
+        (a, b, c)
+        for (a, b) in pairs
+        for (b2, c) in pairs
+        if b2 == b and a < b < c and (a, c) not in pairs
+    )
+    if not tri:
+        pytest.skip("corpus has no A<B<C conflict chain at this tau")
+    a, b, c = tri[0]
+    three = [r for r in rows if r[0] in (a, b, c)]
+    filt = StreamingEmbeddingDedupFilter(
+        spark, os.path.join(workdir, "reg"), max_rounds=1
+    )
+    batch = spark.createDataFrame(three, "doc_id LONG, embedding ARRAY<DOUBLE>")
+    adm, rej, _ = filt.process_batch(batch, 0)
+    assert {r.doc_id for r in adm.collect()} == {a, c}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(b, a)}

@@ -153,6 +153,34 @@ def lsh_star_edges(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = B
 DIAG_SAMPLE_CAP = 5000
 
 
+def tiered_sample_sql(count_from: str, id_expr: str) -> str:
+    """SQL predicate for the tiered md5 diagnostic sample (full corpus ≤
+    cap, the 1/16 md5-slice ≤ 16·cap, 1/256 ≤ 256·cap, 1/4096 above).
+    Single source of the TIER LADDER for every surface that samples —
+    documents here, embeddings in extras175 — so adding a tier cannot
+    silently break Spark/DuckDB sampling parity for one of them (the
+    ADVICE-r4 lesson, extended from the cap to the structure)."""
+    cap = DIAG_SAMPLE_CAP
+    n = f"(SELECT COUNT(*) FROM {count_from})"
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    return f"""({n} <= {cap}
+         OR ({n} <= {16 * cap} AND substr({h}, 1, 1) = '0')
+         OR ({n} <= {256 * cap} AND substr({h}, 1, 2) = '00')
+         OR substr({h}, 1, 3) = '000')"""
+
+
+def tiered_sample_pred(n_col, id_col) -> "F.Column":
+    """Spark twin of `tiered_sample_sql` — same cap, same tiers."""
+    cap = DIAG_SAMPLE_CAP
+    h3 = F.substring(F.md5(id_col.cast("string")), 1, 3)
+    return (
+        (n_col <= cap)
+        | ((n_col <= 16 * cap) & (F.substring(h3, 1, 1) == "0"))
+        | ((n_col <= 256 * cap) & (F.substring(h3, 1, 2) == "00"))
+        | (h3 == "000")
+    )
+
+
 def diagnostic_doc_sample(docs: DataFrame) -> DataFrame:
     """Deterministic TIERED doc sample for quadratic DIAGNOSTICS
     (calibration, precision/recall grading): full corpus when
@@ -168,23 +196,10 @@ def diagnostic_doc_sample(docs: DataFrame) -> DataFrame:
     / clusters) runs in full. Mirror of ``_SQL_SDOCS`` (generated from
     the same ``DIAG_SAMPLE_CAP``) so both engines sample identically.
     """
-    cap = DIAG_SAMPLE_CAP
     tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
-    h3 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
     return (
         docs.crossJoin(F.broadcast(tot))
-        .filter(
-            (F.col("_n_docs") <= cap)
-            | (
-                (F.col("_n_docs") <= 16 * cap)
-                & (F.substring(h3, 1, 1) == "0")
-            )
-            | (
-                (F.col("_n_docs") <= 256 * cap)
-                & (F.substring(h3, 1, 2) == "00")
-            )
-            | (h3 == "000")
-        )
+        .filter(tiered_sample_pred(F.col("_n_docs"), F.col("doc_id")))
         .drop("_n_docs")
     )
 
@@ -195,12 +210,7 @@ def diagnostic_doc_sample(docs: DataFrame) -> DataFrame:
 _SQL_SDOCS = f"""
     WITH sdocs AS (
       SELECT * FROM documents
-      WHERE (SELECT COUNT(*) FROM documents) <= {DIAG_SAMPLE_CAP}
-         OR ((SELECT COUNT(*) FROM documents) <= {16 * DIAG_SAMPLE_CAP}
-             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
-         OR ((SELECT COUNT(*) FROM documents) <= {256 * DIAG_SAMPLE_CAP}
-             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00')
-         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) = '000'
+      WHERE {tiered_sample_sql("documents", "doc_id")}
     ),"""
 
 

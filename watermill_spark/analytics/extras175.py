@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .dedup import DIAG_SAMPLE_CAP, _SQL_SDOCS, diagnostic_doc_sample
+from .dedup import (
+    _SQL_SDOCS,
+    diagnostic_doc_sample,
+    tiered_sample_pred,
+    tiered_sample_sql,
+)
 from .det import bcount
 from .extras66 import _TFIDF_MIN_SIM
 from .registry import load, register, spread
@@ -270,29 +275,12 @@ def q_retrieval_mrr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_knn_classifier_eval_sampled
 # ---------------------------------------------------------------------------
 
-# Tiered md5 sample over vec_id — the diagnostic_doc_sample idiom applied
-# to the embeddings table, generated from the same DIAG_SAMPLE_CAP so the
-# Spark predicate and the SQL mirror cannot diverge.
-_SQL_VEC_SAMPLE = f"""(
-      (SELECT COUNT(*) FROM embeddings) <= {DIAG_SAMPLE_CAP}
-      OR ((SELECT COUNT(*) FROM embeddings) <= {16 * DIAG_SAMPLE_CAP}
-          AND substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) = '0')
-      OR ((SELECT COUNT(*) FROM embeddings) <= {256 * DIAG_SAMPLE_CAP}
-          AND substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 2) = '00')
-      OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 3) = '000'
-    )"""
-
-
-def _vec_sample_pred(n_vecs_col, vec_id_col):
-    """Spark twin of _SQL_VEC_SAMPLE (same DIAG_SAMPLE_CAP tiers)."""
-    cap = DIAG_SAMPLE_CAP
-    h3 = F.substring(F.md5(vec_id_col.cast("string")), 1, 3)
-    return (
-        (n_vecs_col <= cap)
-        | ((n_vecs_col <= 16 * cap) & (F.substring(h3, 1, 1) == "0"))
-        | ((n_vecs_col <= 256 * cap) & (F.substring(h3, 1, 2) == "00"))
-        | (h3 == "000")
-    )
+# Tiered md5 sample over vec_id — the diagnostic_doc_sample ladder applied
+# to the embeddings table. BOTH sides come from the shared generators in
+# dedup.py (tiered_sample_sql / tiered_sample_pred), so neither the cap
+# nor the tier structure can diverge between surfaces or engines.
+_SQL_VEC_SAMPLE = tiered_sample_sql("embeddings", "a.vec_id")
+_vec_sample_pred = tiered_sample_pred
 
 
 @register(

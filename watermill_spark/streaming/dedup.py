@@ -60,6 +60,7 @@ touches only in-batch undecided docs and localCheckpoints each round
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -246,11 +247,32 @@ class StreamingNearDupFilter:
         while undecided.limit(1).count() > 0:
             rounds += 1
             if rounds > self.max_rounds:
-                raise RuntimeError(
-                    f"near-dup fixpoint did not converge in {self.max_rounds} "
-                    "rounds — pathological in-batch dup chain; shrink the "
-                    "micro-batch (maxFilesPerTrigger) or raise max_rounds"
+                # Pathological in-batch dup chain (each round decides ~2
+                # docs of a consecutive chain, so a 130+ doc chain inside
+                # ONE batch exceeds 64 rounds — and a chain can sit inside
+                # a single topic file, where no trigger setting splits it;
+                # raising here would poison-loop the stream forever on
+                # replay). The undecided residue conflicts only among
+                # itself at this point, so finish it with an EXACT
+                # driver-side sequential greedy pass over that residue —
+                # same result, bounded by the micro-batch size.
+                adm_ids, rej_ids = _sequential_greedy_buckets(undecided)
+                admitted_parts.append(
+                    self.spark.createDataFrame(
+                        [(i,) for i in adm_ids], "doc_id LONG"
+                    )
                 )
+                rejected_id_parts.append(
+                    self.spark.createDataFrame(
+                        [(i,) for i in rej_ids], "doc_id LONG"
+                    )
+                )
+                _LOG.warning(
+                    "near-dup fixpoint hit max_rounds=%d; finished %d "
+                    "residual docs with the driver-side sequential pass",
+                    self.max_rounds, len(adm_ids) + len(rej_ids),
+                )
+                break
             w = Window.partitionBy("band_idx", "band_key")
             marked = undecided.withColumn("bmin", F.min("doc_id").over(w))
             adm = (
@@ -331,58 +353,94 @@ class StreamingNearDupFilter:
         """Wire the filter between transport topics: messages on `in_topic`
         (payload = utf-8 document text, metadata["doc_id"] = long) are
         admitted to `out_topic` or rejected to `dup_topic` with a
-        ``DUP_OF`` metadata stamp. Returns the StreamingQuery.
+        ``DUP_OF`` metadata stamp; identity-less messages (missing or
+        non-numeric doc_id) pass through to `out_topic` un-registered —
+        the gate never silently drops. Returns the StreamingQuery.
         """
-        commit_dir = os.path.join(checkpoint_dir, "commits-neardup")
 
-        def work(batch_df: DataFrame, batch_id: int) -> None:
-            msgs = batch_df.localCheckpoint()
-            docs = msgs.select(
-                F.col("metadata")["doc_id"].cast("long").alias("doc_id"),
+        def decode(keyed: DataFrame) -> DataFrame:
+            return keyed.select(
+                "doc_id",
                 F.decode(F.coalesce(F.col("payload"), F.lit(b"")), "utf-8").alias(
                     "text"
                 ),
             )
-            admitted, rejected, replayed = self.process_batch(docs, batch_id)
-            keyed = msgs.withColumn(
-                "doc_id", F.col("metadata")["doc_id"].cast("long")
-            )
-            ok = keyed.join(
-                admitted.unionByName(replayed), "doc_id", "inner"
-            ).drop("doc_id")
-            dup = (
-                keyed.join(rejected, "doc_id", "inner")
-                .withColumn(
-                    "metadata",
-                    F.map_concat(
-                        F.coalesce("metadata", F.create_map()),
-                        F.create_map(
-                            F.lit(DUP_OF), F.col("dup_of").cast("string")
-                        ),
-                    ),
-                )
-                .drop("doc_id", "dup_of")
-            )
-            pubsub.publish(out_topic, ok)
-            pubsub.publish(dup_topic, dup)
 
-        sink = IdempotentBatchSink(commit_dir, work)
-        if max_files_per_trigger:
-            try:
-                stream = pubsub.subscribe_stream(
-                    in_topic, max_files_per_trigger=max_files_per_trigger
-                )
-            except TypeError:  # transport without per-trigger batching
-                stream = pubsub.subscribe_stream(in_topic)
-        else:
-            stream = pubsub.subscribe_stream(in_topic)
-        writer = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        return _attach_filter(
+            self, pubsub, in_topic, out_topic, dup_topic, checkpoint_dir,
+            decode, "commits-neardup", trigger_available_now,
+            max_files_per_trigger,
         )
-        if trigger_available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+
+
+def _attach_filter(
+    filt,
+    pubsub,
+    in_topic: str,
+    out_topic: str,
+    dup_topic: str,
+    checkpoint_dir: str,
+    decode,
+    commit_subdir: str,
+    trigger_available_now: bool,
+    max_files_per_trigger: int | None,
+):
+    """Shared transport wiring for both dedup filters: batch → doc frame
+    via ``decode(keyed)``, process, split admitted/rejected back onto the
+    message stream. Messages whose metadata doc_id is missing/non-numeric
+    have no identity to dedup or attribute by — they pass through to
+    `out_topic` unchanged and unregistered (the no-loss contract: silently
+    dropping them on the inner joins was a reviewed bug)."""
+    commit_dir = os.path.join(checkpoint_dir, commit_subdir)
+
+    def work(batch_df: DataFrame, batch_id: int) -> None:
+        msgs = batch_df.localCheckpoint()
+        # try_cast: a non-numeric doc_id is identity-less, not a batch
+        # error (ANSI cast would throw and poison-loop the stream)
+        keyed = msgs.withColumn(
+            "doc_id", F.col("metadata")["doc_id"].try_cast("long")
+        )
+        unkeyed = keyed.filter(F.col("doc_id").isNull()).drop("doc_id")
+        keyed = keyed.filter(F.col("doc_id").isNotNull())
+        admitted, rejected, replayed = filt.process_batch(
+            decode(keyed), batch_id
+        )
+        ok = (
+            keyed.join(admitted.unionByName(replayed), "doc_id", "inner")
+            .drop("doc_id")
+            .unionByName(unkeyed)
+        )
+        dup = (
+            keyed.join(rejected, "doc_id", "inner")
+            .withColumn(
+                "metadata",
+                F.map_concat(
+                    F.coalesce("metadata", F.create_map()),
+                    F.create_map(F.lit(DUP_OF), F.col("dup_of").cast("string")),
+                ),
+            )
+            .drop("doc_id", "dup_of")
+        )
+        pubsub.publish(out_topic, ok)
+        pubsub.publish(dup_topic, dup)
+
+    sink = IdempotentBatchSink(commit_dir, work)
+    if max_files_per_trigger:
+        try:
+            stream = pubsub.subscribe_stream(
+                in_topic, max_files_per_trigger=max_files_per_trigger
+            )
+        except TypeError:  # transport without per-trigger batching
+            stream = pubsub.subscribe_stream(in_topic)
+    else:
+        stream = pubsub.subscribe_stream(in_topic)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _union(spark: SparkSession, parts: list[DataFrame], ddl: str) -> DataFrame:
@@ -390,6 +448,55 @@ def _union(spark: SparkSession, parts: list[DataFrame], ddl: str) -> DataFrame:
     for p in parts:
         out = out.unionByName(p)
     return out
+
+
+_LOG = logging.getLogger(__name__)
+
+
+def _sequential_greedy_buckets(banded: DataFrame) -> tuple[list[int], list[int]]:
+    """EXACT driver-side greedy over a residual (doc_id, band_idx, band_key)
+    set that conflicts only among itself (every external conflict was
+    already resolved by the distributed rounds). Used as the max_rounds
+    escape hatch — bounded by the micro-batch size."""
+    import collections
+
+    by_doc: dict[int, set] = collections.defaultdict(set)
+    for r in banded.collect():
+        by_doc[r.doc_id].add((r.band_idx, r.band_key))
+    taken: dict = {}
+    adm: list[int] = []
+    rej: list[int] = []
+    for d in sorted(by_doc):
+        if any(b in taken for b in by_doc[d]):
+            rej.append(d)
+        else:
+            adm.append(d)
+            for b in by_doc[d]:
+                taken[b] = d
+    return adm, rej
+
+
+def _sequential_greedy_edges(
+    undecided: DataFrame, edges: DataFrame
+) -> tuple[list[int], list[int]]:
+    """Edge-relation variant of `_sequential_greedy_buckets` for the
+    embedding filter (conflicts are verified (a < b) pairs)."""
+    import collections
+
+    und = sorted(r.doc_id for r in undecided.collect())
+    smaller: dict[int, list[int]] = collections.defaultdict(list)
+    for r in edges.collect():
+        smaller[r.b].append(r.a)
+    adm_set: set[int] = set()
+    adm: list[int] = []
+    rej: list[int] = []
+    for d in und:
+        if any(a in adm_set for a in smaller.get(d, [])):
+            rej.append(d)
+        else:
+            adm.append(d)
+            adm_set.add(d)
+    return adm, rej
 
 
 # -- embedding modality -------------------------------------------------------
@@ -443,7 +550,8 @@ class StreamingEmbeddingDedupFilter:
     bands at 16 narrow rows/doc, vecs at one 64-double row/doc. A
     micro-batch pays one band equi-join (candidates), one vec fetch join
     restricted to candidate owners, and the in-batch fixpoint over its own
-    conflict edges. Null/absent embeddings are bandless: always admitted,
+    conflict edges. Null, empty, null-element and all-zero embeddings are
+    bandless (directionless — no semantic identity): always admitted,
     never registered.
     """
 
@@ -555,8 +663,20 @@ class StreamingEmbeddingDedupFilter:
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("embedding").cast("array<double>").alias("emb"),
         ).localCheckpoint()
+        # Null, empty AND all-zero embeddings are bandless (always admitted,
+        # never registered): a zero vector has no direction — cosine against
+        # it is 0/0 = NULL, which would break the replay invariant
+        # (cos(self,self)=1) and make redeliveries re-register forever
+        # (reviewed bug); directionless inputs carry no semantic identity
+        # to dedup by, the same stance as null text in the text twin.
         banded = (
-            docs.filter(F.col("emb").isNotNull())
+            docs.filter(
+                F.coalesce(
+                    F.exists("emb", lambda x: x != 0.0)
+                    & F.forall("emb", lambda x: x.isNotNull()),
+                    F.lit(False),
+                )
+            )
             .select(
                 "doc_id",
                 F.explode(
@@ -641,11 +761,28 @@ class StreamingEmbeddingDedupFilter:
         while undecided.limit(1).count() > 0:
             rounds += 1
             if rounds > self.max_rounds:
-                raise RuntimeError(
-                    f"embedding near-dup fixpoint did not converge in "
-                    f"{self.max_rounds} rounds — pathological in-batch dup "
-                    "chain; shrink the micro-batch or raise max_rounds"
+                # same escape hatch as the text twin: the residue's
+                # conflicts are all inside `edges` (external ones resolved
+                # in earlier rounds) — finish with the exact driver-side
+                # sequential pass instead of poison-looping the stream
+                adm_ids, rej_ids = _sequential_greedy_edges(undecided, edges)
+                admitted_parts.append(
+                    self.spark.createDataFrame(
+                        [(i,) for i in adm_ids], "doc_id LONG"
+                    )
                 )
+                rejected_id_parts.append(
+                    self.spark.createDataFrame(
+                        [(i,) for i in rej_ids], "doc_id LONG"
+                    )
+                )
+                _LOG.warning(
+                    "embedding near-dup fixpoint hit max_rounds=%d; "
+                    "finished %d residual docs with the driver-side "
+                    "sequential pass",
+                    self.max_rounds, len(adm_ids) + len(rej_ids),
+                )
+                break
             adm = (
                 undecided.join(
                     edges.select(F.col("b").alias("doc_id")), "doc_id", "left_anti"
@@ -729,58 +866,23 @@ class StreamingEmbeddingDedupFilter:
     ):
         """Messages on `in_topic` (payload = utf-8 JSON array of doubles,
         metadata["doc_id"] = long) are admitted to `out_topic` or rejected
-        to `dup_topic` with a ``DUP_OF`` metadata stamp. Same exactly-once
-        pairing as the text filter: IdempotentBatchSink per batch,
-        at-least-once topic publishes absorbed by a uuid-idempotent
+        to `dup_topic` with a ``DUP_OF`` metadata stamp; identity-less
+        messages pass through to `out_topic` un-registered. Same
+        exactly-once pairing as the text filter: IdempotentBatchSink per
+        batch, at-least-once topic publishes absorbed by a uuid-idempotent
         consumer."""
-        commit_dir = os.path.join(checkpoint_dir, "commits-embdedup")
 
-        def work(batch_df: DataFrame, batch_id: int) -> None:
-            msgs = batch_df.localCheckpoint()
-            docs = msgs.select(
-                F.col("metadata")["doc_id"].cast("long").alias("doc_id"),
+        def decode(keyed: DataFrame) -> DataFrame:
+            return keyed.select(
+                "doc_id",
                 F.from_json(
                     F.decode(F.coalesce(F.col("payload"), F.lit(b"")), "utf-8"),
                     "array<double>",
                 ).alias("embedding"),
             )
-            admitted, rejected, replayed = self.process_batch(docs, batch_id)
-            keyed = msgs.withColumn(
-                "doc_id", F.col("metadata")["doc_id"].cast("long")
-            )
-            ok = keyed.join(
-                admitted.unionByName(replayed), "doc_id", "inner"
-            ).drop("doc_id")
-            dup = (
-                keyed.join(rejected, "doc_id", "inner")
-                .withColumn(
-                    "metadata",
-                    F.map_concat(
-                        F.coalesce("metadata", F.create_map()),
-                        F.create_map(
-                            F.lit(DUP_OF), F.col("dup_of").cast("string")
-                        ),
-                    ),
-                )
-                .drop("doc_id", "dup_of")
-            )
-            pubsub.publish(out_topic, ok)
-            pubsub.publish(dup_topic, dup)
 
-        sink = IdempotentBatchSink(commit_dir, work)
-        if max_files_per_trigger:
-            try:
-                stream = pubsub.subscribe_stream(
-                    in_topic, max_files_per_trigger=max_files_per_trigger
-                )
-            except TypeError:
-                stream = pubsub.subscribe_stream(in_topic)
-        else:
-            stream = pubsub.subscribe_stream(in_topic)
-        writer = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        return _attach_filter(
+            self, pubsub, in_topic, out_topic, dup_topic, checkpoint_dir,
+            decode, "commits-embdedup", trigger_available_now,
+            max_files_per_trigger,
         )
-        if trigger_available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()

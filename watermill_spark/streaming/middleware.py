@@ -153,11 +153,14 @@ def poison_queue_with_filter(
     error, so the batch commits), surviving error rows here nack the batch
     — and the redelivered batch re-derives the SAME qualifying rows. Each
     delivery must therefore reach the DLQ once. The dedup key is
-    (uuid, requeue-retries): a REQUEUED message (pulled out of the DLQ and
-    re-fed — examples/15) carries an incremented retries counter, so it is
-    a new delivery and dead-letters again rather than being silently
-    dropped; a checkpoint replay of the same batch carries identical
-    metadata and is suppressed.
+    (uuid, requeue-retries, handler, sub-topic): a REQUEUED message
+    (pulled out of the DLQ and re-fed — examples/15) carries an
+    incremented retries counter, so it is a new delivery and dead-letters
+    again rather than being silently dropped; a checkpoint replay of the
+    same batch carries identical metadata and is suppressed; and several
+    instances SHARING one DLQ topic stay independent (the handler/topic
+    parts — router context columns on the poisoned side, the
+    POISONED_HANDLER/POISONED_TOPIC stamps on the DLQ side).
 
     The dedup is DISTRIBUTED (r4 verdict item 3): already-dead-lettered
     keys are removed by a left-anti join against the DLQ topic itself —
@@ -195,10 +198,25 @@ def poison_queue_with_filter(
             if poisoned.limit(1).count() == 0:
                 return out.filter(~poison_pred)
             meta = F.coalesce(F.col("metadata"), F.create_map())
-            key_col = F.concat_ws(
+            # The delivery key includes the (handler, topic) that poisoned
+            # the row: several middleware instances may share one DLQ
+            # topic, and a (uuid, retries)-only key would let H1's
+            # dead-letter suppress H2's entirely (reviewed bug — the row
+            # would vanish from H2's DLQ *and* its downstream). On the
+            # poisoned side the identity sits in the router context
+            # columns; on the DLQ side it was stamped into metadata.
+            retries = F.coalesce(meta[REQUEUER_RETRIES], F.lit("0"))
+            poisoned_key = F.concat_ws(
                 "#",
-                F.col("uuid"),
-                F.coalesce(meta[REQUEUER_RETRIES], F.lit("0")),
+                F.col("uuid"), retries,
+                F.coalesce(F.col(CTX_HANDLER).cast("string"), F.lit("")),
+                F.coalesce(F.col(CTX_SUB_TOPIC).cast("string"), F.lit("")),
+            )
+            dlq_key = F.concat_ws(
+                "#",
+                F.col("uuid"), retries,
+                F.coalesce(meta[POISONED_HANDLER], F.lit("")),
+                F.coalesce(meta[POISONED_TOPIC], F.lit("")),
             )
             # GoChannel(persistent=False).subscribe drains the topic — a
             # dedup read there would consume the DLQ. Every durable
@@ -217,10 +235,10 @@ def poison_queue_with_filter(
                     # suppression is always-correct dedup; retention only
                     # bounds the build side
                     dlq = dlq.filter(stamp.isNull() | (stamp >= horizon))
-                seen_sources.append(dlq.select(key_col.alias("_dlq_key")))
+                seen_sources.append(dlq.select(dlq_key.alias("_dlq_key")))
             for keys_df, _n in seen_batches:
                 seen_sources.append(keys_df)
-            fresh = poisoned.withColumn("_dlq_key", key_col)
+            fresh = poisoned.withColumn("_dlq_key", poisoned_key)
             if seen_sources:
                 seen = seen_sources[0]
                 for s in seen_sources[1:]:
