@@ -214,9 +214,14 @@ class StreamingNearDupFilter:
     def process_batch(
         self, docs: DataFrame, batch_id: int
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(doc_id long NON-NULL, text) -> (admitted, rejected, replayed).
+        Null-id rows are DROPPED here (no identity to decide or attribute
+        by; a null key would silently fall out of some joins and leak into
+        the bandless union) — route identity-less inputs at the transport
+        layer, as ``attach`` does (pass-through)."""
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), F.col("text")
-        ).localCheckpoint()
+        ).filter(F.col("doc_id").isNotNull()).localCheckpoint()
         sigs = minhash_signatures(docs, self.n_hashes)
         banded = _banded(sigs, self.n_hashes, self.band_size).localCheckpoint()
 
@@ -654,15 +659,17 @@ class StreamingEmbeddingDedupFilter:
     def process_batch(
         self, docs: DataFrame, batch_id: int
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """(doc_id long, embedding array<double>) -> (admitted, rejected,
-        replayed); rejected carries ``dup_of`` = MIN admitted owner that
-        verifies at tau — the same owner the sequential pass blames."""
+        """(doc_id long NON-NULL, embedding array<double>) -> (admitted,
+        rejected, replayed); rejected carries ``dup_of`` = MIN admitted
+        owner that verifies at tau — the same owner the sequential pass
+        blames. Null-id rows are dropped (see the text twin's docstring);
+        ``attach`` routes identity-less messages as pass-through."""
         from watermill_spark.analytics.similarity import cosine, hyperplane_bands
 
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("embedding").cast("array<double>").alias("emb"),
-        ).localCheckpoint()
+        ).filter(F.col("doc_id").isNotNull()).localCheckpoint()
         # Null, empty AND all-zero embeddings are bandless (always admitted,
         # never registered): a zero vector has no direction — cosine against
         # it is 0/0 = NULL, which would break the replay invariant
