@@ -765,6 +765,15 @@ class StreamingEmbeddingDedupFilter:
         )
         admitted_parts = []
         rounds = 0
+        # Conflict-free fast path — the COMMON ingest case (duplicates
+        # usually arrive after their originals, i.e. in different batches,
+        # so in-batch verified edges are empty): admit every undecided doc
+        # at once instead of paying the loop's ~4 jobs for a degenerate
+        # round. `edges` is already materialized, so the emptiness probe
+        # is a metadata-cheap local scan.
+        if edges.limit(1).count() == 0:
+            admitted_parts.append(undecided)
+            undecided = self.spark.createDataFrame([], "doc_id LONG")
         while undecided.limit(1).count() > 0:
             rounds += 1
             if rounds > self.max_rounds:
