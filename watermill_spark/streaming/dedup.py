@@ -249,6 +249,23 @@ class StreamingNearDupFilter:
         )
         admitted_parts = []
         rounds = 0
+        # Conflict-free fast path (same as the embedding twin): if no
+        # bucket holds two undecided docs, the round is degenerate — admit
+        # everything at once. One aggregation probe vs the round's ~5 jobs.
+        if (
+            undecided.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+            == 0
+        ):
+            admitted_parts.append(
+                undecided.select("doc_id").distinct().localCheckpoint()
+            )
+            undecided = self.spark.createDataFrame(
+                [], "doc_id LONG, band_idx INT, band_key STRING"
+            )
         while undecided.limit(1).count() > 0:
             rounds += 1
             if rounds > self.max_rounds:
