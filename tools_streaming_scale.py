@@ -682,6 +682,166 @@ def scenario_embdedup(spark, sf_dir, work, dup_frac=0.25):
     return rec
 
 
+def scenario_frontdoor(spark, sf_dir, work):
+    """The COMPLETE streaming training-data front door at corpus volume —
+    examples 19+20 chained over the transport: quality gate (JVM column
+    expressions) → text near-dup filter (MinHash-LSH registry) →
+    embedding near-dup filter (bit-sampling LSH + cosine verify). The
+    documents corpus is near-dup-saturated (its designed ~6% true-pair
+    rate); embeddings are assigned doc_id % |embeddings|, so distinct
+    surviving docs sharing a vector are planted exact semantic dups.
+    EXACT gates: message conservation across the four terminal topics,
+    and each dedup stage equals its one-shot twin on a fresh registry
+    (micro-batch-invariance at volume, per stage)."""
+    from watermill_spark.streaming.dedup import (
+        StreamingEmbeddingDedupFilter,
+        StreamingNearDupFilter,
+    )
+    from watermill_spark.streaming.router import Router
+
+    ps = ParquetPubSub(spark, os.path.join(work, "t"))
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_vecs = emb.count()
+    n = docs.count()
+    msgs = (
+        docs.join(emb, docs.doc_id % n_vecs == emb.vec_id, "left")
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("uuid"),
+            F.create_map(
+                F.lit("doc_id"), F.col("doc_id").cast("string"),
+                F.lit("emb"), F.to_json(F.col("emb")),
+            ).alias("metadata"),
+            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+            F.lit("raw").alias("topic"),
+            F.current_timestamp().alias("event_time"),
+        )
+        .repartitionByRange(N_FILES, F.expr("cast(substring(uuid, 2) as long)"))
+        .sortWithinPartitions(F.expr("cast(substring(uuid, 2) as long)"))
+    )
+    ps.publish("raw", msgs)
+    _stamp_mtimes_in_path_order(ps, "raw")
+
+    t0 = time.monotonic()
+    # Stage 1: quality gate (example 19's expressions) — pass/reject split
+    text = F.decode(F.coalesce(F.col("payload"), F.lit(b"")), "utf-8")
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^a-zA-Z ]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    )
+    bad = (F.length(text) < 20) | (alpha_ratio < 0.55)
+    docid = F.element_at("metadata", "doc_id").cast("long")
+
+    def id_ordered(df):
+        # the dedup stages' slicing-invariance contract assumes doc_id
+        # arrival order — every inter-stage topic is re-ranged on doc_id
+        # and its file mtimes stamped in path order (the front-door's
+        # "assign arrival-ordered ids" discipline)
+        return df.repartitionByRange(N_FILES, docid).sortWithinPartitions(docid)
+
+    r = Router()
+    r.add_handler("qpass", "raw", ps, "quality", ps,
+                  lambda df: id_ordered(df.filter(~bad)))
+    r.add_handler("qrej", "raw", ps, "lowq", ps, lambda df: df.filter(bad))
+    r.run_once()
+    _stamp_mtimes_in_path_order(ps, "quality")
+    wall_q = time.monotonic() - t0
+
+    # Stage 2: text near-dup filter
+    t0 = time.monotonic()
+    tf = StreamingNearDupFilter(spark, os.path.join(work, "reg-text"))
+    q = tf.attach(ps, "quality", "textok", "textdup",
+                  os.path.join(work, "ck-text"), max_files_per_trigger=8)
+    q.awaitTermination()
+    wall_t = time.monotonic() - t0
+
+    # Stage 3: embedding near-dup filter — a tiny transform stage moves the
+    # embedding from metadata into the payload (the "feature extraction"
+    # slot of a real pipeline), then the semantic gate runs at tau=0.95
+    # with scale-calibrated 16-bit bands
+    t0 = time.monotonic()
+    r2 = Router()
+    r2.add_handler(
+        "tovec", "textok", ps, "vecs", ps,
+        lambda df: id_ordered(df.withColumn(
+            "payload",
+            F.encode(F.coalesce(F.element_at("metadata", "emb"), F.lit("null")),
+                     "utf-8"),
+        )),
+    )
+    r2.run_once()
+    _stamp_mtimes_in_path_order(ps, "vecs")
+    ef = StreamingEmbeddingDedupFilter(
+        spark, os.path.join(work, "reg-emb"), tau=0.95, n_bits=16
+    )
+    q = ef.attach(ps, "vecs", "clean", "embdup",
+                  os.path.join(work, "ck-emb"), max_files_per_trigger=8)
+    q.awaitTermination()
+    wall_e = time.monotonic() - t0
+
+    n_lowq = ps.subscribe("lowq").count()
+    n_textdup = ps.subscribe("textdup").count()
+    n_embdup = ps.subscribe("embdup").count()
+    n_clean = ps.subscribe("clean").count()
+
+    # one-shot twins per stage, fresh registries
+    def ids_of(topic):
+        return ps.subscribe(topic).select(
+            F.element_at("metadata", "doc_id").cast("long").alias("doc_id")
+        )
+
+    qdocs = docs.join(ids_of("quality"), "doc_id", "left_semi").localCheckpoint()
+    tf2 = StreamingNearDupFilter(spark, os.path.join(work, "reg-text2"))
+    adm_t, _rej_t, _ = tf2.process_batch(qdocs, 0)
+    text_mismatch = (
+        ids_of("textok").join(adm_t, "doc_id", "left_anti").count()
+        + adm_t.join(ids_of("textok"), "doc_id", "left_anti").count()
+    )
+    vdocs = (
+        docs.join(ids_of("textok"), "doc_id", "left_semi")
+        .join(emb, docs.doc_id % n_vecs == emb.vec_id, "left")
+        .select("doc_id", F.col("emb").alias("embedding"))
+        .localCheckpoint()
+    )
+    ef2 = StreamingEmbeddingDedupFilter(
+        spark, os.path.join(work, "reg-emb2"), tau=0.95, n_bits=16
+    )
+    adm_e, _rej_e, _ = ef2.process_batch(vdocs, 0)
+    emb_mismatch = (
+        ids_of("clean").join(adm_e, "doc_id", "left_anti").count()
+        + adm_e.join(ids_of("clean"), "doc_id", "left_anti").count()
+    )
+    ok = (
+        n_lowq + n_textdup + n_embdup + n_clean == n
+        and text_mismatch == 0
+        and emb_mismatch == 0
+        and n_textdup > 0
+        and n_embdup > 0
+    )
+    return {
+        "scenario": "frontdoor",
+        "input_rows": int(n),
+        "low_quality": int(n_lowq),
+        "text_dups": int(n_textdup),
+        "semantic_dups": int(n_embdup),
+        "clean": int(n_clean),
+        "text_mismatch_vs_oneshot": int(text_mismatch),
+        "emb_mismatch_vs_oneshot": int(emb_mismatch),
+        "wall_quality_sec": round(wall_q, 1),
+        "wall_textdedup_sec": round(wall_t, 1),
+        "wall_embdedup_sec": round(wall_e, 1),
+        "msgs_per_sec": round(n / (wall_q + wall_t + wall_e)),
+        "wall_sec": round(wall_q + wall_t + wall_e, 1),
+        "ok": bool(ok),
+    }
+
+
 SCENARIOS = {
     "sessionize": scenario_sessionize,
     "sliding": scenario_sliding,
@@ -691,6 +851,7 @@ SCENARIOS = {
     "compact": scenario_compact,
     "neardup": scenario_neardup,
     "embdedup": scenario_embdedup,
+    "frontdoor": scenario_frontdoor,
 }
 
 
