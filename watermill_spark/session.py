@@ -55,4 +55,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # tiebreaks (det.py rules) — so the defensive sort buys nothing and
     # serializes the unsplittable-scan fan-out on its single input task.
     spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
+    # NOT set here: spark.sql.autoBroadcastJoinThreshold. Measured both
+    # directions after the broadcast-hint removal: raising it to 64m made
+    # the bench 1.8× WORSE (Catalyst's multiplicative join-size estimates
+    # push fact-side relations under any generous threshold, so orders/
+    # lineitem-derived sides start broadcasting), while the default 10m
+    # only costs q05 ~0.7 s at sf0.1 (its customer×nation build side is
+    # estimated past the threshold and sort-merge-joins — the plan that is
+    # CORRECT at 100 TB, where customers scale with the corpus). AQE's
+    # runtime SMJ→BHJ conversion still catches truly small sides from
+    # actual shuffle sizes.
     return spark
