@@ -42,6 +42,11 @@ BY_DESIGN = {
     # feeds both sides of the candidate self-join, so the 1-row broadcast
     # appears twice — always a 1-row build side
     "q_dedup_embedding_lsh_pairs": {"BNLJ"},
+    # same adaptive-nb 1-row broadcast, multiprobe banding variant
+    "q_dedup_embedding_lsh_multiprobe_pairs": {"BNLJ"},
+    # 1-row (n, nb) aggregate cross-joined before the planted-pair map
+    # (appears on the banding side and the mixer-join side)
+    "q_embedding_lsh_recall_calibration": {"BNLJ"},
     # tiered vec_id sample flag: the 1-row embeddings-count broadcast is
     # re-derived by the candidate pass and both settle-join sides
     "q_knn_classifier_eval_sampled": {"BNLJ"},
@@ -688,6 +693,8 @@ MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
     "q_dedup_embedding_lsh_pairs": {"BNLJ": 2},
+    "q_dedup_embedding_lsh_multiprobe_pairs": {"BNLJ": 2},
+    "q_embedding_lsh_recall_calibration": {"BNLJ": 2},
     "q_knn_classifier_eval_sampled": {"BNLJ": 3},
     "q_supplier_audience_overlap": {"SMJ": 3},
     "q_abc_xyz_matrix": {"BNLJ": 1},
@@ -1008,6 +1015,22 @@ _ENTITY_KEY = re.compile(
     r"(?<!nation)(?<!region)(?:key|id|uuid|qid|nid)\d*$", re.IGNORECASE
 )
 
+# aggregate keys that name a VOCABULARY class: token/term/shingle/n-gram/
+# band aggregates over a fact corpus are data-scaled too — |vocabulary|
+# over [a-z]+ tokens follows Heaps' law plus junk strings (easily 1e8+
+# distinct terms at 100 TB), and shingle/band key domains grow even faster.
+# Treating them as a bounded grid was the r5 audit's one hole (verdict
+# item 2): q_tfidf_top_terms' per-term df broadcast slipped through.
+_TOKEN_KEY = re.compile(
+    r"(?:^|_)(?:term|token|tok|word|shingle|[a-z]*gram|band_key|sig|"
+    r"minhash|hash)s?\d*$",
+    re.IGNORECASE,
+)
+
+
+def _data_scaled_key(k: str) -> bool:
+    return bool(_ENTITY_KEY.search(k) or _TOKEN_KEY.search(k))
+
 
 def _broadcast_fact_flags(plan: str) -> list[str]:
     """Flags for BroadcastExchange subtrees whose build side derives from a
@@ -1070,7 +1093,7 @@ def _broadcast_fact_flags(plan: str) -> list[str]:
             keys = agg_keys(node_id)
             if keys is not None and not keys:
                 return True  # 1-row global aggregate
-            if keys and all(not _ENTITY_KEY.search(k) for k in keys):
+            if keys and all(not _data_scaled_key(k) for k in keys):
                 return True  # grid/type/date-keyed: corpus-independent
         if name.startswith("Filter"):
             det = details.get(node_id)

@@ -359,3 +359,100 @@ def test_max_rounds_fallback_is_exact(spark, workdir, corpus):
     adm, rej, _ = filt.process_batch(batch, 0)
     assert {r.doc_id for r in adm.collect()} == {a, c}
     assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(b, a)}
+
+
+def test_residue_cap_refuses_oversized_driver_collect(spark, workdir, corpus):
+    """Same driver-OOM guard as the text twin: the embedding hatch counts
+    undecided docs + verified edges before collecting and raises with
+    sizing guidance past residue_cap."""
+    from watermill_spark.streaming.dedup import ResidueCapExceeded
+
+    rows, pairs, _adm_o, _rej_o = corpus
+    tri = sorted(
+        (a, b, c)
+        for (a, b) in pairs
+        for (b2, c) in pairs
+        if b2 == b and a < b < c and (a, c) not in pairs
+    )
+    if not tri:
+        pytest.skip("corpus has no A<B<C conflict chain at this tau")
+    a, b, c = tri[0]
+    three = [r for r in rows if r[0] in (a, b, c)]
+    filt = StreamingEmbeddingDedupFilter(
+        spark, os.path.join(workdir, "reg"), max_rounds=1, residue_cap=0
+    )
+    batch = spark.createDataFrame(three, "doc_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ResidueCapExceeded, match="Lower the trigger size"):
+        filt.process_batch(batch, 0)
+
+
+# -- multiprobe ---------------------------------------------------------------
+
+# dim-8 vectors with n_tables=1, n_bits=4: bit b reads coordinate
+# (b * 19349663) % 8 = 7b % 8 -> coords [0, 7, 6, 5]. V1/V2 agree
+# everywhere except coord 7, whose tiny |0.05| margin makes it V2's
+# lowest-margin bit: base keys differ in exactly that one bit (15 vs 13),
+# cosine ~0.99998 -- so base banding MISSES the pair and a single probe
+# (flip the lowest-|margin| bit) catches it. The minimal multiprobe
+# fixture.
+V1 = [1.0, 9.0, 9.0, 9.0, 9.0, 1.0, 1.0, 0.05]
+V2 = [1.0, 9.0, 9.0, 9.0, 9.0, 1.0, 1.0, -0.05]
+MP_KW = dict(tau=0.9, n_tables=1, n_bits=4)
+
+
+def _mp_filter(spark, workdir, sub, n_probes):
+    return StreamingEmbeddingDedupFilter(
+        spark, os.path.join(workdir, sub), n_probes=n_probes, **MP_KW
+    )
+
+
+def test_multiprobe_catches_one_bit_flip_across_batches(spark, workdir):
+    """Registry path: doc 2's probe key (lowest-|margin| bit flipped) must
+    hit doc 1's registered BASE band; without probes the pair is missed."""
+    f0 = _mp_filter(spark, workdir, "reg0", n_probes=0)
+    for i, vec in ((1, V1), (2, V2)):
+        adm, rej, _ = f0.process_batch(
+            spark.createDataFrame([(i, vec)], "doc_id LONG, embedding ARRAY<DOUBLE>"), i
+        )
+        assert adm.count() == 1 and rej.count() == 0  # base banding misses
+
+    f1 = _mp_filter(spark, workdir, "reg1", n_probes=1)
+    adm, rej, _ = f1.process_batch(
+        spark.createDataFrame([(1, V1)], "doc_id LONG, embedding ARRAY<DOUBLE>"), 0
+    )
+    assert {r.doc_id for r in adm.collect()} == {1}
+    adm, rej, _ = f1.process_batch(
+        spark.createDataFrame([(2, V2)], "doc_id LONG, embedding ARRAY<DOUBLE>"), 1
+    )
+    assert adm.count() == 0
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}
+    # probes are a query-side cost only: the registry holds base keys,
+    # n_tables rows per admitted doc
+    assert f1.registry_bands().count() == 1
+
+
+def test_multiprobe_in_batch_equals_registry_path(spark, workdir):
+    """Slicing invariance with probes on: the one-batch run must decide
+    exactly what the two-batch run decided (directional ~a.is_probe join
+    mirrors the base-only registry)."""
+    f = _mp_filter(spark, workdir, "reg", n_probes=1)
+    batch = spark.createDataFrame(
+        [(1, V1), (2, V2)], "doc_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    adm, rej, _ = f.process_batch(batch, 0)
+    assert {r.doc_id for r in adm.collect()} == {1}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}
+
+
+def test_multiprobe_replay_and_rejected_redelivery(spark, workdir):
+    """Redelivered admitted doc classifies as replay (base self-hit, cos=1);
+    a redelivered rejected doc is rejected again with the same blame."""
+    f = _mp_filter(spark, workdir, "reg", n_probes=1)
+    batch = spark.createDataFrame(
+        [(1, V1), (2, V2)], "doc_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    f.process_batch(batch, 0)
+    adm, rej, rep = f.process_batch(batch, 1)
+    assert adm.count() == 0
+    assert {r.doc_id for r in rep.collect()} == {1}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}

@@ -31,7 +31,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.mark.parametrize(
     "scenario",
     ["sessionize", "sliding", "dedup", "delayed", "soak", "compact", "neardup",
-     "embdedup", "frontdoor"],
+     "embdedup", "frontdoor", "embrecall", "bigtrigger", "requeue"],
 )
 def test_streaming_scenario_at_scale(spark, scenario):
     import tools_streaming_scale as tss

@@ -74,9 +74,11 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term sum routes through DECIMAL(24,12) so the ranking is
     partial-agg-order-proof (ties broken by term).
 
-    Scale: two map-side-combined groupBys over the exploded token stream
-    plus broadcast joins of the |docs| length table and |vocab| df table.
-    §2.B [NS].
+    Scale: two map-side-combined groupBys over the exploded token stream;
+    the |docs| length join shuffles on doc_id and the |vocab| df join on
+    term — both sides data-scaled, so neither carries a broadcast hint
+    (AQE promotes them at small SFs; sort-merge is correct at corpus
+    scale). §2.B [NS].
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
@@ -105,7 +107,11 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        # no hint on the |vocab|-sized df side: vocabulary is data-scaled
+        # (Heaps' law — the r5-verdict token-class audit rule); AQE still
+        # broadcasts it at every tested SF, and at 100 TB the term-keyed
+        # sort-merge join is the correct plan
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .select("term", sc.alias("sc"))
     )

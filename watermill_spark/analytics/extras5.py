@@ -246,7 +246,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on term for a total order.
 
     Scale: tf and df are two partial-aggregated group-bys over the exploded
-    token stream; df (|vocabulary| rows) broadcasts back onto tf; the final
+    token stream; the tf⨝df join on term carries NO broadcast hint —
+    |vocabulary| is data-scaled (Heaps' law plus junk strings: 1e8+ distinct
+    [a-z]+ terms at web-corpus size), so the hint the r5 audit's bounded-
+    class heuristic let through was removed (r5 verdict item 2) and AQE
+    decides from actual sizes (still a broadcast at every tested SF; a
+    vocabulary-partitioned sort-merge join at 100 TB, which is the correct
+    plan there — or cap the build side by df like q_tfidf_cosine_pairs_capped
+    when a bounded vocabulary is acceptable). The final
     top-k is a WindowGroupLimit, keeping 5 rows per language per partition
     before the shuffle. No pre-shuffle fan-out (spread): regex tokenization
     is cheap relative to a corpus shuffle, and on a real multi-file corpus
@@ -263,7 +270,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
     n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n1))
         .withColumn(
             "score",

@@ -380,11 +380,129 @@ def sql_hyperplane_bands(n_tables: int = N_TABLES, n_bits: int | str = N_BAND_BI
       CAST(r.t AS INTEGER) AS band_idx,
       CAST(list_sum(list_transform(range(0,{n_bits}), b ->
         CASE WHEN embedding[CAST((r.t*{_P1} + b*{_P2}) % len(embedding) AS INT) + 1] >= 0
-        THEN (1 << b) ELSE 0 END)) AS BIGINT) AS band_key
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS band_key
     """
 
 
 EMB_DEDUP_TAU = 0.40  # corpus-calibrated: matches q_dedup_embedding_cosine
+
+#: single-bit multiprobe fan-out: per table, also probe the n buckets
+#: reached by flipping one of the n lowest-|margin| sign bits (the bits a
+#: true near-neighbor is most likely to disagree on). Candidate volume
+#: grows ×(1+n) on the probing side; per-table collision probability for
+#: a pair with per-bit agreement p rises from p^nb toward
+#: p^nb + n·p^(nb-1)(1-p) — the standard first-order multiprobe recovery
+#: for the recall that adaptive nb growth costs (r5 verdict item 1).
+N_PROBES = 2
+
+
+def hyperplane_bands_multiprobe(
+    emb: Column,
+    n_tables: int = N_TABLES,
+    n_bits: int | Column = N_BAND_BITS,
+    n_probes: int = N_PROBES,
+) -> Column:
+    """array<struct<band_idx int, band_key long, is_probe boolean>> — the
+    multiprobe extension of `hyperplane_bands`: per table, the base packed
+    sign-bit key (is_probe=false) plus ``n_probes`` probe keys
+    (is_probe=true), each flipping ONE of the lowest-|margin| bits, where a
+    bit's margin is |emb[d(t,b)]| — the stored coordinate the sign test
+    reads, so the bits nearest zero are the ones a true near-neighbor most
+    likely flips (Lv et al., multi-probe LSH, VLDB'07, first-order probes).
+
+    The candidate relation is DIRECTIONAL by construction: a pair collides
+    when the PROBING side's base-or-probe key equals the other side's BASE
+    key — the registry/owner side stays base-only, so a persistent bucket
+    registry keeps its exact size while the query side pays the ×(1+n)
+    fan-out. Under id-ordered arrival the probing side is always the
+    larger id, which keeps the streaming filter's slicing-invariance
+    contract intact (`streaming/dedup.py`).
+
+    Margin ties break by bit index — both engines sort (|margin|, b)
+    structs lexicographically, so probe choice is deterministic and
+    cross-engine identical (no arithmetic before |·| of a stored value).
+    Same pure-JVM higher-order-expression cost model as the base banding:
+    one narrow map, no UDF, no shuffle.
+    """
+    nb = F.lit(n_bits).cast("long") if isinstance(n_bits, int) else n_bits.cast("long")
+    dim = F.size(emb).cast("long")
+
+    def val(t: Column, b: Column) -> Column:
+        d = (t.cast("long") * _P1 + b.cast("long") * _P2) % dim
+        return F.element_at(emb, (d + 1).cast("int"))
+
+    def base_key(t: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), (nb - 1).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(val(t, b) >= 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    def probe_bits(t: Column) -> Column:
+        margins = F.transform(
+            F.sequence(F.lit(0), (nb - 1).cast("int")),
+            lambda b: F.struct(
+                F.abs(val(t, b)).alias("m"), b.cast("int").alias("b")
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(margins), 1, n_probes), lambda s: s["b"]
+        )
+
+    def per_table(t: Column) -> Column:
+        key = base_key(t)
+        base = F.array(
+            F.struct(
+                t.cast("int").alias("band_idx"),
+                key.alias("band_key"),
+                F.lit(False).alias("is_probe"),
+            )
+        )
+        probes = F.transform(
+            probe_bits(t),
+            lambda b: F.struct(
+                t.cast("int").alias("band_idx"),
+                key.bitwiseXOR(F.pow(F.lit(2.0), b).cast("long")).alias(
+                    "band_key"
+                ),
+                F.lit(True).alias("is_probe"),
+            ),
+        )
+        return F.concat(base, probes)
+
+    return F.flatten(
+        F.transform(F.sequence(F.lit(0), F.lit(n_tables - 1)), per_table)
+    )
+
+
+def sql_hyperplane_bands_multiprobe(
+    n_tables: int = N_TABLES,
+    n_bits: int | str = N_BAND_BITS,
+    n_probes: int = N_PROBES,
+) -> str:
+    """DuckDB mirror of `hyperplane_bands_multiprobe` as a lateral-join
+    fragment (given ``range(0,{n_tables}) r(t)``): emits one
+    {'band_key','is_probe'} struct list per (row, t) — unnest it to get
+    (band_idx, band) rows. Generated from the same constants as the Spark
+    side so the engines cannot drift."""
+    base = f"""CAST(list_sum(list_transform(range(0,{n_bits}), b ->
+        CASE WHEN embedding[CAST((r.t*{_P1} + b*{_P2}) % len(embedding) AS INT) + 1] >= 0
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"""
+    probe_bits = f"""list_transform(list_slice(list_sort(
+        list_transform(range(0,{n_bits}), b ->
+          {{'m': abs(embedding[CAST((r.t*{_P1} + b*{_P2}) % len(embedding) AS INT) + 1]),
+            'b': b}})), 1, {n_probes}), s -> s.b)"""
+    return f"""
+      CAST(r.t AS INTEGER) AS band_idx,
+      list_concat(
+        [{{'band_key': {base}, 'is_probe': false}}],
+        list_transform({probe_bits}, pb ->
+          {{'band_key': xor({base}, (CAST(1 AS BIGINT) << pb)), 'is_probe': true}})
+      ) AS bands
+    """
 
 #: adaptive band width: expected bucket occupancy n/2^nb stays O(1) at any
 #: corpus size, so the band self-join's candidate volume is O(n · tables),
@@ -392,12 +510,16 @@ EMB_DEDUP_TAU = 0.40  # corpus-calibrated: matches q_dedup_embedding_cosine
 #: decaying as the corpus grows (p_agree^nb per table) — the fundamental
 #: LSH trade; production pins nb to the target corpus size and raises the
 #: threshold in step. Both engines derive nb from the same COUNT, so
-#: parity is exact at every SF.
-_SQL_NB = "GREATEST(4, CAST(ceil(log2(count(*))) AS INT))"
+#: parity is exact at every SF. Capped at 62 so the packed sign-bit key
+#: never shifts past BIGINT (1 << b with b <= 61); past 2^62 rows the key
+#: saturates instead of overflowing — both engines apply the same cap.
+_SQL_NB = "LEAST(62, GREATEST(4, CAST(ceil(log2(count(*))) AS INT)))"
 
 
 def _nb_col() -> Column:
-    return F.greatest(F.lit(4), F.ceil(F.log2(F.count(F.lit(1))))).cast("int")
+    return F.least(
+        F.lit(62), F.greatest(F.lit(4), F.ceil(F.log2(F.count(F.lit(1)))))
+    ).cast("int")
 
 
 @register(
@@ -483,4 +605,291 @@ def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", sim.alias("sim"))
         .filter(F.col("sim") >= EMB_DEDUP_TAU)
         .orderBy(F.desc("sim"), "a_id", "b_id")
+    )
+
+
+def _sql_band_strings(col: str, nb: str, n_probes: int) -> str:
+    """DuckDB scalar fragment: the full 'band_idx:band_key' string list of
+    one vector expression ``col`` (all N_TABLES tables in one nested
+    expression — no lateral join needed), base keys only at n_probes=0,
+    base+probe keys otherwise. Generated from the same constants as the
+    Spark side (`hyperplane_bands_multiprobe`) so the engines cannot
+    drift."""
+    base = (
+        f"CAST(list_sum(list_transform(range(0,{nb}), b -> "
+        f"CASE WHEN {col}[CAST((t*{_P1} + b*{_P2}) % len({col}) AS INT) + 1] >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"
+    )
+    base_str = f"CAST(t AS VARCHAR) || ':' || CAST({base} AS VARCHAR)"
+    if n_probes == 0:
+        return f"list_transform(range(0,{N_TABLES}), t -> {base_str})"
+    pbits = (
+        f"list_transform(list_slice(list_sort(list_transform(range(0,{nb}), b -> "
+        f"{{'m': abs({col}[CAST((t*{_P1} + b*{_P2}) % len({col}) AS INT) + 1]), "
+        f"'b': b}})), 1, {n_probes}), s -> s.b)"
+    )
+    return (
+        f"flatten(list_transform(range(0,{N_TABLES}), t -> list_concat("
+        f"[{base_str}], "
+        f"list_transform({pbits}, pb -> CAST(t AS VARCHAR) || ':' || "
+        f"CAST(xor({base}, (CAST(1 AS BIGINT) << pb)) AS VARCHAR)))))"
+    )
+
+
+def _band_strings(vec: Column, nb: Column, n_probes: int) -> Column:
+    """Spark twin of `_sql_band_strings`: 'band_idx:band_key' strings."""
+    arr = (
+        hyperplane_bands_multiprobe(vec, N_TABLES, nb, n_probes)
+        if n_probes
+        else hyperplane_bands(vec, N_TABLES, nb)
+    )
+    return F.transform(
+        arr,
+        lambda s: F.concat_ws(
+            ":", s["band_idx"].cast("string"), s["band_key"].cast("string")
+        ),
+    )
+
+
+@register(
+    "q_dedup_embedding_lsh_multiprobe_pairs",
+    oracle=f"""
+    WITH p AS (SELECT {_SQL_NB} AS nb FROM embeddings),
+    bands AS (
+      SELECT vec_id, band_idx, u.band_key AS band_key, u.is_probe AS is_probe
+      FROM (
+        SELECT vec_id, band_idx, unnest(bands) AS u FROM (
+          SELECT vec_id, {sql_hyperplane_bands_multiprobe(n_bits="p.nb")}
+          FROM embeddings, p, range(0,{N_TABLES}) r(t)))),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id AND NOT a.is_probe)
+    SELECT a_id, b_id,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = a_id
+    JOIN embeddings eb ON eb.vec_id = b_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= {EMB_DEDUP_TAU}
+    ORDER BY sim DESC, a_id, b_id
+    """,
+)
+def q_dedup_embedding_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_dedup_embedding_lsh_pairs` with single-bit multiprobe candidates
+    (r5 verdict item 1): a pair (a < b) is a candidate when b's base OR
+    probe key equals a's BASE key in some table — the directional relation
+    the streaming filter's base-only registry implements, so this query's
+    DuckDB parity pins the exact candidate family
+    `StreamingEmbeddingDedupFilter(n_probes>0)` trusts.
+
+    Plan at 100 TB: identical shape to the base query — the banding map
+    emits (1+{N_PROBES})× rows per vector and the band self-join gains the
+    cheap NOT is_probe predicate; candidate volume stays O(n·tables·
+    probes) because adaptive nb keeps per-bucket occupancy O(1). What the
+    probes buy is measured, not asserted: see
+    q_embedding_lsh_recall_calibration.
+    """
+    tune_session(spark)
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    p = emb.agg(_nb_col().alias("nb"))
+    bands = (
+        emb.crossJoin(p)
+        .select(
+            "vec_id",
+            F.explode(
+                hyperplane_bands_multiprobe(
+                    F.col("embedding").cast("array<double>"),
+                    N_TABLES,
+                    F.col("nb"),
+                    N_PROBES,
+                )
+            ).alias("band"),
+        )
+        .select(
+            "vec_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+            F.col("band.is_probe").alias("is_probe"),
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (~F.col("a.is_probe")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").cast("array<double>").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").cast("array<double>").alias("b_emb"))
+    sim = F.round(cosine("a_emb", "b_emb"), 6)
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= EMB_DEDUP_TAU)
+        .orderBy(F.desc("sim"), "a_id", "b_id")
+    )
+
+
+#: recall-calibration grid: production SemDeDup-style thresholds
+CAL_TAUS = (0.70, 0.80, 0.90)
+#: blend weights for the planted near-dups: p = v + w*m with a decorrelated
+#: mixer m gives cos(v, p) ≈ 1/sqrt(1+w^2) ≈ 0.94 / 0.82 / 0.64 — a spread
+#: bracketing the tau grid so every threshold bucket is populated
+CAL_WEIGHTS = (0.35, 0.70, 1.20)
+
+_CAL_W_SQL = (
+    "(CASE CAST(v.vec_id % 3 AS INT) WHEN 0 THEN CAST(0.35 AS DOUBLE) "
+    "WHEN 1 THEN CAST(0.70 AS DOUBLE) ELSE CAST(1.20 AS DOUBLE) END)"
+)
+
+
+@register(
+    "q_embedding_lsh_recall_calibration",
+    oracle=f"""
+    WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n, {_SQL_NB} AS nb
+               FROM embeddings),
+    planted AS (
+      SELECT CAST(v.embedding AS DOUBLE[]) AS v_emb,
+             list_transform(range(1, len(v.embedding)+1), d ->
+               CAST(v.embedding[d] AS DOUBLE)
+               + {_CAL_W_SQL} * CAST(m.embedding[d] AS DOUBLE)) AS p_emb,
+             p.nb AS nb
+      FROM embeddings v, p
+      JOIN embeddings m ON m.vec_id = (v.vec_id + 17) % p.n),
+    scored AS (
+      SELECT round(list_cosine_similarity(v_emb, p_emb), 6) AS sim,
+             list_has_any({_sql_band_strings("v_emb", "nb", 0)},
+                          {_sql_band_strings("p_emb", "nb", 0)}) AS base_hit,
+             list_has_any({_sql_band_strings("v_emb", "nb", 0)},
+                          {_sql_band_strings("p_emb", "nb", N_PROBES)})
+               AS multi_hit
+      FROM planted)
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS true_pairs,
+           CAST(sum(CASE WHEN base_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS base_found,
+           CAST(sum(CASE WHEN multi_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS multiprobe_found,
+           round(sum(CASE WHEN base_hit THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS base_recall,
+           round(sum(CASE WHEN multi_hit THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS multiprobe_recall
+    FROM scored,
+         unnest([CAST(0.70 AS DOUBLE), CAST(0.80 AS DOUBLE),
+                 CAST(0.90 AS DOUBLE)]) t(tau)
+    WHERE sim >= tau
+    GROUP BY tau ORDER BY tau
+    """,
+)
+def q_embedding_lsh_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall calibration on a planted known-similarity corpus (r5
+    verdict item 1): SCALE.md's "recall decays as nb tracks the corpus"
+    becomes a DIAL measured per corpus size instead of a surprise.
+
+    Each corpus vector v gets one planted near-dup p = v + w·m (m a
+    decorrelated mixer — the vector 17 ids away; w cycles 0.35/0.70/1.20 by
+    vec_id, giving exact cosines spread ≈0.64–0.99 that bracket the
+    production tau grid 0.7/0.8/0.9). For every threshold: how many planted
+    pairs are TRUE near-dups at that tau, and how many of those the
+    adaptive-width banding would CANDIDATE — base keys only vs single-bit
+    multiprobe (`hyperplane_bands_multiprobe`). Recall is the candidate-
+    stage hit rate; the cosine verify stage downstream is exact, so this IS
+    the end-to-end recall of the LSH dedup family at this corpus scale.
+
+    Plan at 100 TB: zero joins beyond the 1-row (n, nb) broadcast and the
+    narrow mixer equi-join — each planted pair lives in ONE row where both
+    band lists are computed and compared (arrays_overlap), so cost is
+    O(n·tables·nb) with no quadratic stage and no quarantine needed; the
+    taus explode a 3-element literal array. At any SF this query runs in
+    one pass over the corpus.
+    """
+    tune_session(spark)
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    p = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), _nb_col().alias("nb")
+    )
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v_emb")
+    )
+    m = emb.select(
+        F.col("vec_id").alias("m_id"),
+        F.col("embedding").cast("array<double>").alias("m_emb"),
+    )
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in CAL_WEIGHTS]),
+        (F.col("vec_id") % 3 + 1).cast("int"),
+    )
+    nb = F.col("nb")
+    planted = (
+        v.crossJoin(p)
+        .join(m, F.col("m_id") == (F.col("vec_id") + 17) % F.col("n"))
+        .withColumn("p_emb", F.zip_with("v_emb", "m_emb", lambda x, y: x + w * y))
+    )
+    scored = planted.select(
+        F.round(cosine("v_emb", "p_emb"), 6).alias("sim"),
+        F.arrays_overlap(
+            _band_strings(F.col("v_emb"), nb, 0),
+            _band_strings(F.col("p_emb"), nb, 0),
+        ).alias("base_hit"),
+        F.arrays_overlap(
+            _band_strings(F.col("v_emb"), nb, 0),
+            _band_strings(F.col("p_emb"), nb, N_PROBES),
+        ).alias("multi_hit"),
+    )
+    # one conditional aggregate per (tau, counter) instead of exploding the
+    # tau grid BEFORE aggregation: the interpreted banding expressions are
+    # evaluated once per row (an explode-then-group would re-evaluate them
+    # per tau copy under projection collapse — measured OVER_BUDGET at sf5),
+    # and the only exchange left is the 1-row global agg
+    aggs = []
+    for i, t in enumerate(CAL_TAUS):
+        c = F.col("sim") >= t
+        aggs += [
+            F.sum(c.cast("long")).alias(f"tp{i}"),
+            F.sum((c & F.col("base_hit")).cast("long")).alias(f"bf{i}"),
+            F.sum((c & F.col("multi_hit")).cast("long")).alias(f"mf{i}"),
+        ]
+    one = scored.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("tau"),
+                        F.col(f"tp{i}").cast("bigint").alias("true_pairs"),
+                        F.col(f"bf{i}").cast("bigint").alias("base_found"),
+                        F.col(f"mf{i}").cast("bigint").alias("multiprobe_found"),
+                    )
+                    for i, t in enumerate(CAL_TAUS)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        rows.filter(F.col("true_pairs") > 0)
+        .select(
+            "tau",
+            "true_pairs",
+            "base_found",
+            "multiprobe_found",
+            F.round(
+                F.col("base_found") / F.col("true_pairs").cast("double"), 6
+            ).alias("base_recall"),
+            F.round(
+                F.col("multiprobe_found") / F.col("true_pairs").cast("double"), 6
+            ).alias("multiprobe_recall"),
+        )
+        .orderBy("tau")
     )

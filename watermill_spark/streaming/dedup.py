@@ -93,6 +93,153 @@ REGISTRY_SCHEMA = StructType(
 #: that blocked them (min such owner when several buckets block).
 DUP_OF = "_watermill_near_dup_of"
 
+#: max rows the fixpoint's max_rounds escape hatch may collect to the
+#: driver. The hatch is bounded by the micro-batch by construction, but an
+#: adversarial conflict chain at a large trigger size could still
+#: materialize that whole batch's residue driver-side — past this cap the
+#: filter fails LOUDLY with sizing guidance instead of risking a driver
+#: OOM (round-5 verdict item 6 / ADVICE).
+RESIDUE_CAP = 100_000
+
+
+class ResidueCapExceeded(RuntimeError):
+    """The max_rounds escape hatch's driver-side residue exceeds the cap.
+
+    Raised instead of collecting an unbounded residue. Remedies, in order:
+    lower the micro-batch size (``max_files_per_trigger`` /
+    ``maxOffsetsPerTrigger``) so fewer mutually-conflicting docs share one
+    batch; raise ``max_rounds`` so the distributed fixpoint decides more of
+    the chain before the hatch fires; or raise ``residue_cap`` if the
+    driver genuinely has the memory.
+    """
+
+    def __init__(self, kind: str, rows: int, cap: int):
+        super().__init__(
+            f"{kind} fixpoint residue of {rows} rows exceeds "
+            f"residue_cap={cap}: refusing the driver-side sequential "
+            "finish. Lower the trigger size (fewer conflicting docs per "
+            "micro-batch), raise max_rounds (decide more of the chain "
+            "distributed), or raise residue_cap."
+        )
+        self.rows = rows
+        self.cap = cap
+
+
+class RegistryLockedError(RuntimeError):
+    """Another live writer holds this registry's lease (attach refused)."""
+
+
+class RegistryLeaseLost(RuntimeError):
+    """This writer's lease was stolen (its heartbeat went stale past the
+    TTL and another writer took over) — it must stop writing NOW."""
+
+
+class RegistryLease:
+    """Single-writer lease for a dedup-registry directory (r5 verdict
+    item 3).
+
+    The registries' replay idempotence (batch-keyed overwrite) assumes ONE
+    attached stream per registry dir: two routers ingesting into the same
+    registry could each admit a near-dup of the other's in-flight doc in
+    the same instant (no coordination), and their ``batch=N`` subdirs
+    would collide. This lease makes the contract ENFORCED instead of
+    assumed: ``attach()`` acquires it (the second attach fails loudly with
+    :class:`RegistryLockedError` — the reference analog is consumer-group
+    exclusivity, `pubsub/tests/test_pubsub.go:817-842`), every micro-batch
+    re-verifies ownership and heartbeats, and a writer that died is taken
+    over after ``ttl`` seconds of heartbeat silence.
+
+    Fencing honesty: the per-batch verify is checked at batch START, so a
+    batch that runs longer than ``ttl`` could overlap a takeover — size
+    ttl well above the worst batch duration (default 300 s vs seconds-
+    scale batches). On a real deployment the registry is a Delta/Iceberg
+    table whose optimistic-concurrency commit plays this role with true
+    storage-level fencing; a filesystem lease is the single-node analog,
+    same stance as the parquet-vs-table registry itself.
+    """
+
+    FILE = "_lease.json"
+
+    def __init__(self, registry_dir: str, owner: str | None = None, ttl: float = 300.0):
+        import uuid
+
+        self.registry_dir = registry_dir
+        self.owner = owner or uuid.uuid4().hex
+        self.ttl = ttl
+        self.path = os.path.join(registry_dir, self.FILE)
+        self.held = False
+
+    def _read_owner(self) -> str | None:
+        import json
+
+        try:
+            with open(self.path) as fh:
+                return json.load(fh).get("owner")
+        except (OSError, ValueError):
+            return None
+
+    def acquire(self) -> "RegistryLease":
+        import json
+        import time
+
+        os.makedirs(self.registry_dir, exist_ok=True)
+        payload = json.dumps({"owner": self.owner}).encode()
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            self.held = True
+            return self
+        except FileExistsError:
+            pass
+        # existing lease: live -> refuse; stale (no heartbeat for ttl) ->
+        # steal via atomic replace, then re-read to see who won the race
+        try:
+            age = time.time() - os.path.getmtime(self.path)
+        except OSError:
+            return self.acquire()  # vanished between exists and stat
+        cur = self._read_owner()
+        if age <= self.ttl:
+            raise RegistryLockedError(
+                f"registry {self.registry_dir} is held by writer "
+                f"{cur!r} (heartbeat {age:.1f}s ago, ttl {self.ttl}s): "
+                "one attached stream per registry — release_lease() the "
+                "other writer or wait out its ttl"
+            )
+        tmp = self.path + f".{self.owner}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, self.path)
+        if self._read_owner() != self.owner:  # a rival stealer won
+            raise RegistryLockedError(
+                f"registry {self.registry_dir} takeover lost to "
+                f"{self._read_owner()!r}"
+            )
+        self.held = True
+        return self
+
+    def verify_and_heartbeat(self) -> None:
+        if not self.held:
+            raise RegistryLeaseLost(
+                f"registry {self.registry_dir}: lease not held"
+            )
+        if self._read_owner() != self.owner:
+            self.held = False
+            raise RegistryLeaseLost(
+                f"registry {self.registry_dir}: lease stolen by "
+                f"{self._read_owner()!r} (our heartbeat went stale past "
+                f"ttl={self.ttl}s) — this writer must stop"
+            )
+        os.utime(self.path)
+
+    def release(self) -> None:
+        if self.held and self._read_owner() == self.owner:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+        self.held = False
+
 
 class StreamingNearDupFilter:
     """MinHash-LSH near-duplicate filter with a persistent bucket registry.
@@ -118,18 +265,35 @@ class StreamingNearDupFilter:
         n_hashes: int = N_HASHES,
         band_size: int = BAND_SIZE,
         max_rounds: int = 64,
+        residue_cap: int = RESIDUE_CAP,
     ):
         self.spark = spark
         self.registry_dir = registry_dir
         self.n_hashes = n_hashes
         self.band_size = band_size
         self.max_rounds = max_rounds
+        self.residue_cap = residue_cap
         #: fixpoint rounds of the most recent process_batch (introspection
         #: for tests/metrics; 0 = no in-batch conflicts).
         self.last_rounds = 0
         os.makedirs(registry_dir, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
+
+    def _batch_dirname(self, batch_id: int) -> str:
+        """Registry subdir for one micro-batch, namespaced by the WRITER
+        when attached (``batch=<ns>-<id>``, ns = stable hash of the
+        checkpoint dir): two sequential routers with fresh checkpoints
+        both start at batch 0, and un-namespaced dirs would make the
+        successor's append OVERWRITE the predecessor's ``batch=0`` and its
+        own-batch exclusion HIDE the predecessor's admissions (double-
+        admit + lost admissions — found by the r6 lease handoff test).
+        The ns derives from the checkpoint dir, not the lease owner, so a
+        crash-restarted stream (same checkpoint, same batch_id) still
+        excludes exactly its own previous write. Direct `process_batch`
+        callers (batch mode) keep the plain ``batch=<id>`` names."""
+        ns = getattr(self, "writer_ns", None)
+        return f"batch={ns}-{batch_id}" if ns else f"batch={batch_id}"
 
     def registry(self, exclude_batch: int | None = None) -> DataFrame:
         """Registered (band_idx, band_key, owner) rows from COMMITTED batch
@@ -143,7 +307,7 @@ class StreamingNearDupFilter:
         an empty set, and erase them from the registry (found in review;
         pinned by test_crash_replay_same_batch_id).
         """
-        skip = None if exclude_batch is None else f"batch={exclude_batch}"
+        skip = None if exclude_batch is None else self._batch_dirname(exclude_batch)
         paths = []
         for d in sorted(os.listdir(self.registry_dir)):
             full = os.path.join(self.registry_dir, d)
@@ -204,7 +368,7 @@ class StreamingNearDupFilter:
         # Overwrite of a batch-keyed subdir is idempotent under replay
         # BECAUSE the re-derivation never read this subdir (see registry):
         # same prefix state in, same rows out.
-        out = os.path.join(self.registry_dir, f"batch={batch_id}")
+        out = os.path.join(self.registry_dir, self._batch_dirname(batch_id))
         rows.select("band_idx", "band_key", "owner").write.mode(
             "overwrite"
         ).parquet(out)
@@ -277,7 +441,13 @@ class StreamingNearDupFilter:
                 # replay). The undecided residue conflicts only among
                 # itself at this point, so finish it with an EXACT
                 # driver-side sequential greedy pass over that residue —
-                # same result, bounded by the micro-batch size.
+                # same result, bounded by the micro-batch size AND by
+                # residue_cap (counted BEFORE collecting — driver-OOM guard).
+                n_residue = undecided.count()
+                if n_residue > self.residue_cap:
+                    raise ResidueCapExceeded(
+                        "near-dup", n_residue, self.residue_cap
+                    )
                 adm_ids, rej_ids = _sequential_greedy_buckets(undecided)
                 admitted_parts.append(
                     self.spark.createDataFrame(
@@ -371,6 +541,7 @@ class StreamingNearDupFilter:
         checkpoint_dir: str,
         trigger_available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        lease_ttl: float = 300.0,
     ):
         """Wire the filter between transport topics: messages on `in_topic`
         (payload = utf-8 document text, metadata["doc_id"] = long) are
@@ -378,6 +549,12 @@ class StreamingNearDupFilter:
         ``DUP_OF`` metadata stamp; identity-less messages (missing or
         non-numeric doc_id) pass through to `out_topic` un-registered —
         the gate never silently drops. Returns the StreamingQuery.
+
+        Acquires the registry's single-writer lease (see
+        :class:`RegistryLease`): a second attach on the same registry dir
+        raises :class:`RegistryLockedError` until this writer calls
+        :meth:`release_lease` or stops heartbeating for ``lease_ttl``
+        seconds.
         """
 
         def decode(keyed: DataFrame) -> DataFrame:
@@ -391,8 +568,15 @@ class StreamingNearDupFilter:
         return _attach_filter(
             self, pubsub, in_topic, out_topic, dup_topic, checkpoint_dir,
             decode, "commits-neardup", trigger_available_now,
-            max_files_per_trigger,
+            max_files_per_trigger, lease_ttl,
         )
+
+    def release_lease(self) -> None:
+        """Release the attach-time registry lease (graceful handoff after
+        the StreamingQuery terminates)."""
+        lease = getattr(self, "_lease", None)
+        if lease is not None:
+            lease.release()
 
 
 def _attach_filter(
@@ -406,6 +590,7 @@ def _attach_filter(
     commit_subdir: str,
     trigger_available_now: bool,
     max_files_per_trigger: int | None,
+    lease_ttl: float = 300.0,
 ):
     """Shared transport wiring for both dedup filters: batch → doc frame
     via ``decode(keyed)``, process, split admitted/rejected back onto the
@@ -414,8 +599,23 @@ def _attach_filter(
     `out_topic` unchanged and unregistered (the no-loss contract: silently
     dropping them on the inner joins was a reviewed bug)."""
     commit_dir = os.path.join(checkpoint_dir, commit_subdir)
+    # single-writer contract, enforced: the second attach on this registry
+    # dir fails with RegistryLockedError; each batch re-verifies ownership
+    # (fencing against post-TTL takeover) and heartbeats
+    lease = RegistryLease(filt.registry_dir, ttl=lease_ttl).acquire()
+    filt._lease = lease
+    # namespace this writer's registry batch subdirs by its checkpoint
+    # identity: stable across crash-restarts (replay exclusion still finds
+    # its own previous write), distinct across writers (a successor with a
+    # fresh checkpoint can never overwrite or hide a predecessor's batches)
+    import hashlib
+
+    filt.writer_ns = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
 
     def work(batch_df: DataFrame, batch_id: int) -> None:
+        lease.verify_and_heartbeat()
         msgs = batch_df.localCheckpoint()
         # try_cast: a non-numeric doc_id is identity-less, not a batch
         # error (ANSI cast would throw and poison-loop the stream)
@@ -585,6 +785,8 @@ class StreamingEmbeddingDedupFilter:
         n_tables: int | None = None,
         n_bits: int | None = None,
         max_rounds: int = 64,
+        residue_cap: int = RESIDUE_CAP,
+        n_probes: int = 0,
     ):
         from watermill_spark.analytics.similarity import (
             EMB_DEDUP_TAU,
@@ -598,13 +800,17 @@ class StreamingEmbeddingDedupFilter:
         self.n_tables = N_TABLES if n_tables is None else n_tables
         self.n_bits = N_BAND_BITS if n_bits is None else n_bits
         self.max_rounds = max_rounds
+        self.residue_cap = residue_cap
+        self.n_probes = n_probes
         self.last_rounds = 0
         os.makedirs(registry_dir, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
 
+    _batch_dirname = StreamingNearDupFilter._batch_dirname
+
     def _committed_dirs(self, exclude_batch: int | None = None) -> list[str]:
-        skip = None if exclude_batch is None else f"batch={exclude_batch}"
+        skip = None if exclude_batch is None else self._batch_dirname(exclude_batch)
         out = []
         for d in sorted(os.listdir(self.registry_dir)):
             full = os.path.join(self.registry_dir, d)
@@ -683,6 +889,10 @@ class StreamingEmbeddingDedupFilter:
         ``attach`` routes identity-less messages as pass-through."""
         from watermill_spark.analytics.similarity import cosine, hyperplane_bands
 
+        from watermill_spark.analytics.similarity import (
+            hyperplane_bands_multiprobe,
+        )
+
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("embedding").cast("array<double>").alias("emb"),
@@ -693,6 +903,23 @@ class StreamingEmbeddingDedupFilter:
         # (cos(self,self)=1) and make redeliveries re-register forever
         # (reviewed bug); directionless inputs carry no semantic identity
         # to dedup by, the same stance as null text in the text twin.
+        #
+        # n_probes > 0 widens the CANDIDATE side with single-bit multiprobe
+        # keys (flip the n lowest-|margin| sign bits — the recall recovery
+        # measured by q_embedding_lsh_recall_calibration). The relation is
+        # directional by design: a doc's base-or-probe keys are matched
+        # against OWNERS' BASE keys only (the registry stays base-only, so
+        # its size is unchanged), and under id-ordered arrival the probing
+        # side is always the larger id — which is exactly what the in-batch
+        # pair join's `~a.is_probe` restriction reproduces, keeping the
+        # slicing-invariance contract intact.
+        band_arr = (
+            hyperplane_bands_multiprobe(
+                F.col("emb"), self.n_tables, self.n_bits, self.n_probes
+            )
+            if self.n_probes
+            else hyperplane_bands(F.col("emb"), self.n_tables, self.n_bits)
+        )
         banded = (
             docs.filter(
                 F.coalesce(
@@ -701,16 +928,14 @@ class StreamingEmbeddingDedupFilter:
                     F.lit(False),
                 )
             )
-            .select(
-                "doc_id",
-                F.explode(
-                    hyperplane_bands(F.col("emb"), self.n_tables, self.n_bits)
-                ).alias("band"),
-            )
+            .select("doc_id", F.explode(band_arr).alias("band"))
             .select(
                 "doc_id",
                 F.col("band.band_idx").alias("band_idx"),
                 F.col("band.band_key").alias("band_key"),
+                (
+                    F.col("band.is_probe") if self.n_probes else F.lit(False)
+                ).alias("is_probe"),
             )
             .localCheckpoint()
         )
@@ -757,21 +982,31 @@ class StreamingEmbeddingDedupFilter:
             .join(hits.select("doc_id"), "doc_id", "left_anti")
             .localCheckpoint()
         )
+        # Semi-join to undecided BEFORE the band self-join (ADVICE r5): the
+        # DISTINCT between pairs and the undecided restriction blocked join
+        # pushdown, so the quadratic self-join ran at full batch size even
+        # when stage-1 registry hits had already decided nearly everything
+        # (the common redelivery-heavy case). Restricting the banding rows
+        # first is equivalent (both endpoints must be undecided) and prunes
+        # the quadratic stage to the undecided subset.
+        und_banded = banded.join(undecided, "doc_id", "left_semi").localCheckpoint()
         pairs = (
-            banded.alias("a")
+            und_banded.alias("a")
             .join(
-                banded.alias("b"),
+                und_banded.alias("b"),
                 (F.col("a.band_idx") == F.col("b.band_idx"))
                 & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                # directional multiprobe: the smaller id plays the OWNER
+                # role, so only its BASE keys count — mirroring the
+                # base-only registry (no-op when n_probes == 0)
+                & (~F.col("a.is_probe")),
             )
             .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
             .distinct()
         )
         edges = (
-            pairs.join(undecided.select(F.col("doc_id").alias("a")), "a")
-            .join(undecided.select(F.col("doc_id").alias("b")), "b")
-            .join(docs.select(F.col("doc_id").alias("a"), "emb"), "a")
+            pairs.join(docs.select(F.col("doc_id").alias("a"), "emb"), "a")
             .join(
                 docs.select(F.col("doc_id").alias("b"), F.col("emb").alias("owner_emb")),
                 "b",
@@ -797,7 +1032,13 @@ class StreamingEmbeddingDedupFilter:
                 # same escape hatch as the text twin: the residue's
                 # conflicts are all inside `edges` (external ones resolved
                 # in earlier rounds) — finish with the exact driver-side
-                # sequential pass instead of poison-looping the stream
+                # sequential pass instead of poison-looping the stream;
+                # both relations are counted before collecting (OOM guard)
+                n_residue = undecided.count() + edges.count()
+                if n_residue > self.residue_cap:
+                    raise ResidueCapExceeded(
+                        "embedding near-dup", n_residue, self.residue_cap
+                    )
                 adm_ids, rej_ids = _sequential_greedy_edges(undecided, edges)
                 admitted_parts.append(
                     self.spark.createDataFrame(
@@ -853,13 +1094,17 @@ class StreamingEmbeddingDedupFilter:
         )
         admitted = admitted_banded_ids.unionByName(bandless).localCheckpoint()
 
-        new_bands = banded.join(admitted_banded_ids, "doc_id", "inner").select(
-            "band_idx", "band_key", F.col("doc_id").alias("owner")
+        # only BASE keys are registered: the registry's size is independent
+        # of n_probes (probing is a query-side cost, never a state cost)
+        new_bands = (
+            banded.filter(~F.col("is_probe"))
+            .join(admitted_banded_ids, "doc_id", "inner")
+            .select("band_idx", "band_key", F.col("doc_id").alias("owner"))
         )
         new_vecs = docs.join(admitted_banded_ids, "doc_id", "inner").select(
             F.col("doc_id").alias("owner"), "emb"
         )
-        out = os.path.join(self.registry_dir, f"batch={batch_id}")
+        out = os.path.join(self.registry_dir, self._batch_dirname(batch_id))
         # vecs first: the committed-batch predicate requires BOTH parts, so
         # a crash between the writes leaves the batch invisible
         new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
@@ -896,6 +1141,7 @@ class StreamingEmbeddingDedupFilter:
         checkpoint_dir: str,
         trigger_available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        lease_ttl: float = 300.0,
     ):
         """Messages on `in_topic` (payload = utf-8 JSON array of doubles,
         metadata["doc_id"] = long) are admitted to `out_topic` or rejected
@@ -903,7 +1149,8 @@ class StreamingEmbeddingDedupFilter:
         messages pass through to `out_topic` un-registered. Same
         exactly-once pairing as the text filter: IdempotentBatchSink per
         batch, at-least-once topic publishes absorbed by a uuid-idempotent
-        consumer."""
+        consumer. Acquires the registry's single-writer lease exactly like
+        the text twin (see :class:`RegistryLease`)."""
 
         def decode(keyed: DataFrame) -> DataFrame:
             return keyed.select(
@@ -917,5 +1164,12 @@ class StreamingEmbeddingDedupFilter:
         return _attach_filter(
             self, pubsub, in_topic, out_topic, dup_topic, checkpoint_dir,
             decode, "commits-embdedup", trigger_available_now,
-            max_files_per_trigger,
+            max_files_per_trigger, lease_ttl,
         )
+
+    def release_lease(self) -> None:
+        """Release the attach-time registry lease (graceful handoff after
+        the StreamingQuery terminates)."""
+        lease = getattr(self, "_lease", None)
+        if lease is not None:
+            lease.release()
