@@ -90,8 +90,10 @@ def test_one_shot_matches_greedy_oracle(spark, workdir):
     assert got_adm == want_adm
     assert got_rej == want_rej
     assert rep.count() == 0
-    # the near-dup-saturated corpus must actually exercise in-batch chains
-    assert f.last_rounds >= 1
+    # the near-dup-saturated corpus must actually exercise in-batch
+    # conflicts — resolved by distributed rounds or the exact driver-side
+    # finisher (the hybrid added in r6), depending on residue size
+    assert f.last_rounds >= 1 or f.last_finish_rows > 0
 
 
 def test_microbatch_invariance(spark, workdir):
@@ -137,7 +139,18 @@ def test_rejected_doc_does_not_block_chain(spark, workdir):
     )
     assert {r.doc_id for r in adm.collect()} == {1, 3}
     assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}
-    assert f.last_rounds == 2  # round 1 admits A rejects B; round 2 admits C
+    # a 3-doc chain is far below driver_finish_rows: the exact driver
+    # pass resolves it in round 0. Forcing the distributed path
+    # (driver_finish_rows=0) must take the documented 2 rounds.
+    assert f.last_rounds == 0 and f.last_finish_rows > 0
+    fd = StreamingNearDupFilter(spark, os.path.join(workdir, "reg-dist"),
+                                driver_finish_rows=0)
+    adm, rej, _ = fd.process_batch(
+        spark.createDataFrame(CHAIN, "doc_id LONG, text STRING"), 0
+    )
+    assert {r.doc_id for r in adm.collect()} == {1, 3}
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(2, 1)}
+    assert fd.last_rounds == 2  # round 1 admits A rejects B; round 2 admits C
 
 
 def test_chain_across_batches(spark, workdir):

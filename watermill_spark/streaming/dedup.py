@@ -93,13 +93,31 @@ REGISTRY_SCHEMA = StructType(
 #: that blocked them (min such owner when several buckets block).
 DUP_OF = "_watermill_near_dup_of"
 
-#: max rows the fixpoint's max_rounds escape hatch may collect to the
-#: driver. The hatch is bounded by the micro-batch by construction, but an
-#: adversarial conflict chain at a large trigger size could still
-#: materialize that whole batch's residue driver-side — past this cap the
-#: filter fails LOUDLY with sizing guidance instead of risking a driver
-#: OOM (round-5 verdict item 6 / ADVICE).
-RESIDUE_CAP = 100_000
+#: max rows the fixpoint may ever collect to the driver. The residue is
+#: bounded by the micro-batch by construction, but an adversarial conflict
+#: chain at a large trigger size could still materialize that whole
+#: batch's banding driver-side — past this cap the filter fails LOUDLY
+#: with sizing guidance instead of risking a driver OOM (r5 verdict
+#: item 6 / ADVICE). Sized from measurement, not vibes: a dedup-SATURATED
+#: 62.5k-doc production-trigger batch legitimately carries ~128k residue
+#: band rows (~5 MB collected), so a 100k cap would refuse exactly the
+#: workload the production-trigger scenario proves; 500k narrow rows is
+#: ~20-30 MB on a driver that already holds far larger task/plan state.
+RESIDUE_CAP = 500_000
+
+#: residue size (rows) below which the in-batch fixpoint finishes with the
+#: exact driver-side sequential pass instead of more distributed rounds.
+#: The split of labor is deliberate: what scales with the CORPUS (the
+#: registry joins of stage 1) stays distributed; the in-batch conflict
+#: tail is bounded by the TRIGGER SIZE and its greedy-by-id resolution is
+#: inherently sequential (each decision depends on all smaller ids), so
+#: past stage 1 the exact python pass is both faster and simpler than
+#: priority-ordered distributed rounds — a saturated 83k-doc
+#: production-trigger batch's full residue is ~330k narrow rows (~13 MB
+#: collected, milliseconds to resolve) vs 7-9 rounds of ~4 Spark jobs
+#: each. The distributed rounds remain for residues past this threshold,
+#: shrinking them until they fit (or max_rounds/residue_cap fire).
+DRIVER_FINISH_ROWS = 500_000
 
 
 class ResidueCapExceeded(RuntimeError):
@@ -266,6 +284,7 @@ class StreamingNearDupFilter:
         band_size: int = BAND_SIZE,
         max_rounds: int = 64,
         residue_cap: int = RESIDUE_CAP,
+        driver_finish_rows: int = DRIVER_FINISH_ROWS,
     ):
         self.spark = spark
         self.registry_dir = registry_dir
@@ -273,9 +292,14 @@ class StreamingNearDupFilter:
         self.band_size = band_size
         self.max_rounds = max_rounds
         self.residue_cap = residue_cap
+        self.driver_finish_rows = driver_finish_rows
         #: fixpoint rounds of the most recent process_batch (introspection
-        #: for tests/metrics; 0 = no in-batch conflicts).
+        #: for tests/metrics; 0 = no in-batch conflicts or all conflicts
+        #: resolved by the driver-side finisher — see last_finish_rows).
         self.last_rounds = 0
+        #: residue rows the exact driver-side finisher handled in the most
+        #: recent process_batch (0 = the distributed rounds drained it).
+        self.last_finish_rows = 0
         os.makedirs(registry_dir, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
@@ -307,19 +331,23 @@ class StreamingNearDupFilter:
         an empty set, and erase them from the registry (found in review;
         pinned by test_crash_replay_same_batch_id).
         """
-        skip = None if exclude_batch is None else self._batch_dirname(exclude_batch)
-        paths = []
-        for d in sorted(os.listdir(self.registry_dir)):
-            full = os.path.join(self.registry_dir, d)
-            if (
-                (d.startswith("batch=") or d.startswith("compacted-"))
-                and d != skip
-                and os.path.exists(os.path.join(full, "_SUCCESS"))
-            ):
-                paths.append(full)
+        paths = [
+            os.path.join(self.registry_dir, d)
+            for d in self._committed_names(exclude_batch)
+        ]
         if not paths:
             return self.spark.createDataFrame([], REGISTRY_SCHEMA)
         return self.spark.read.schema(REGISTRY_SCHEMA).parquet(*paths)
+
+    def _committed_names(self, exclude_batch: int | None = None) -> list[str]:
+        skip = None if exclude_batch is None else self._batch_dirname(exclude_batch)
+        return [
+            d
+            for d in sorted(os.listdir(self.registry_dir))
+            if (d.startswith("batch=") or d.startswith("compacted-"))
+            and d != skip
+            and os.path.exists(os.path.join(self.registry_dir, d, "_SUCCESS"))
+        ]
 
     def compact_registry(self, target_files: int = 32) -> dict:
         """Merge the accumulated per-batch registry subdirs into one
@@ -383,40 +411,64 @@ class StreamingNearDupFilter:
         by; a null key would silently fall out of some joins and leak into
         the bandless union) — route identity-less inputs at the transport
         layer, as ``attach`` does (pass-through)."""
+        # No checkpoint on docs: its only full-width consumer is the ONE
+        # banding pass below (tokenless needs just the ids) — materializing
+        # the text payloads again after attach() already checkpointed the
+        # micro-batch cost ~1.2 s per production-size batch for nothing.
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), F.col("text")
-        ).filter(F.col("doc_id").isNotNull()).localCheckpoint()
-        sigs = minhash_signatures(docs, self.n_hashes)
+        ).filter(F.col("doc_id").isNotNull())
+        doc_ids = docs.select("doc_id").localCheckpoint()
+        sigs = minhash_signatures(_spread_batch(docs), self.n_hashes)
         banded = _banded(sigs, self.n_hashes, self.band_size).localCheckpoint()
 
         # Stage 1: hits against the persistent registry reject immediately.
         # The current batch's own subdir is excluded so a crash-replay
         # re-derives from pure prefix state (see registry()).
+        # First-batch fast path: with no committed registry there is
+        # nothing to hit — skip the join/anti-join jobs entirely (~2 s of
+        # a production-size batch).
         reg = self.registry(exclude_batch=batch_id)
-        hits = (
-            banded.join(reg, ["band_idx", "band_key"], "inner")
-            .groupBy("doc_id")
-            .agg(F.min("owner").alias("dup_of"))
-            .localCheckpoint()
-        )
-        # A doc whose every blocking bucket is owned by ITSELF was admitted
-        # in an earlier batch and is being redelivered (at-least-once).
-        replayed = hits.filter(F.col("dup_of") == F.col("doc_id")).select("doc_id")
-        rejected_id_parts = [
-            hits.filter(F.col("dup_of") != F.col("doc_id")).select("doc_id")
-        ]
-
-        # Stage 2: in-batch fixpoint — greedy first-seen-wins on the slice.
-        undecided = (
-            banded.join(hits.select("doc_id"), "doc_id", "left_anti")
-            .localCheckpoint()
-        )
+        reg_live = bool(self._committed_names(exclude_batch=batch_id))
+        if reg_live:
+            hits = (
+                banded.join(reg, ["band_idx", "band_key"], "inner")
+                .groupBy("doc_id")
+                .agg(F.min("owner").alias("dup_of"))
+                .localCheckpoint()
+            )
+            # A doc whose every blocking bucket is owned by ITSELF was
+            # admitted in an earlier batch and is being redelivered
+            # (at-least-once).
+            replayed = hits.filter(
+                F.col("dup_of") == F.col("doc_id")
+            ).select("doc_id")
+            rejected_id_parts = [
+                hits.filter(F.col("dup_of") != F.col("doc_id")).select("doc_id")
+            ]
+            # Stage 2: in-batch fixpoint — greedy first-seen-wins on the
+            # slice.
+            undecided = (
+                banded.join(hits.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint()
+            )
+        else:
+            replayed = self.spark.createDataFrame([], "doc_id LONG")
+            rejected_id_parts = []
+            undecided = banded
         admitted_parts = []
         rounds = 0
+        finish_rows = 0
+        finish_rej_pairs: list[tuple[int, int]] = []
         # Conflict-free fast path (same as the embedding twin): if no
         # bucket holds two undecided docs, the round is degenerate — admit
         # everything at once. One aggregation probe vs the round's ~5 jobs.
-        if (
+        # Only worth probing when the residue is too big for the driver
+        # finisher — below that threshold the python pass absorbs the
+        # conflict-free case anyway, so the probe would be a wasted job.
+        if undecided.count() > min(
+            self.driver_finish_rows, self.residue_cap
+        ) and (
             undecided.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
@@ -430,41 +482,43 @@ class StreamingNearDupFilter:
             undecided = self.spark.createDataFrame(
                 [], "doc_id LONG, band_idx INT, band_key STRING"
             )
-        while undecided.limit(1).count() > 0:
-            rounds += 1
-            if rounds > self.max_rounds:
-                # Pathological in-batch dup chain (each round decides ~2
-                # docs of a consecutive chain, so a 130+ doc chain inside
-                # ONE batch exceeds 64 rounds — and a chain can sit inside
-                # a single topic file, where no trigger setting splits it;
-                # raising here would poison-loop the stream forever on
-                # replay). The undecided residue conflicts only among
-                # itself at this point, so finish it with an EXACT
-                # driver-side sequential greedy pass over that residue —
-                # same result, bounded by the micro-batch size AND by
-                # residue_cap (counted BEFORE collecting — driver-OOM guard).
-                n_residue = undecided.count()
-                if n_residue > self.residue_cap:
-                    raise ResidueCapExceeded(
-                        "near-dup", n_residue, self.residue_cap
-                    )
-                adm_ids, rej_ids = _sequential_greedy_buckets(undecided)
-                admitted_parts.append(
-                    self.spark.createDataFrame(
-                        [(i,) for i in adm_ids], "doc_id LONG"
-                    )
-                )
-                rejected_id_parts.append(
-                    self.spark.createDataFrame(
-                        [(i,) for i in rej_ids], "doc_id LONG"
-                    )
-                )
-                _LOG.warning(
-                    "near-dup fixpoint hit max_rounds=%d; finished %d "
-                    "residual docs with the driver-side sequential pass",
-                    self.max_rounds, len(adm_ids) + len(rej_ids),
-                )
+        while True:
+            n_residue = undecided.count()
+            if n_residue == 0:
                 break
+            # Hybrid finisher: the residue at ANY round boundary conflicts
+            # only among itself (stage-1 excluded registry conflicts;
+            # each round rejects everything touching a new admission), so
+            # once it fits comfortably on the driver the EXACT sequential
+            # pass finishes it in one go — a dedup-saturated batch needed
+            # 7-9 distributed rounds (~4 jobs each) to drain the tail the
+            # python pass does in milliseconds (measured: the production-
+            # trigger scenario's per-batch wall was fixpoint rounds, not
+            # banding). Results are identical by construction; residue_cap
+            # still bounds every driver-side collect.
+            if n_residue <= min(self.driver_finish_rows, self.residue_cap) or (
+                rounds >= self.max_rounds and n_residue <= self.residue_cap
+            ):
+                finish_rows = n_residue
+                adm_ids, finish_rej_pairs = _sequential_greedy_buckets(undecided)
+                admitted_parts.append(_ids_df(self.spark, adm_ids))
+                if rounds >= self.max_rounds:
+                    # pathological chain: a 130+ doc consecutive-conflict
+                    # chain can sit inside ONE topic file where no trigger
+                    # setting splits it; raising would poison-loop the
+                    # stream on replay, so the sequential pass absorbs it
+                    _LOG.warning(
+                        "near-dup fixpoint hit max_rounds=%d; finished %d "
+                        "residual docs with the driver-side sequential pass",
+                        self.max_rounds, len(adm_ids) + len(finish_rej_pairs),
+                    )
+                break
+            if rounds >= self.max_rounds:
+                # residue too large for the driver AND the distributed
+                # rounds are exhausted: refuse loudly with sizing guidance
+                # (counted BEFORE collecting — driver-OOM guard)
+                raise ResidueCapExceeded("near-dup", n_residue, self.residue_cap)
+            rounds += 1
             w = Window.partitionBy("band_idx", "band_key")
             marked = undecided.withColumn("bmin", F.min("doc_id").over(w))
             adm = (
@@ -492,6 +546,7 @@ class StreamingNearDupFilter:
             admitted_parts.append(adm)
             rejected_id_parts.append(rej)
         self.last_rounds = rounds
+        self.last_finish_rows = finish_rows
 
         spark = self.spark
         admitted_banded_ids = (
@@ -500,8 +555,11 @@ class StreamingNearDupFilter:
             else spark.createDataFrame([], "doc_id LONG")
         )
         # Tokenless docs never appear in `banded`: no bands, no conflicts.
-        tokenless = docs.select("doc_id").join(
-            sigs.select("doc_id"), "doc_id", "left_anti"
+        # Derived from the CHECKPOINTED banded relation — the previous
+        # sigs-based anti-join silently recomputed the minhash map for the
+        # whole batch (measured ~1.5 s at production trigger size).
+        tokenless = doc_ids.join(
+            banded.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         admitted = admitted_banded_ids.unionByName(tokenless).localCheckpoint()
 
@@ -510,24 +568,30 @@ class StreamingNearDupFilter:
         )
         self._append_registry(new_rows, batch_id)
 
-        # Canonical attribution, computed once at the end so it is
-        # round-order-independent: dup_of = MIN admitted owner over all of
+        # Canonical attribution: dup_of = MIN admitted owner over all of
         # the rejected doc's buckets (prefix registry ∪ this batch's
-        # admissions) — exactly the owner the sequential greedy pass
-        # blames, because the minimum owner is itself < doc and registered
-        # before doc's turn.
-        rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
-        all_owned = reg.unionByName(
-            new_rows.select("band_idx", "band_key", "owner")
-        )
-        rejected = (
-            banded.join(rejected_ids, "doc_id", "inner")
-            .join(all_owned, ["band_idx", "band_key"], "inner")
-            .filter(F.col("owner") != F.col("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.min("owner").alias("dup_of"))
-            .localCheckpoint()
-        )
+        # admissions). Split by reject class: stage-1/distributed-round
+        # rejects need the join against the owned buckets; driver-finished
+        # rejects were already blamed exactly by the sequential pass
+        # (their buckets carry no registry owners — stage 1 removed those
+        # docs — so the python owner map IS the canonical owner set).
+        if rejected_id_parts or rounds:
+            rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
+            all_owned = reg.unionByName(
+                new_rows.select("band_idx", "band_key", "owner")
+            )
+            rejected_joined = (
+                banded.join(rejected_ids, "doc_id", "inner")
+                .join(all_owned, ["band_idx", "band_key"], "inner")
+                .filter(F.col("owner") != F.col("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.min("owner").alias("dup_of"))
+            )
+        else:
+            rejected_joined = spark.createDataFrame([], "doc_id LONG, dup_of LONG")
+        rejected = rejected_joined.unionByName(
+            _pairs_df(spark, finish_rej_pairs)
+        ).localCheckpoint()
         return admitted, rejected, replayed
 
     # -- transport wiring --------------------------------------------------
@@ -665,6 +729,20 @@ def _attach_filter(
     return writer.start()
 
 
+def _spread_batch(df: DataFrame) -> DataFrame:
+    """Fan a micro-batch out to the session's parallelism before the heavy
+    per-doc maps (minhash / banding). A file-source micro-batch arrives
+    with one partition per input FILE — at production trigger sizes
+    (maxFilesPerTrigger=2, 62k docs) the signature map was running on 2 of
+    32 cores, capping the filter at ~3.9k msg/s at sf5; the round-robin
+    repartition costs one narrow shuffle of the raw docs (~MBs) and buys
+    the full machine. No-op when the batch is already wide enough."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _union(spark: SparkSession, parts: list[DataFrame], ddl: str) -> DataFrame:
     out = spark.createDataFrame([], ddl)
     for p in parts:
@@ -675,16 +753,56 @@ def _union(spark: SparkSession, parts: list[DataFrame], ddl: str) -> DataFrame:
 _LOG = logging.getLogger(__name__)
 
 
-def _sequential_greedy_buckets(banded: DataFrame) -> tuple[list[int], list[int]]:
+def _ids_df(spark: SparkSession, ids: list[int]) -> DataFrame:
+    """doc_id LONG frame from a python id list — Arrow-batched via pandas
+    (a 40k-tuple createDataFrame paid ~0.7 s of py4j row conversion)."""
+    if not ids:
+        return spark.createDataFrame([], "doc_id LONG")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+    )
+
+
+def _pairs_df(spark: SparkSession, pairs: list[tuple[int, int]]) -> DataFrame:
+    """(doc_id, dup_of) LONG frame from python blame pairs, Arrow-batched."""
+    if not pairs:
+        return spark.createDataFrame([], "doc_id LONG, dup_of LONG")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([p[0] for p in pairs], dtype="int64"),
+                "dup_of": pd.array([p[1] for p in pairs], dtype="int64"),
+            }
+        )
+    )
+
+
+def _sequential_greedy_buckets(
+    banded: DataFrame,
+) -> tuple[list[int], list[tuple[int, int]]]:
     """EXACT driver-side greedy over a residual (doc_id, band_idx, band_key)
     set that conflicts only among itself (every external conflict was
-    already resolved by the distributed rounds). Used as the max_rounds
-    escape hatch — bounded by the micro-batch size."""
+    already resolved by stage 1 / the distributed rounds). The finisher of
+    the hybrid fixpoint — bounded by driver_finish_rows/residue_cap.
+    Arrow-batched transfer (toPandas): a 330k-row residue moves in ~100 ms
+    where row-based collect() paid seconds of py4j serialization.
+
+    Returns (admitted_ids, [(rejected_id, dup_of)]). The blame is computed
+    over the END-of-pass owner map, which equals the canonical MIN-owner
+    rule: stage 1 guarantees no residual doc touches a registry-owned
+    bucket, so a residual doc's owners are exactly this pass's admissions;
+    owners admitted after the doc have larger ids and can never change the
+    minimum the rejecting (smaller-id) owner already set."""
     import collections
 
+    pdf = banded.select("doc_id", "band_idx", "band_key").toPandas()
     by_doc: dict[int, set] = collections.defaultdict(set)
-    for r in banded.collect():
-        by_doc[r.doc_id].add((r.band_idx, r.band_key))
+    for d, bi, bk in zip(pdf["doc_id"], pdf["band_idx"], pdf["band_key"]):
+        by_doc[int(d)].add((int(bi), bk))
     taken: dict = {}
     adm: list[int] = []
     rej: list[int] = []
@@ -695,30 +813,47 @@ def _sequential_greedy_buckets(banded: DataFrame) -> tuple[list[int], list[int]]
             adm.append(d)
             for b in by_doc[d]:
                 taken[b] = d
-    return adm, rej
+    rej_pairs = [
+        (
+            d,
+            min(
+                o
+                for b in by_doc[d]
+                if (o := taken.get(b)) is not None and o != d
+            ),
+        )
+        for d in rej
+    ]
+    return adm, rej_pairs
 
 
 def _sequential_greedy_edges(
     undecided: DataFrame, edges: DataFrame
-) -> tuple[list[int], list[int]]:
+) -> tuple[list[int], list[tuple[int, int]]]:
     """Edge-relation variant of `_sequential_greedy_buckets` for the
-    embedding filter (conflicts are verified (a < b) pairs)."""
+    embedding filter (conflicts are verified (a < b) pairs). Same
+    (admitted, [(rejected, dup_of)]) contract; a rejected doc's blame is
+    the minimum admitted smaller endpoint of its verified edges — the
+    canonical rule, since stage 1 leaves no verified registry owner on a
+    residual doc."""
     import collections
 
-    und = sorted(r.doc_id for r in undecided.collect())
+    und = sorted(int(d) for d in undecided.select("doc_id").toPandas()["doc_id"])
+    epdf = edges.select("a", "b").toPandas()
     smaller: dict[int, list[int]] = collections.defaultdict(list)
-    for r in edges.collect():
-        smaller[r.b].append(r.a)
+    for a, b in zip(epdf["a"], epdf["b"]):
+        smaller[int(b)].append(int(a))
     adm_set: set[int] = set()
     adm: list[int] = []
-    rej: list[int] = []
+    rej_pairs: list[tuple[int, int]] = []
     for d in und:
-        if any(a in adm_set for a in smaller.get(d, [])):
-            rej.append(d)
+        owners = [a for a in smaller.get(d, []) if a in adm_set]
+        if owners:
+            rej_pairs.append((d, min(owners)))
         else:
             adm.append(d)
             adm_set.add(d)
-    return adm, rej
+    return adm, rej_pairs
 
 
 # -- embedding modality -------------------------------------------------------
@@ -787,6 +922,7 @@ class StreamingEmbeddingDedupFilter:
         max_rounds: int = 64,
         residue_cap: int = RESIDUE_CAP,
         n_probes: int = 0,
+        driver_finish_rows: int = DRIVER_FINISH_ROWS,
     ):
         from watermill_spark.analytics.similarity import (
             EMB_DEDUP_TAU,
@@ -802,7 +938,9 @@ class StreamingEmbeddingDedupFilter:
         self.max_rounds = max_rounds
         self.residue_cap = residue_cap
         self.n_probes = n_probes
+        self.driver_finish_rows = driver_finish_rows
         self.last_rounds = 0
+        self.last_finish_rows = 0
         os.makedirs(registry_dir, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
@@ -893,10 +1031,12 @@ class StreamingEmbeddingDedupFilter:
             hyperplane_bands_multiprobe,
         )
 
-        docs = docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("embedding").cast("array<double>").alias("emb"),
-        ).filter(F.col("doc_id").isNotNull()).localCheckpoint()
+        docs = _spread_batch(
+            docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("emb"),
+            ).filter(F.col("doc_id").isNotNull())
+        ).localCheckpoint()
         # Null, empty AND all-zero embeddings are bandless (always admitted,
         # never registered): a zero vector has no direction — cosine against
         # it is 0/0 = NULL, which would break the replay invariant
@@ -942,31 +1082,41 @@ class StreamingEmbeddingDedupFilter:
         verified = F.round(cosine("emb", "owner_emb"), 6) >= self.tau
 
         # Stage 1: candidates against the prefix registry, cosine-verified.
+        # First-batch fast path mirrors the text twin: no committed
+        # registry, nothing to hit, skip the candidate/verify jobs.
+        reg_live = bool(self._committed_dirs(exclude_batch=batch_id))
         reg_b = self.registry_bands(exclude_batch=batch_id)
         reg_v = self.registry_vecs(exclude_batch=batch_id).select(
             "owner", F.col("emb").alias("owner_emb")
         )
-        cand = (
-            banded.join(reg_b, ["band_idx", "band_key"], "inner")
-            .select("doc_id", "owner")
-            .distinct()
-        )
-        hits = (
-            cand.join(docs, "doc_id")
-            .join(reg_v, "owner")
-            .filter(verified)
-            .groupBy("doc_id")
-            .agg(F.min("owner").alias("dup_of"))
-            .localCheckpoint()
-        )
-        # A verified hit on ONLY the doc's own registration = redelivery of
-        # an earlier-admitted doc (cos(self,self)=1; no other admitted doc
-        # can verify at tau against it — it would have been rejected, or
-        # the later one would have been).
-        replayed = hits.filter(F.col("dup_of") == F.col("doc_id")).select("doc_id")
-        rejected_id_parts = [
-            hits.filter(F.col("dup_of") != F.col("doc_id")).select("doc_id")
-        ]
+        if reg_live:
+            cand = (
+                banded.join(reg_b, ["band_idx", "band_key"], "inner")
+                .select("doc_id", "owner")
+                .distinct()
+            )
+            hits = (
+                cand.join(docs, "doc_id")
+                .join(reg_v, "owner")
+                .filter(verified)
+                .groupBy("doc_id")
+                .agg(F.min("owner").alias("dup_of"))
+                .localCheckpoint()
+            )
+            # A verified hit on ONLY the doc's own registration =
+            # redelivery of an earlier-admitted doc (cos(self,self)=1; no
+            # other admitted doc can verify at tau against it — it would
+            # have been rejected, or the later one would have been).
+            replayed = hits.filter(
+                F.col("dup_of") == F.col("doc_id")
+            ).select("doc_id")
+            rejected_id_parts = [
+                hits.filter(F.col("dup_of") != F.col("doc_id")).select("doc_id")
+            ]
+        else:
+            hits = self.spark.createDataFrame([], "doc_id LONG, dup_of LONG")
+            replayed = self.spark.createDataFrame([], "doc_id LONG")
+            rejected_id_parts = []
 
         # Stage 2: in-batch conflict edges (a < b, shared band, verified),
         # then greedy-by-id fixpoint on that static graph: each round admits
@@ -1017,6 +1167,8 @@ class StreamingEmbeddingDedupFilter:
         )
         admitted_parts = []
         rounds = 0
+        finish_rows = 0
+        finish_rej_pairs: list[tuple[int, int]] = []
         # Conflict-free fast path — the COMMON ingest case (duplicates
         # usually arrive after their originals, i.e. in different batches,
         # so in-batch verified edges are empty): admit every undecided doc
@@ -1026,37 +1178,37 @@ class StreamingEmbeddingDedupFilter:
         if edges.limit(1).count() == 0:
             admitted_parts.append(undecided)
             undecided = self.spark.createDataFrame([], "doc_id LONG")
-        while undecided.limit(1).count() > 0:
-            rounds += 1
-            if rounds > self.max_rounds:
-                # same escape hatch as the text twin: the residue's
-                # conflicts are all inside `edges` (external ones resolved
-                # in earlier rounds) — finish with the exact driver-side
-                # sequential pass instead of poison-looping the stream;
-                # both relations are counted before collecting (OOM guard)
-                n_residue = undecided.count() + edges.count()
-                if n_residue > self.residue_cap:
-                    raise ResidueCapExceeded(
-                        "embedding near-dup", n_residue, self.residue_cap
-                    )
-                adm_ids, rej_ids = _sequential_greedy_edges(undecided, edges)
-                admitted_parts.append(
-                    self.spark.createDataFrame(
-                        [(i,) for i in adm_ids], "doc_id LONG"
-                    )
-                )
-                rejected_id_parts.append(
-                    self.spark.createDataFrame(
-                        [(i,) for i in rej_ids], "doc_id LONG"
-                    )
-                )
-                _LOG.warning(
-                    "embedding near-dup fixpoint hit max_rounds=%d; "
-                    "finished %d residual docs with the driver-side "
-                    "sequential pass",
-                    self.max_rounds, len(adm_ids) + len(rej_ids),
-                )
+        while True:
+            n_und = undecided.count()
+            if n_und == 0:
                 break
+            n_residue = n_und + edges.count()
+            # Hybrid finisher (same as the text twin): the residue's
+            # conflicts are all inside `edges` at any round boundary, so a
+            # driver-sized residue is finished by the exact sequential pass
+            # instead of more ~4-job distributed rounds; residue_cap bounds
+            # every collect (counted BEFORE collecting — OOM guard).
+            if n_residue <= min(self.driver_finish_rows, self.residue_cap) or (
+                rounds >= self.max_rounds and n_residue <= self.residue_cap
+            ):
+                finish_rows = n_residue
+                adm_ids, finish_rej_pairs = _sequential_greedy_edges(
+                    undecided, edges
+                )
+                admitted_parts.append(_ids_df(self.spark, adm_ids))
+                if rounds >= self.max_rounds:
+                    _LOG.warning(
+                        "embedding near-dup fixpoint hit max_rounds=%d; "
+                        "finished %d residual docs with the driver-side "
+                        "sequential pass",
+                        self.max_rounds, len(adm_ids) + len(finish_rej_pairs),
+                    )
+                break
+            if rounds >= self.max_rounds:
+                raise ResidueCapExceeded(
+                    "embedding near-dup", n_residue, self.residue_cap
+                )
+            rounds += 1
             adm = (
                 undecided.join(
                     edges.select(F.col("b").alias("doc_id")), "doc_id", "left_anti"
@@ -1082,6 +1234,7 @@ class StreamingEmbeddingDedupFilter:
             admitted_parts.append(adm)
             rejected_id_parts.append(rej)
         self.last_rounds = rounds
+        self.last_finish_rows = finish_rows
 
         spark = self.spark
         admitted_banded_ids = (
@@ -1110,24 +1263,35 @@ class StreamingEmbeddingDedupFilter:
         new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
         new_bands.write.mode("overwrite").parquet(os.path.join(out, "bands"))
 
-        rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
-        all_bands = reg_b.unionByName(new_bands)
-        all_vecs = reg_v.unionByName(
-            new_vecs.select("owner", F.col("emb").alias("owner_emb"))
-        )
-        rejected = (
-            banded.join(rejected_ids, "doc_id", "inner")
-            .join(all_bands, ["band_idx", "band_key"], "inner")
-            .filter(F.col("owner") != F.col("doc_id"))
-            .select("doc_id", "owner")
-            .distinct()
-            .join(docs, "doc_id")
-            .join(all_vecs, "owner")
-            .filter(verified)
-            .groupBy("doc_id")
-            .agg(F.min("owner").alias("dup_of"))
-            .localCheckpoint()
-        )
+        # Canonical attribution split (same reasoning as the text twin):
+        # stage-1/distributed-round rejects re-verify against the full
+        # owned-band set; driver-finished rejects were blamed exactly by
+        # the sequential pass over the verified edge graph (no verified
+        # registry owner can touch a residual doc — it would have been a
+        # stage-1 hit).
+        if rejected_id_parts or rounds:
+            rejected_ids = _union(spark, rejected_id_parts, "doc_id LONG")
+            all_bands = reg_b.unionByName(new_bands)
+            all_vecs = reg_v.unionByName(
+                new_vecs.select("owner", F.col("emb").alias("owner_emb"))
+            )
+            rejected_joined = (
+                banded.join(rejected_ids, "doc_id", "inner")
+                .join(all_bands, ["band_idx", "band_key"], "inner")
+                .filter(F.col("owner") != F.col("doc_id"))
+                .select("doc_id", "owner")
+                .distinct()
+                .join(docs, "doc_id")
+                .join(all_vecs, "owner")
+                .filter(verified)
+                .groupBy("doc_id")
+                .agg(F.min("owner").alias("dup_of"))
+            )
+        else:
+            rejected_joined = spark.createDataFrame([], "doc_id LONG, dup_of LONG")
+        rejected = rejected_joined.unionByName(
+            _pairs_df(spark, finish_rej_pairs)
+        ).localCheckpoint()
         return admitted, rejected, replayed
 
     # -- transport wiring --------------------------------------------------
