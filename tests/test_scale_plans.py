@@ -117,10 +117,17 @@ def test_spread_is_noop_when_well_partitioned(spark):
 
 
 def test_tfidf_topk_broadcast_and_group_limit(spark):
-    """q_tfidf_top_terms: vocabulary df-side broadcasts onto tf (no SMJ) and
-    the per-language top-5 plans WindowGroupLimit."""
+    """q_tfidf_top_terms (r6 single-pass shape): ONE tokenize Generate over
+    one documents scan (tf and df both derive from it — the r5 shape
+    scanned+tokenized twice and joined tf⨝df on the vocabulary-scale term
+    key), no join on term at all, and the per-language top-5 plans
+    WindowGroupLimit."""
+    import re
+
     plan = _plan(spark, REGISTRY["q_tfidf_top_terms"].fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    # exactly one tokenize pass (formatted mode prints each operator once
+    # in the tree and once in the details list)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
 

@@ -45,12 +45,36 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """One row per doc: mh0..mh{n-1} lexicographic-min md5 signatures."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(f"mh{s}")
+    """One row per doc: mh0..mh{n-1} lexicographic-min md5 signatures.
+
+    Computed as a NARROW MAP — ``array_min(transform(tokens, md5(seed:tok)))``
+    per row — instead of explode + groupBy(doc_id).agg(min(...)) (r6). The
+    aggregate form shuffled the full token stream on doc_id and, because
+    string-typed agg buffers are not hash-aggregatable, planned a
+    SortAggregate (full sort of the exploded tokens). The map form needs
+    zero shuffles and zero sorts for signatures: every downstream consumer
+    (LSH banding, clusters, connected components, the streaming near-dup
+    filter) now starts from doc-level rows without a token-volume exchange.
+    Bit-identical output: array_min over the same md5 set equals MIN(), and
+    the isNotNull(text) filter reproduces the explode path's null-drop.
+    """
+    toks = F.array_distinct(F.split("text", " "))
+
+    def _hash_fn(seed: int):
+        # factory, not a default-arg lambda: a 2-arg lambda would be read
+        # by F.transform as (element, index)
+        prefix = f"{seed}:"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    sig_cols = [
+        F.array_min(F.transform("_ts", _hash_fn(s))).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return _tokens(docs).groupBy("doc_id").agg(*aggs)
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("_ts"))
+        .select("doc_id", *sig_cols)
+    )
 
 
 def _banded(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
@@ -492,34 +516,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit at that position); the sign of the sum is the signature bit.
     Near-dup detection then compares signatures by Hamming distance — see
     tests. The hex-digit formulation keeps both engines bit-identical.
+
+    Computed as a NARROW MAP (r6): per doc, md5 the distinct-token array
+    once, then for each of the 16 positions sum the votes with a nested
+    ``aggregate`` higher-order function — the previous explode×16 form
+    shuffled a 16× token stream on (doc_id, pos) and re-grouped twice;
+    this form has zero shuffles and no aggregation at all. Bit-identical:
+    the per-position vote sum is the same integer sum (order-independent),
+    and ``substr(h,p,1) >= '8'`` is exactly ``instr(hex, c)-1 >= 8`` on the
+    lowercase-hex alphabet.
     """
     tune_session(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
-    toks = _tokens(docs).withColumn("h", F.md5("tok"))
-    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
-    votes = toks.select("doc_id", "h", pos).select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.expr("instr('0123456789abcdef', substr(h, pos, 1)) - 1") >= 8, F.lit(1)
-        )
-        .otherwise(F.lit(-1))
-        .alias("vote"),
+    docs = spread(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
+    hs = F.transform(F.array_distinct(F.split("text", " ")), F.md5)
+    sim = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda p: F.when(
+                F.aggregate(
+                    "_hs",
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(h.substr(p, F.lit(1)) >= "8", 1).otherwise(-1),
+                )
+                > 0,
+                "1",
+            ).otherwise("0"),
+        ),
     )
-    bits = votes.groupBy("doc_id", "pos").agg(F.sum("vote").alias("weight"))
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), (F.col("weight") > 0).alias("b")))
-                    ),
-                    lambda s: F.when(s["b"], "1").otherwise("0"),
-                ),
-            ).alias("simhash")
-        )
+    return docs.select("doc_id", hs.alias("_hs")).select(
+        "doc_id", sim.alias("simhash")
     )
 
 

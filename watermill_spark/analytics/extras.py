@@ -293,13 +293,16 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("vec_id")
         .agg(F.max("cand").alias("best"), F.first("emb").alias("emb"))
         .select("vec_id", "emb", (-F.col("best.neg_cell")).alias("cell_id"))
+        .withColumn("c_n", F.sqrt(_dot("emb", "emb")))
     )
     queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("cell_id").alias("q_cell"),
+        F.col("c_n").alias("q_n"),
     )
-    sim = F.round(cosine("q_emb", "emb"), 6)
+    # per-side norms precomputed before the pair join (similarity.py r6)
+    sim = F.round(_dot("q_emb", "emb") / (F.col("q_n") * F.col("c_n")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cells.join(

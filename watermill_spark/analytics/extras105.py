@@ -84,12 +84,18 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    from .similarity import cosine
+    from .similarity import _dot
 
-    sig = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    sig = emb.withColumn("bucket", lsh_bucket(F.col("emb"))).withColumn(
+        "nrm", F.sqrt(_dot("emb", "emb"))
+    )
     rep = sig.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     rep_vec = rep.join(
-        sig.select(F.col("vec_id").alias("rep_id"), F.col("emb").alias("rep_emb")),
+        sig.select(
+            F.col("vec_id").alias("rep_id"),
+            F.col("emb").alias("rep_emb"),
+            F.col("nrm").alias("rep_n"),
+        ),
         "rep_id",
     )
     scored = (
@@ -98,7 +104,8 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket",
             "vec_id",
-            F.round(cosine("emb", "rep_emb"), 6).alias("sim"),
+            # per-side norms precomputed before the bucket join (r6)
+            F.round(_dot("emb", "rep_emb") / (F.col("nrm") * F.col("rep_n")), 6).alias("sim"),
         )
     )
     pruned = F.sum(F.when(F.col("sim") >= _SEM_THRESH, 1).otherwise(0)).cast(

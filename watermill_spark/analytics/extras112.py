@@ -21,7 +21,7 @@ from watermill_spark.session import tune_session
 
 from .det import bcount, dec
 from .registry import load, register, spread
-from .similarity import _SQL_BUCKET, _SQL_COSINE, N_QUERIES, cosine, lsh_bucket
+from .similarity import _SQL_BUCKET, _SQL_COSINE, N_QUERIES, _dot, cosine, lsh_bucket
 
 _D15 = "decimal(38,15)"
 _NDCG_K = 10
@@ -100,13 +100,14 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qb"),
         F.col("emb").alias("q_emb"),
-    )
+    ).withColumn("q_n", F.sqrt(_dot("q_emb", "q_emb")))
     corpus = sig.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("cb"),
         F.col("emb").alias("c_emb"),
-    )
-    sim = F.round(cosine("q_emb", "c_emb"), 6)
+    ).withColumn("c_n", F.sqrt(_dot("c_emb", "c_emb")))
+    # per-side norms precomputed before the pair joins (similarity.py r6)
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n")), 6)
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     log2pos = F.log(F.col("pos") + 1.0) / F.log(F.lit(2.0))
     lsh = (
@@ -119,10 +120,8 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= _NDCG_K)
     )
     ideal = (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
-        )
-        .crossJoin(F.broadcast(queries.select("query_id", "q_emb")))
+        corpus.select("neighbor_id", "c_emb", "c_n")
+        .crossJoin(F.broadcast(queries.select("query_id", "q_emb", "q_n")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("pos", F.row_number().over(wq))

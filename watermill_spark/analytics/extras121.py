@@ -232,9 +232,11 @@ def q_embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from .similarity import cosine
 
+    from .similarity import _dot
+
     emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
     cents = (
         emb.select("label", F.posexplode("e").alias("p", "v"))
         .groupBy("label", (F.col("p") + 1).alias("dim"))
@@ -249,9 +251,11 @@ def q_embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
         ).alias("c")
     ).localCheckpoint(eager=True)
+    carr = carr.withColumn("c_n", F.sqrt(_dot("c", "c")))
     within = (
         emb.join(F.broadcast(carr), "label")
-        .select("label", F.round(cosine("e", "c"), 6).alias("wc"))
+        # per-side norms precomputed before the corpus-scale join (r6)
+        .select("label", F.round(_dot("e", "c") / (F.col("nrm") * F.col("c_n")), 6).alias("wc"))
         .groupBy("label")
         .agg(
             bcount("n"),

@@ -127,9 +127,11 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     mandate [NS].
     """
     tune_session(spark)
+    from .similarity import _dot
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     cents = emb.filter(F.col("vec_id") % _STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("cvec")
     )
@@ -141,6 +143,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = emb.join(F.broadcast(cents)).select(
         "vec_id",
         "emb",
+        "nrm",
         "cell_id",
         F.row_number()
         .over(
@@ -151,7 +154,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     cells = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "emb", "cell_id"
+        "vec_id", "emb", "cell_id", "nrm"
     )
     qprobe = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= 4)
@@ -160,6 +163,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("cell_id").alias("q_cell"),
         F.col("rn").alias("probe_rank"),
+        F.col("nrm").alias("q_n"),
     )
     probes = spark.createDataFrame([(1,), (2,), (4,)], "n_probe long")
     cand = (
@@ -174,7 +178,8 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_probe",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("q_emb", "emb"), 6).alias("sim"),
+            # per-side norms precomputed before the cell join (r6)
+            F.round(_dot("q_emb", "emb") / (F.col("q_n") * F.col("nrm")), 6).alias("sim"),
         )
     ).cache()
     wk = Window.partitionBy("n_probe", "query_id").orderBy(
@@ -186,7 +191,8 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_probe", "query_id", "neighbor_id")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), "neighbor_id"
@@ -197,7 +203,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("q_emb", "emb"), 6).alias("sim"),
+            F.round(_dot("q_emb", "emb") / (F.col("q_n") * F.col("nrm")), 6).alias("sim"),
         )
         .withColumn("rk", F.row_number().over(wt))
         .filter(F.col("rk") <= _K)
@@ -294,12 +300,15 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion itself is rank arithmetic + one window. §2.B similarity
     mandate [NS].
     """
+    from .similarity import _dot
+
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
     )
     l2 = F.sqrt(
         F.aggregate(
@@ -314,7 +323,8 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("q_emb", "emb"), 6).alias("cos_sim"),
+            # per-side norms precomputed before the pair join (r6)
+            F.round(_dot("q_emb", "emb") / (F.col("q_n") * F.col("nrm")), 6).alias("cos_sim"),
             F.round(l2, 6).alias("l2_dist"),
         )
     )

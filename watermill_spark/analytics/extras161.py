@@ -25,7 +25,7 @@ from watermill_spark.session import tune_session
 from .det import bcount, dec
 from .extras107 import phi_inv_col, phi_inv_sql
 from .registry import load, register, spread
-from .similarity import _SQL_BUCKET, cosine, lsh_bucket
+from .similarity import _SQL_BUCKET, _dot, cosine, lsh_bucket
 
 _D15 = "decimal(38,15)"
 
@@ -87,16 +87,18 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"),
         F.col("emb").alias("emb_b"),
         F.col("label").alias("label_b"),
-    )
+    ).withColumn("n_b", F.sqrt(_dot("emb_b", "emb_b")))
+    ea = e.withColumn("n_a", F.sqrt(_dot("emb", "emb")))
     pairs = (
-        e.crossJoin(F.broadcast(b))
+        ea.crossJoin(F.broadcast(b))
         .filter(F.col("id_b") > F.col("vec_id"))
         .select(
             F.col("vec_id").alias("id_a"),
             "id_b",
             F.col("label").alias("label_a"),
             "label_b",
-            F.round(cosine("emb", "emb_b"), 6).alias("cos"),
+            # per-side norms precomputed before the O(n^2) join (r6)
+            F.round(_dot("emb", "emb_b") / (F.col("n_a") * F.col("n_b")), 6).alias("cos"),
         )
     )
     neg = (
@@ -271,12 +273,12 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_a"),
         F.col("label").alias("label_a"),
         "bucket",
-    )
+    ).withColumn("n_a", F.sqrt(_dot("emb_a", "emb_a")))
     b_side = sig.select(
         F.col("vec_id").alias("id_b"),
         F.col("emb").alias("emb_b"),
         F.col("label").alias("label_b"),
-    )
+    ).withColumn("n_b", F.sqrt(_dot("emb_b", "emb_b")))
     pairs = (
         cand.join(a_side, "id_a")
         .join(b_side, "id_b")
@@ -286,7 +288,8 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "label_b",
             "bucket",
-            F.round(cosine("emb_a", "emb_b"), 6).alias("cos"),
+            # per-side norms precomputed before the candidate join (r6)
+            F.round(_dot("emb_a", "emb_b") / (F.col("n_a") * F.col("n_b")), 6).alias("cos"),
         )
     )
     neg = (

@@ -41,7 +41,7 @@ from .dedup import (
 from .det import bcount
 from .extras66 import _TFIDF_MIN_SIM
 from .registry import load, register, spread
-from .similarity import _SQL_BUCKET, cosine, lsh_bucket
+from .similarity import _SQL_BUCKET, _dot, cosine, lsh_bucket
 
 # ---------------------------------------------------------------------------
 # Shared ANN-candidate machinery
@@ -149,12 +149,12 @@ def _ann_neighbors(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("emb_a"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("n_a", F.sqrt(_dot("emb_a", "emb_a")))
     b_side = sig.select(
         F.col("vec_id").alias("nid"),
         F.col("emb").alias("emb_b"),
         F.col("label").alias("nb_label"),
-    )
+    ).withColumn("n_b", F.sqrt(_dot("emb_b", "emb_b")))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         cand.join(a_side, "qid")
@@ -164,7 +164,8 @@ def _ann_neighbors(
             "true_label",
             "nb_label",
             "nid",
-            F.round(cosine("emb_a", "emb_b"), 6).alias("sim"),
+            # per-side norms precomputed before the candidate join (r6)
+            F.round(_dot("emb_a", "emb_b") / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -16,7 +16,7 @@ from watermill_spark.session import tune_session
 
 from .det import bcount
 from .registry import load, register, spread
-from .similarity import cosine
+from .similarity import _dot, cosine
 
 _HEX = "0123456789abcdef"
 
@@ -80,8 +80,10 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nb_label"),
         F.col("embedding").cast("array<double>").alias("qb"),
-    )
-    sim = F.round(cosine("qa", "qb"), 6)
+    ).withColumn("b_n", F.sqrt(_dot("qb", "qb")))
+    a = a.withColumn("a_n", F.sqrt(_dot("qa", "qa")))
+    # per-side norms precomputed before the O(n^2) pair join (similarity.py r6)
+    sim = F.round(_dot("qa", "qb") / (F.col("a_n") * F.col("b_n")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     nb = (
         a.join(F.broadcast(b), F.col("nid") != F.col("qid"))

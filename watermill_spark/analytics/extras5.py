@@ -245,32 +245,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical, so rankings match the textbook formula. row_number tiebreaks
     on term for a total order.
 
-    Scale: tf and df are two partial-aggregated group-bys over the exploded
-    token stream; the tf⨝df join on term carries NO broadcast hint —
-    |vocabulary| is data-scaled (Heaps' law plus junk strings: 1e8+ distinct
-    [a-z]+ terms at web-corpus size), so the hint the r5 audit's bounded-
-    class heuristic let through was removed (r5 verdict item 2) and AQE
-    decides from actual sizes (still a broadcast at every tested SF; a
-    vocabulary-partitioned sort-merge join at 100 TB, which is the correct
-    plan there — or cap the build side by df like q_tfidf_cosine_pairs_capped
-    when a bounded vocabulary is acceptable). The final
-    top-k is a WindowGroupLimit, keeping 5 rows per language per partition
-    before the shuffle. No pre-shuffle fan-out (spread): regex tokenization
-    is cheap relative to a corpus shuffle, and on a real multi-file corpus
+    Scale: ONE tokenize pass (r6 — previously tf and df each re-scanned and
+    re-regexed the corpus; regex tokenization of 100 TB of text is the
+    dominant stage, so halving the passes halves it). Correct because
+    documents is one-row-per-doc (doc_id unique ⇒ doc_id determines lang):
+    tf(lang,term) = Σ per-doc counts, and df(term) = COUNT(DISTINCT doc_id)
+    = the number of (doc,term) groups, summed over langs via a window — no
+    tf⨝df join, and no broadcast of the data-scaled vocabulary table
+    (|vocab| is 1e8+ at web-corpus size; r5 verdict item 2). The only
+    token-volume exchange is the (lang,doc,term) partial-aggregated
+    group-by; everything after it is vocabulary-scale. The final top-k is a
+    WindowGroupLimit, keeping 5 rows per language per partition before the
+    shuffle. No pre-shuffle fan-out (spread): on a real multi-file corpus
     the scan is already parallel — the map-side combine keeps per-partition
-    output at |lang|×|vocab| regardless. The corpus count rides inside the
-    same plan as a 1-row broadcast instead of a separate count() job.
+    output bounded regardless. The corpus count rides inside the same plan
+    as a 1-row broadcast instead of a separate count() job.
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term")
     )
-    tf = toks.groupBy("lang", "term").agg(bcount("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    per_doc = toks.groupBy("lang", "doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf_lang = per_doc.groupBy("lang", "term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).alias("df_lang"),
+    )
     n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf_lang.withColumn(
+            "df", F.sum("df_lang").over(Window.partitionBy("term")).cast("bigint")
+        )
         .crossJoin(F.broadcast(n1))
         .withColumn(
             "score",

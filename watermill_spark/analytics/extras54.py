@@ -271,24 +271,24 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. §2.B similarity surface [NS].
     """
     tune_session(spark)
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    from .similarity import cosine
+    from .similarity import _dot
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("la"),
+                   F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("nid"), F.col("label").alias("lb"),
+                   F.col("e").alias("eb"), F.col("nrm").alias("nb"))
 
     nb = (
-        a.join(F.broadcast(b), F.col("b.vec_id") != F.col("a.vec_id"))
+        a.join(F.broadcast(b), F.col("nid") != F.col("qid"))
         .select(
-            F.col("a.vec_id").alias("qid"),
-            (F.col("a.label") == F.col("b.label")).cast("int").alias("correct"),
-            F.round(
-                cosine(
-                    F.col("a.embedding").cast("array<double>"),
-                    F.col("b.embedding").cast("array<double>"),
-                ),
-                6,
-            ).alias("sim"),
-            F.col("b.vec_id").alias("nid"),
+            "qid",
+            (F.col("la") == F.col("lb")).cast("int").alias("correct"),
+            # per-side norms precomputed before the all-pairs join (r6)
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            "nid",
         )
         .select(
             "qid",

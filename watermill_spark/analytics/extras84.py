@@ -19,7 +19,7 @@ from watermill_spark.session import tune_session
 
 from .det import bcount, dec
 from .registry import load, register
-from .similarity import cosine
+from .similarity import _dot, cosine
 
 # C(n,k) binomial tail is awkward cross-engine; use the normal
 # approximation with continuity correction, shared literal z-cut.
@@ -180,18 +180,16 @@ def q_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings")
-    s = emb.filter(F.col("vec_id") < _SIM_SAMPLE)
-    a, b = s.alias("a"), s.alias("b")
+    s = emb.filter(F.col("vec_id") < _SIM_SAMPLE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     pairs = a.join(
-        F.broadcast(b), F.col("b.vec_id") > F.col("a.vec_id")
+        F.broadcast(b), F.col("id_b") > F.col("id_a")
     ).select(
-        F.round(
-            cosine(
-                F.col("a.embedding").cast("array<double>"),
-                F.col("b.embedding").cast("array<double>"),
-            ),
-            6,
-        ).alias("sim")
+        # per-side norms precomputed before the pair join (similarity.py r6)
+        F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("sim")
     )
     binned = pairs.groupBy(
         F.floor((F.col("sim") + 1.0) * 5).cast("bigint").alias("bin")

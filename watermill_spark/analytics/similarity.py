@@ -68,16 +68,22 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: broadcast the query vectors, narrow map computing cosine against
     every corpus vector, per-query top-k via row_number. The only shuffle is
     the final tiny top-k window on query_id.
+
+    Norms are precomputed per SIDE before the pair join (r6): cosine(q,c)
+    re-derived sqrt(dot(q,q)) and sqrt(dot(c,c)) for every |Q|×|C| pair —
+    3 array folds per pair where only the cross dot varies. Bit-identical:
+    same expressions, same dot/(q_n*c_n) operand order, evaluated once per
+    row instead of once per pair.
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("c_emb")
-    )
+    ).withColumn("c_n", F.sqrt(_dot("c_emb", "c_emb")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("q_emb")
-    )
-    sim = F.round(cosine("q_emb", "c_emb"), 6)
+    ).withColumn("q_n", F.sqrt(_dot("q_emb", "q_emb")))
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
@@ -116,13 +122,14 @@ def q_knn_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
-    )
+    ).withColumn("c_n", F.sqrt(_dot("c_emb", "c_emb")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
-    )
-    sim = F.round(cosine("q_emb", "c_emb"), 6)
+    ).withColumn("q_n", F.sqrt(_dot("q_emb", "q_emb")))
+    # per-side norms precomputed before the join (see q_knn_bruteforce, r6)
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         corpus.join(
@@ -220,11 +227,12 @@ def q_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("c_bucket"),
         F.col("emb").alias("c_emb"),
-    )
+    ).withColumn("c_n", F.sqrt(_dot("c_emb", "c_emb")))
     queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket", F.col("emb").alias("q_emb")
-    )
-    sim = F.round(cosine("q_emb", "c_emb"), 6)
+    ).withColumn("q_n", F.sqrt(_dot("q_emb", "q_emb")))
+    # per-side norms precomputed before the join (see q_knn_bruteforce, r6)
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         corpus.join(
@@ -265,11 +273,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").cast("array<double>").alias("a_emb")
-    )
+    ).withColumn("a_n", F.sqrt(_dot("a_emb", "a_emb")))
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").cast("array<double>").alias("b_emb")
-    )
-    sim = F.round(cosine("a_emb", "b_emb"), 6)
+    ).withColumn("b_n", F.sqrt(_dot("b_emb", "b_emb")))
+    # per-side norms precomputed before the O(n²) pair join (r6): 1 fold
+    # per pair instead of 3, bit-identical dot/(a_n*b_n) operand order
+    sim = F.round(_dot("a_emb", "b_emb") / (F.col("a_n") * F.col("b_n")), 6)
     return (
         a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", sim.alias("sim"))
@@ -595,10 +605,13 @@ def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").cast("array<double>").alias("a_emb"))
+                    F.col("embedding").cast("array<double>").alias("a_emb")
+                    ).withColumn("a_n", F.sqrt(_dot("a_emb", "a_emb")))
     eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").cast("array<double>").alias("b_emb"))
-    sim = F.round(cosine("a_emb", "b_emb"), 6)
+                    F.col("embedding").cast("array<double>").alias("b_emb")
+                    ).withColumn("b_n", F.sqrt(_dot("b_emb", "b_emb")))
+    # per-side norms precomputed before the candidate join (r6)
+    sim = F.round(_dot("a_emb", "b_emb") / (F.col("a_n") * F.col("b_n")), 6)
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
@@ -729,10 +742,13 @@ def q_dedup_embedding_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> 
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").cast("array<double>").alias("a_emb"))
+                    F.col("embedding").cast("array<double>").alias("a_emb")
+                    ).withColumn("a_n", F.sqrt(_dot("a_emb", "a_emb")))
     eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").cast("array<double>").alias("b_emb"))
-    sim = F.round(cosine("a_emb", "b_emb"), 6)
+                    F.col("embedding").cast("array<double>").alias("b_emb")
+                    ).withColumn("b_n", F.sqrt(_dot("b_emb", "b_emb")))
+    # per-side norms precomputed before the candidate join (r6)
+    sim = F.round(_dot("a_emb", "b_emb") / (F.col("a_n") * F.col("b_n")), 6)
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")

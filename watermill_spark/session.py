@@ -20,6 +20,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Join-strategy knobs, runtime-settable (tune_session applies them to driver
+# sessions too). Parameterized via env so cluster deployments can retune;
+# local defaults are chosen to ALSO hold at 100 TB — see tune_session.
+AQE_BCAST_THRESHOLD = os.environ.get("SPARK_GRAFT_AQE_BCAST", "64m")
+SHJ_LOCAL_MAP_THRESHOLD = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m")
+PREFER_SMJ = os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false")
+
+
 def get_spark(app_name: str = "watermill-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -65,4 +73,27 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # CORRECT at 100 TB, where customers scale with the corpus). AQE's
     # runtime SMJ→BHJ conversion still catches truly small sides from
     # actual shuffle sizes.
+    #
+    # Set here instead (r6, guide §3.1): the ADAPTIVE join thresholds, which
+    # act on MEASURED shuffle sizes, not Catalyst estimates — so the failure
+    # mode above cannot occur. A side only broadcast-converts when its real
+    # materialized size is ≤ the threshold; a fact table at 100 TB never is,
+    # while a dim-derived side that truly shrank (q05's ASIA customer×nation
+    # at sf0.1) converts and skips the sort+fetch. preferSortMergeJoin=false
+    # + the AQE local-map threshold let the planner/AQE pick shuffled-hash
+    # joins when the per-partition build side fits (≤64 MB/partition —
+    # modest executor memory at any scale; partition sizing at 100 TB is
+    # governed by AQE advisory sizes, keeping the bound valid). All three
+    # env-overridable (SPARK_GRAFT_AQE_BCAST / _SHJ_THRESHOLD / _PREFER_SMJ).
+    if AQE_BCAST_THRESHOLD:
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", AQE_BCAST_THRESHOLD
+        )
+    if SHJ_LOCAL_MAP_THRESHOLD:
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            SHJ_LOCAL_MAP_THRESHOLD,
+        )
+    if PREFER_SMJ:
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", PREFER_SMJ)
     return spark

@@ -1025,7 +1025,7 @@ class StreamingEmbeddingDedupFilter:
         owner that verifies at tau — the same owner the sequential pass
         blames. Null-id rows are dropped (see the text twin's docstring);
         ``attach`` routes identity-less messages as pass-through."""
-        from watermill_spark.analytics.similarity import cosine, hyperplane_bands
+        from watermill_spark.analytics.similarity import _dot, hyperplane_bands
 
         from watermill_spark.analytics.similarity import (
             hyperplane_bands_multiprobe,
@@ -1079,7 +1079,15 @@ class StreamingEmbeddingDedupFilter:
             )
             .localCheckpoint()
         )
-        verified = F.round(cosine("emb", "owner_emb"), 6) >= self.tau
+        # Per-side norms are precomputed ONCE (docs_n / o_n below) instead
+        # of cosine() re-deriving sqrt(dot(e,e)) and sqrt(dot(o,o)) for
+        # every candidate pair (r6: 1 array fold per pair instead of 3).
+        # Bit-identical: same expressions, same dot/(e_n*o_n) operand order.
+        verified = (
+            F.round(_dot("emb", "owner_emb") / (F.col("e_n") * F.col("o_n")), 6)
+            >= self.tau
+        )
+        docs_n = docs.withColumn("e_n", F.sqrt(_dot("emb", "emb")))
 
         # Stage 1: candidates against the prefix registry, cosine-verified.
         # First-batch fast path mirrors the text twin: no committed
@@ -1088,7 +1096,7 @@ class StreamingEmbeddingDedupFilter:
         reg_b = self.registry_bands(exclude_batch=batch_id)
         reg_v = self.registry_vecs(exclude_batch=batch_id).select(
             "owner", F.col("emb").alias("owner_emb")
-        )
+        ).withColumn("o_n", F.sqrt(_dot("owner_emb", "owner_emb")))
         if reg_live:
             cand = (
                 banded.join(reg_b, ["band_idx", "band_key"], "inner")
@@ -1096,7 +1104,7 @@ class StreamingEmbeddingDedupFilter:
                 .distinct()
             )
             hits = (
-                cand.join(docs, "doc_id")
+                cand.join(docs_n, "doc_id")
                 .join(reg_v, "owner")
                 .filter(verified)
                 .groupBy("doc_id")
@@ -1156,9 +1164,13 @@ class StreamingEmbeddingDedupFilter:
             .distinct()
         )
         edges = (
-            pairs.join(docs.select(F.col("doc_id").alias("a"), "emb"), "a")
+            pairs.join(docs_n.select(F.col("doc_id").alias("a"), "emb", "e_n"), "a")
             .join(
-                docs.select(F.col("doc_id").alias("b"), F.col("emb").alias("owner_emb")),
+                docs_n.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("emb").alias("owner_emb"),
+                    F.col("e_n").alias("o_n"),
+                ),
                 "b",
             )
             .filter(verified)
@@ -1274,6 +1286,7 @@ class StreamingEmbeddingDedupFilter:
             all_bands = reg_b.unionByName(new_bands)
             all_vecs = reg_v.unionByName(
                 new_vecs.select("owner", F.col("emb").alias("owner_emb"))
+                .withColumn("o_n", F.sqrt(_dot("owner_emb", "owner_emb")))
             )
             rejected_joined = (
                 banded.join(rejected_ids, "doc_id", "inner")
@@ -1281,7 +1294,7 @@ class StreamingEmbeddingDedupFilter:
                 .filter(F.col("owner") != F.col("doc_id"))
                 .select("doc_id", "owner")
                 .distinct()
-                .join(docs, "doc_id")
+                .join(docs_n, "doc_id")
                 .join(all_vecs, "owner")
                 .filter(verified)
                 .groupBy("doc_id")
