@@ -109,8 +109,12 @@ def lsh_candidate_pairs(
     (ca < b.ca) OR (ca == b.ca AND id < id) keeps each unordered pair
     exactly once; the emitted set is bit-identical to the naive join.
     """
-    banded = _banded(sigs, n_hashes, band_size).withColumn(
-        "ca", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+    banded = (
+        _banded(sigs, n_hashes, band_size)
+        .withColumn("ca", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int"))
+        # checkpointed once (r6): both sides of the bucket self-join
+        # otherwise re-derive the signature map per reference
+        .localCheckpoint(eager=True)
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"),

@@ -100,11 +100,14 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     tune_session(spark)
     docs = diagnostic_doc_sample(spread(load(spark, sf_dir, "documents")))
-    sigs = minhash_signatures(docs)
+    # checkpointed once (r6): cand + both signature sides + both tokenset
+    # sides re-derived the sample scan and the 8-hash map per reference
+    # (12 documents scans before)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs)
     toksets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
-    )
+    ).localCheckpoint(eager=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
     )

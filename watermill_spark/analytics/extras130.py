@@ -101,11 +101,14 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
+    # checkpointed once (r6): target/raw model builds and the scoring
+    # pass each re-ran the tokenize+md5 map over the corpus (3 passes);
+    # the hashed stream is narrow (two ids + one int) and read 3 times
     bucketed = toks.select(
         "doc_id",
         "lang",
         F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int").alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     target = bucketed.filter(F.col("lang") == "en").groupBy("b").agg(bcount("ct"))
     raw = bucketed.groupBy("b").agg(bcount("cr"))
     t_tot = target.agg(F.sum("ct").cast("bigint").alias("t"))

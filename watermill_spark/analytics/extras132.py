@@ -133,9 +133,13 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pre.select(
         F.col("doc_id").alias("db"), F.col("ts").alias("tb"), F.col("ph").alias("phb")
     )
-    cand = a.join(
-        b, (F.col("phb") == F.col("pha")) & (F.col("da") < F.col("db"))
-    ).select("da", "db", "ta", "tb")
+    cand = (
+        a.join(b, (F.col("phb") == F.col("pha")) & (F.col("da") < F.col("db")))
+        .select("da", "db", "ta", "tb")
+        # checkpointed once (r6): clipped() reads cand twice per n-gram
+        # order (a-side + b-side), re-tokenizing the corpus 8x before
+        .localCheckpoint(eager=True)
+    )
 
     def bigrams(col):
         c = F.col(col)

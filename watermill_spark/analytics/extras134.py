@@ -243,8 +243,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("ts"), j), F.lit(" "), F.element_at(F.col("ts"), j + 1)
         ),
     )
-    bi = pre.select("lang", "is_train", F.explode(bigr).alias("g")).distinct()
-    uni = pre.select("lang", "is_train", F.explode("ts").alias("g")).distinct()
+    # checkpoint both distinct n-gram sets once (r6): stats() reads each
+    # twice (test + train side), re-tokenizing the corpus per reference
+    bi = (
+        pre.select("lang", "is_train", F.explode(bigr).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        pre.select("lang", "is_train", F.explode("ts").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def stats(d: DataFrame, novel_col: str) -> DataFrame:
         test = d.filter(~F.col("is_train")).select("lang", "g")

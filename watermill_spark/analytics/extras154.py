@@ -260,6 +260,9 @@ def q_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("tok") >= 2)
         .groupBy("source", "tok")
         .agg(bcount("c"))
+        # checkpointed once (r6): totals and both self-join sides
+        # previously re-tokenized the corpus per reference
+        .localCheckpoint(eager=True)
     )
     totals = toks.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
     b = toks.select(

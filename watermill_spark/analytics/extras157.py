@@ -143,8 +143,18 @@ def q_ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("tok").over(wdoc).alias("w"),
         )
         .filter(F.col("w").isNotNull())
+        # checkpointed once (r6): train/test/ntrain each re-ran the
+        # tokenize + per-doc lead window (7 documents scans before)
+        .localCheckpoint(eager=True)
     )
-    train = bg.filter("is_train").groupBy("v", "w").agg(bcount("c"))
+    train = (
+        bg.filter("is_train")
+        .groupBy("v", "w")
+        .agg(bcount("c"))
+        # bigram-type grain (Heaps-sublinear): read by ctx/cont/consts
+        # and the scoring join
+        .localCheckpoint(eager=True)
+    )
     ctx = train.groupBy("v").agg(
         F.sum("c").cast("bigint").alias("cv"), bcount("n1p_v")
     )

@@ -247,12 +247,17 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).distinct()
+    # ONE tokenize pass (r6): the distinct (doc, token) stream is
+    # checkpointed once — df, the n_docs count, and BOTH sides of the
+    # in-doc pair join previously re-derived (re-tokenized) it per use
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     df_ = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     top = df_.orderBy(F.col("n").desc(), "t").limit(50)
-    ft = tok.join(F.broadcast(top), "t")
+    ft = tok.join(F.broadcast(top), "t").localCheckpoint(eager=True)
     n_docs = tok.select("doc_id").distinct().count()
     a = ft.alias("a")
     b = ft.alias("b")

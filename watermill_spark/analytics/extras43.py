@@ -85,12 +85,17 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(bcount("dlen"))
+    # ONE tokenize pass (r6): doc length == SUM(tf) per doc, so dl/stats/
+    # dfreq all derive from the checkpointed posting list instead of
+    # re-tokenizing the corpus per consumer (4 documents scans before)
+    tf = toks.groupBy("doc_id", "term").agg(bcount("tf")).localCheckpoint(
+        eager=True
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dlen"))
     stats = dl.agg(
         bcount("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(bcount("tf"))
     dfreq = tf.groupBy("term").agg(bcount("df"))
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + 0.5)

@@ -310,10 +310,12 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "A",
     ).otherwise("B")
+    # arm is a pure function of the group key, so it is projected AFTER
+    # the aggregate (r6): max(arm) carried a string agg buffer, which is
+    # not hash-aggregatable and forced a SortAggregate over all of events
     life = ev.groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias("life_days"),
-        F.max(arm).alias("arm"),
-    )
+    ).withColumn("arm", arm)
     grid = spark.range(0, 30).select(F.col("id").cast("bigint").alias("day"))
     # broadcast the 30-row day grid and stream the per-user side: the
     # previous orientation broadcast `life` (|users| rows, data-scaled)

@@ -197,13 +197,14 @@ def q_stratified_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "A",
     ).otherwise("B")
+    # arm projected after the aggregate — pure function of the group key
+    # (r6: string agg buffers force SortAggregate over all of events)
     activity = ev.groupBy("user_id").agg(
         bcount("n_events"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         ),
-        F.max(arm).alias("arm"),
-    )
+    ).withColumn("arm", arm)
     strat = activity.select(
         "arm",
         "converted",

@@ -212,9 +212,16 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("t")
     ).filter(F.col("t") != "")
+    # ONE tokenize pass (r6): vocab, per-source totals, and per-(source,
+    # term) counts all derive from a single checkpointed (source, t) count
+    # grid — the un-checkpointed form re-derived (and re-tokenized) the
+    # `tok` subtree in every consumer, 16 documents scans in the final
+    # plan. Counts are identical: COUNT(*) over tokens == SUM of the
+    # (source, t) counts.
+    g = tok.groupBy("source", "t").agg(bcount("c")).localCheckpoint(eager=True)
     vocab = (
-        tok.groupBy("t")
-        .agg(bcount("c"))
+        g.groupBy("t")
+        .agg(F.sum("c").cast("bigint").alias("c"))
         .select(
             "t",
             F.row_number()
@@ -224,11 +231,9 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _DELTA_TOP)
         .select("t")
     )
-    src_tot = tok.groupBy("source").agg(bcount("n"))
-    cnt = (
-        tok.join(F.broadcast(vocab), "t")
-        .groupBy("source", "t")
-        .agg(bcount("ct"))
+    src_tot = g.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    cnt = g.join(F.broadcast(vocab), "t").select(
+        "source", "t", F.col("c").alias("ct")
     )
     spine = src_tot.crossJoin(F.broadcast(vocab))
     freq = spine.join(cnt, ["source", "t"], "left").select(

@@ -168,7 +168,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).filter(F.col("t") != "")
-    tf = tok.groupBy("doc_id", "t").agg(bcount("c"))
+    # ONE tokenize pass (r6): the posting list (the inverted index — THE
+    # data structure of this algorithm) is materialized once; previously
+    # df/nd/w/norms and both sides of the postings self-join each re-derived
+    # it from the raw scan — 12 documents scans in the final plan.
+    tf = tok.groupBy("doc_id", "t").agg(bcount("c")).localCheckpoint(eager=True)
     df_t = tf.groupBy("t").agg(bcount("dfc"))
     nd = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
     w = (
@@ -182,7 +186,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * ((F.col("n") + 1).cast("double") / (F.col("dfc") + 1))
             ).alias("wt"),
         )
-    )
+    ).localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,6)")).cast("double")

@@ -317,10 +317,11 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "A",
     ).otherwise("B")
+    # arm projected after the aggregate — pure function of the group key
+    # (r6: string agg buffers force SortAggregate over all of events)
     users = ev.groupBy("user_id").agg(
         F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("k"),
-        F.max(arm).alias("arm"),
-    )
+    ).withColumn("arm", arm)
     mom = users.agg(
         F.count_if(F.col("arm") == "A").cast("bigint").alias("n1"),
         F.count_if(F.col("arm") == "B").cast("bigint").alias("n2"),

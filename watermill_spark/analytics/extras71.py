@@ -175,9 +175,14 @@ def q_kl_coding_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("t")
     ).filter(F.col("t") != "")
-    corpus = tok.groupBy("t").agg(bcount("c"))
+    # ONE tokenize pass (r6): corpus counts are the per-source counts
+    # summed over sources, so everything derives from the checkpointed
+    # (source, t) grid instead of four tokenize subtrees
+    src = tok.groupBy("source", "t").agg(bcount("cs")).localCheckpoint(
+        eager=True
+    )
+    corpus = src.groupBy("t").agg(F.sum("cs").cast("bigint").alias("c"))
     corpus_n = corpus.agg(F.sum("c").cast("bigint").alias("n"))
-    src = tok.groupBy("source", "t").agg(bcount("cs"))
     src_n = src.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ns"))
     p_s = F.col("cs").cast("double") / F.col("ns")
     p_c = F.col("c").cast("double") / F.col("n")

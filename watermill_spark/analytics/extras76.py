@@ -76,7 +76,9 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t") != ""
     )
     counts = tok.groupBy("t").agg(bcount("c"))
-    fof = counts.groupBy("c").agg(bcount("nc"))
+    # checkpoint the tiny frequency-of-frequencies grid (r6): its four
+    # consumers each re-derived the whole tokenize+count lineage
+    fof = counts.groupBy("c").agg(bcount("nc")).localCheckpoint(eager=True)
     n_tot = fof.agg(F.sum(F.col("c") * F.col("nc")).cast("bigint").alias("n"))
     n1 = fof.filter(F.col("c") == 1).select(F.col("nc").alias("n1"))
     fnext = fof.select((F.col("c") - 1).alias("c"), F.col("nc").alias("nc_next"))

@@ -359,10 +359,13 @@ def q_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
+    # checkpoint the distinct (source, token) set once (r6): sizes and
+    # both sides of the pair join re-tokenized the corpus per reference
     tok = (
         docs.select("source", F.explode(F.split("text", " ")).alias("t"))
         .filter(F.col("t") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = tok.groupBy("source").agg(bcount("v"))
     ta, tb = tok.alias("ta"), tok.alias("tb")

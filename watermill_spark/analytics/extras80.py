@@ -224,7 +224,9 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "A",
     ).otherwise("B")
-    users = ev.groupBy("user_id").agg(bcount("k"), F.max(arm).alias("arm"))
+    # arm projected after the aggregate — pure function of the group key
+    # (r6: string agg buffers force SortAggregate over all of events)
+    users = ev.groupBy("user_id").agg(bcount("k")).withColumn("arm", arm)
     support = users.groupBy("k").agg(
         F.count_if(F.col("arm") == "A").cast("bigint").alias("ca"),
         F.count_if(F.col("arm") == "B").cast("bigint").alias("cb"),

@@ -101,7 +101,9 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "A",
     ).otherwise("B")
-    users = ev.groupBy("user_id").agg(bcount("k"), F.max(arm).alias("arm"))
+    # arm projected after the aggregate — pure function of the group key
+    # (r6: string agg buffers force SortAggregate over all of events)
+    users = ev.groupBy("user_id").agg(bcount("k")).withColumn("arm", arm)
     ha = users.filter(F.col("arm") == "A").groupBy("k").agg(bcount("c"))
     hb = users.filter(F.col("arm") == "B").groupBy("k").agg(bcount("c"))
     diffs = (

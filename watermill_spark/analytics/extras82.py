@@ -245,10 +245,10 @@ def q_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t") != "")
     )
-    halves = tok.groupBy("half").agg(bcount("n"))
-    n0 = halves.filter(F.col("half") == 0).select(F.col("n").alias("n0"))
-    n1 = halves.filter(F.col("half") == 1).select(F.col("n").alias("n1"))
-    tc = (
+    # ONE tokenize pass (r6): the per-token half-counts grid is computed
+    # once; half totals are its column sums (identical integers), so the
+    # halves pass no longer re-tokenizes the corpus
+    g = (
         tok.groupBy("t")
         .agg(
             F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
@@ -258,8 +258,15 @@ def q_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("c1"),
         )
-        .filter(F.col("c0") + F.col("c1") >= 20)
+        .localCheckpoint(eager=True)
     )
+    tots = g.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    n0 = tots.select("n0")
+    n1 = tots.select("n1")
+    tc = g.filter(F.col("c0") + F.col("c1") >= 20)
     scored = tc.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(n1)).select(
         "t",
         "c0",

@@ -128,8 +128,16 @@ decode_stub_batch = _make_decode_kernel()
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """media table → feature table (Arrow-batched, one pass)."""
-    return media.mapInPandas(decode_stub_batch, FEATURE_SCHEMA)
+    """media table → feature table (Arrow-batched, one pass).
+
+    Only the columns the kernel reads cross the JVM→Python boundary
+    (guide §4.1: Spark cannot see inside an opaque function, so an
+    un-projected mapInPandas would ship — and read from storage — every
+    column, including ``meta``/``mime`` that the decoder never touches).
+    """
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        decode_stub_batch, FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
