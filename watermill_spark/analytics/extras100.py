@@ -133,10 +133,13 @@ def q_bayes_ab_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 2 == 1, "B").otherwise("A").alias("arm"),
         "converted",
     )
+    # checkpointed once (r6): the 2-row arm table feeds the whole grid
+    # pipeline, whose many references re-derived the per-user events
+    # rollup 21 times in the final plan
     arms = per_user.groupBy("arm").agg(
         F.sum("converted").cast("bigint").alias("s"),
         (F.count(F.lit(1)) - F.sum("converted")).cast("bigint").alias("f"),
-    )
+    ).localCheckpoint(eager=True)
     # integer grid index `gi` rides alongside p so the B↔cum_A match-up
     # joins on an exact integer key, never on a computed double (ADVICE r1)
     grid = spark.range(_GRID_N).select(

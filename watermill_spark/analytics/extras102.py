@@ -227,11 +227,13 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
+    # checkpointed once (r6): the three rating windows each re-derived
+    # this per-user rollup from the events scan (9 scans in the plan)
     feats = ev.groupBy("user_id").agg(
         bcount("n_ev"),
         F.sum(dec("value")).alias("tot_v"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
-    )
+    ).localCheckpoint(eager=True)
     votes = None
     for rater, col in ((1, "n_ev"), (2, "tot_v"), (3, "n_types")):
         v = feats.select(

@@ -278,9 +278,12 @@ def q_westgard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): the day grid feeds the moments and the z
+    # map (and through it five windowed rules) — each reference
+    # re-derived the fact aggregation (10 lineitem scans in the plan)
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         F.sum(F.col("y").cast(_D15)).cast("double").alias("s"),

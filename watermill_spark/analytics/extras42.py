@@ -315,11 +315,20 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     evw = ev.crossJoin(F.broadcast(b)).select(
         "user_id", F.date_trunc("week", "ts").alias("wk"), "w0"
     )
-    s1 = evw.filter(F.col("wk") == F.col("w0")).select("user_id").distinct()
+    # checkpointed once each (r6): the size aggregates and the
+    # intersection join re-derived both distinct sets from the events
+    # scan (8 scans in the plan)
+    s1 = (
+        evw.filter(F.col("wk") == F.col("w0"))
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     s2 = (
         evw.filter(F.col("wk") == F.col("w0") + F.expr("INTERVAL 7 DAY"))
         .select("user_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n1 = s1.agg(bcount("n1"))
     n2 = s2.agg(bcount("n2"))

@@ -129,6 +129,10 @@ def q_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("c2"),
             F.count_distinct("l_partkey").cast("double").alias("c3"),
         )
+        # checkpointed once (r6): the |brands| criteria grid feeds norms,
+        # entropy weights, and the closeness stage — each reference
+        # re-derived the lineitem join (12 scans in the plan)
+        .localCheckpoint(eager=True)
     )
 
     def l2(c: str, alias: str):

@@ -151,13 +151,17 @@ def q_colley_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("winner") == F.col("b"), 1).otherwise(0).alias("win"),
         )
     )
+    # checkpointed once (r6): the nation-pair grain feeds rec, the seed
+    # vector, and every unrolled iteration — each reference re-derived
+    # the 4-table fact join (16 scans of each fact table in the plan)
+    sides = sides.localCheckpoint(eager=True)
     rec = sides.groupBy("nk").agg(
         bcount("n_games"), F.sum("win").cast("bigint").alias("wins")
     )
     r = rec.select("nk", F.lit(0.5).alias("r"))
     base = rec.join(sides, "nk").select(
         "nk", "opp", "wins", "n_games"
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(3):
         r = (
             base.join(

@@ -131,9 +131,11 @@ def q_che_lru_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(86400000000.0)
         ).alias("days")
     )
+    # checkpointed once (r6): every Newton step re-referenced lam, each
+    # re-deriving the per-user rollup (11 events scans in the plan)
     lam = freq.crossJoin(F.broadcast(span)).select(
         "cnt", (F.col("cnt").cast("double") / F.col("days")).alias("l")
-    )
+    ).localCheckpoint(eager=True)
     d15 = "decimal(38,15)"
     cap = freq.agg(
         (F.count(F.lit(1)) / 2).cast("bigint").alias("c")
