@@ -116,9 +116,9 @@ def q_periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.B window family [NS].
     """
     tune_session(spark)
-    # checkpointed once (r6): the bounded day grid feeds moments, the
-    # z map, and both sides of the pair product — each reference
-    # re-derived the fact aggregation (12 lineitem scans in the plan)
+    # checkpointed once (r6): the bounded day grid feeds the demeaning
+    # moments and the projection pass — each re-derived the fact
+    # aggregation (2 lineitem scans in the plan)
     idx = _idx(spark, sf_dir).localCheckpoint(eager=True)
     mu = idx.agg(
         (F.sum(F.col("y").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(
@@ -217,7 +217,10 @@ def q_recurrence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     [NS].
     """
     tune_session(spark)
-    idx = _idx(spark, sf_dir)
+    # checkpointed once (r6): the bounded day grid feeds moments, the
+    # z map, and both sides of the pair product — each reference
+    # re-derived the fact aggregation (12 lineitem scans in the plan)
+    idx = _idx(spark, sf_dir).localCheckpoint(eager=True)
     mu = idx.agg(
         (F.sum(F.col("y").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(
             "m"
