@@ -24,8 +24,13 @@ from watermill_spark.analytics.registry import REGISTRY  # noqa: E402
 from watermill_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-# base tables = parquet files of the harness corpus
-_TBL = re.compile(r"Scan parquet[^\n]*?([a-z_0-9]+)\.parquet")
+# base tables = parquet files of the harness corpus. In formatted explain
+# the scan node header ("(1) Scan parquet") and its path are on DIFFERENT
+# lines; the path appears exactly once per scan node in the details section
+# as "Location: InMemoryFileIndex [file:...<table>.parquet]" — so counting
+# Location lines counts actual scan nodes (a same-line "Scan parquet ...
+# .parquet" regex matches nothing on Spark 4.1).
+_TBL = re.compile(r"Location: \w*FileIndex \[[^\]\n]*?([a-z_0-9]+)\.parquet")
 
 
 def main() -> None:
@@ -49,6 +54,12 @@ def main() -> None:
         multi = {t: c for t, c in counts.items() if c > 1}
         if multi:
             out[name] = {"scans": multi}
+            # Queries that .cache()/.localCheckpoint() an intermediate print
+            # the cached subtree's scan once per REFERENCE, but execution
+            # materializes it once — flag them so the triage can discount
+            # these plan-text-only "re-scans" (q_kcore_trade and friends).
+            if "InMemoryRelation" in plan or "InMemoryTableScan" in plan:
+                out[name]["cached"] = True
         if (i + 1) % 100 == 0:
             print(f"{i + 1}/{len(qs)} swept", flush=True)
     with open(out_path, "w") as fh:

@@ -323,6 +323,11 @@ def q_poisson_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("n_events").cast("double")).alias("x"),
         F.col("y").cast("double").alias("y"),
     )
+    # checkpointed once (r6): ybar + the 4 Newton steps + the deviance
+    # pass each re-derived the fact rollup (7 events scans in the plan) —
+    # the docstring's "at 100 TB you'd materialize that rollup once" is
+    # now what actually happens, at every scale
+    per_user = per_user.localCheckpoint(eager=True)
     ybar = per_user.agg(
         (F.sum(dec("y")).cast("double") / F.count(F.lit(1))).alias("yb")
     )

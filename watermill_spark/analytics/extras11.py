@@ -131,6 +131,10 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
+        # checkpointed once (r6): e1/e2/e3 and the member explode each
+        # re-derived the 4-table fact join (9 lineitem scans in the plan);
+        # the ≤|nations|² edge grid is materialized once instead
+        .localCheckpoint(eager=True)
     )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))

@@ -363,6 +363,10 @@ def q_two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("_w"))
         .select("src", "dst")
+        # checkpointed once (r6): nodes (×2), both hop-2 sides, reach and
+        # the edge count each re-derived the 4-table fact join (6 lineitem
+        # scans in the plan); the ≤|nations|² edge list materializes once
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("src").alias("n")).union(e.select("dst")).distinct()
     b = e.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))

@@ -156,6 +156,10 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("dst").isNotNull() & (F.col("src") != "purchase"))
         .groupBy("src", "dst")
         .agg(bcount("c"))
+        # checkpointed once (r6): tot/probs/removals each re-derived the
+        # per-user lead window over the fact table; the ≤|types|² grid
+        # materializes once
+        .localCheckpoint(eager=True)
     )
     tot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("n"))
     probs = trans.join(tot, "src").select(
@@ -227,6 +231,11 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("state"))
+        # checkpointed once (r6): the total count and the per-state rollup
+        # each re-ran the first-event window over the fact table; the
+        # |users|-row firsts table materializes once (same class as the
+        # pass-3 per-user grids)
+        .localCheckpoint(eager=True)
     )
     nf = firsts.agg(bcount("nf"))
     starts = (

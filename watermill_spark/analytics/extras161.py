@@ -529,6 +529,10 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.when(((F.dayofweek("d") + 5) % 7) + 1 >= 6, 1).otherwise(0).alias("g"),
     )
+    # checkpointed once (r6): the rank/median/deviation/score chains each
+    # re-derived the fact aggregation (8 lineitem scans in the plan); the
+    # bounded day grid materializes once
+    lab = lab.localCheckpoint(eager=True)
     wg = Window.partitionBy("g").orderBy("y", "d")
     ranked = lab.select(
         "g",

@@ -551,6 +551,11 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
+        # checkpointed once (r6): sym (×2), the wedge self-join sides and
+        # the closure probe each re-derived the 4-table fact join (7
+        # lineitem scans in the plan) — now the docstring's "fact table
+        # touched exactly once" actually holds
+        .localCheckpoint(eager=True)
     )
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))

@@ -262,6 +262,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("w").desc(), "a", "b")
         .limit(100)
         .select("a", "b")
+        # checkpointed once (r6): sym (×2) and both degree-join sides each
+        # re-derived the 4-table fact join + top-100 (6 lineitem scans in
+        # the plan); the ≤100-row edge set materializes once
+        .localCheckpoint(eager=True)
     )
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))

@@ -47,6 +47,12 @@ def _spark_centered_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.year("o_orderdate") == 1995)
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+        # checkpointed once (r6): every caller references the returned
+        # grid 2-8× (moments, gammas, lag windows, frequency products) and
+        # each reference re-derived this fact aggregation — the ≤365-row
+        # 1995 day grid is materialized once; orders is scanned exactly
+        # once per query
+        .localCheckpoint(eager=True)
     )
     stats = daily.agg(
         bcount("n"),

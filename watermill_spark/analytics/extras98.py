@@ -245,6 +245,11 @@ def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("r"),
         F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("c"),
     ).agg(bcount("o"))
+    # checkpointed once (r6): rt/ct/n and the G-sum each re-derived the
+    # fact rollup (8 events scans in the plan) — now the docstring's
+    # "marginals derive from the cell grid, never a fact re-scan" holds;
+    # the ≤|types|×2 cell grid materializes once
+    obs = obs.localCheckpoint(eager=True)
     rt = obs.groupBy("r").agg(F.sum("o").cast("bigint").alias("ro"))
     ct = obs.groupBy("c").agg(F.sum("o").cast("bigint").alias("co"))
     n = obs.agg(F.sum("o").cast("bigint").alias("nn"))
