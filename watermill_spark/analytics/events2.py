@@ -47,6 +47,11 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("s"))
     )
+    # checkpointed once (r6): each downstream stage and the final counts
+    # re-derived the earlier stages (6 events scans in the plan); the
+    # per-user stage tables materialize once, leaving one pushdown-pruned
+    # events scan per funnel stage — the minimal shape
+    su = su.localCheckpoint(eager=True)
     cl = (
         ev.filter(F.col("event_type") == "click")
         .join(su, "user_id")
@@ -54,6 +59,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("c"))
     )
+    cl = cl.localCheckpoint(eager=True)
     pu = (
         ev.filter(F.col("event_type") == "purchase")
         .join(cl, "user_id")

@@ -461,6 +461,10 @@ def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("svv"),
     )
+    # checkpointed once (r6): pool/ss/final each re-derived the
+    # customer⨝nation moment rollup (3 fact scans in the plan); the
+    # ≤|nations|-row grid materializes once
+    g = g.localCheckpoint(eager=True)
     mean_g = F.col("sv") / F.col("ng")
     se2_g = (F.col("svv") - F.col("sv") * F.col("sv") / F.col("ng")) / (
         F.col("ng") - 1

@@ -190,6 +190,10 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
     )
+    # checkpointed once (r6): brand totals and both self-join sides each
+    # re-derived the 3-table fact star (4 fact scans in the plan); the
+    # ≤|customers|×|brands| incidence grid materializes once
+    inc = inc.localCheckpoint(eager=True)
     nb = inc.groupBy("brand").agg(bcount("n"))
     a = inc.select("cust", F.col("brand").alias("ba"))
     b = inc.select("cust", F.col("brand").alias("bb"))

@@ -120,6 +120,10 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.groupBy("brand").agg(
         F.sum("r").cast("bigint").alias("rsum"), bcount("m")
     )
+    # checkpointed once (r6): mmax/full_b/dims/s each re-derived the
+    # 3-table fact join + ranking window (5 fact scans in the plan); the
+    # ≤|brands|-row rank-sum grid materializes once
+    sums = sums.localCheckpoint(eager=True)
     mmax = sums.agg(F.max("m").alias("mx"))
     full_b = sums.crossJoin(F.broadcast(mmax)).filter(
         F.col("m") == F.col("mx")

@@ -193,6 +193,10 @@ def q_boxcox_lambda_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("lnv").cast(_D15)).cast("double").alias("slnv"),
     )
+    # checkpointed once (r6): mom2's mean join and the final LL join each
+    # re-derived the first fact pass (6 orders scans in the plan); the
+    # 5-row first-moment grid materializes once
+    mom1 = mom1.localCheckpoint(eager=True)
     # two-pass variance (see oracle comment): join the per-lambda mean back
     mom2 = (
         tr.join(F.broadcast(mom1.select("lam", "mu")), "lam")
@@ -209,6 +213,10 @@ def q_boxcox_lambda_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slnv"
     )
     ll = joined.select("lam", "n", loglik.alias("loglik"))
+    # the best-λ probe and the output each reference ll; materializing
+    # the 5-row grid keeps the second fact pass (mom2) single-run:
+    # 6 fact scans → 2, the two-pass variance minimum
+    ll = ll.localCheckpoint(eager=True)
     best = ll.agg(F.max("loglik").alias("mx"))
     return (
         ll.crossJoin(F.broadcast(best))

@@ -170,6 +170,11 @@ def q_rule_metrics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
         .distinct()
     )
+    # checkpointed once (r6): the nu count, supp, and both pair-join
+    # sides each re-derived the 3-table fact join (4 fact scans in the
+    # plan); the ≤|customers|×|brands| incidence grid materializes once
+    # (same class as the pass-3 per-user grids)
+    baskets = baskets.localCheckpoint(eager=True)
     nu = baskets.select("u").distinct().count()
     supp = baskets.groupBy("i").agg(bcount("c"))
     a = baskets.select("u", F.col("i").alias("ante"))

@@ -466,6 +466,10 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("q"),
     )
     grid = v.groupBy("g", "q").agg(bcount("cnt"))
+    # checkpointed once (r6): both pair-join sides and the g/q marginals
+    # each re-derived the lineitem⨝orders rollup (4 fact scans in the
+    # plan); the ≤5×50 count grid materializes once
+    grid = grid.localCheckpoint(eager=True)
     a, b = grid.alias("a"), grid.alias("b")
     j2 = (
         a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))

@@ -281,6 +281,10 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # checkpointed once (r6): the endpoint union references the edge set
+    # twice, each re-deriving the 4-table fact join (2 lineitem scans in
+    # the plan); the ≤|nations|² edge set materializes once
+    und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select("b"))

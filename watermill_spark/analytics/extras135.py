@@ -233,6 +233,10 @@ def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("y"))
     )
+    # checkpointed once (r6): the nation and region series each
+    # re-derived the 4-table star rollup (2 fact scans in the plan); the
+    # ≤|nations|×|months| grid materializes once
+    base = base.localCheckpoint(eager=True)
     wn = Window.partitionBy("region", "nation")
     nat = (
         base.select(

@@ -239,6 +239,11 @@ def q_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev2"),
         )
     )
+    # checkpointed once (r6): the max-revenue probe and the quadrant
+    # projection each re-derived the orders⨝customer rollup (+its rng
+    # prescan — 4 orders scans in the plan); the ≤|nations|-row grid
+    # materializes once, leaving rng + rollup as the only fact passes
+    per_nation = per_nation.localCheckpoint(eager=True)
     mx = per_nation.agg(F.max("rev").alias("max_rev"))
     rel = F.col("rev") / F.col("max_rev")
     gr = (F.col("rev2") - F.col("rev1")) / F.col("rev1")

@@ -286,6 +286,10 @@ def q_engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    # checkpointed once (r6): the level fit, residual pass, and both
+    # Dickey-Fuller aggregates each re-derived the fact rollup (6 events
+    # scans in the plan); the calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         F.sum(F.col("x").cast(_D15)).cast("double").alias("sx"),

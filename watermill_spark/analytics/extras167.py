@@ -87,6 +87,11 @@ def _nation_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ss"),
     )
+    # checkpointed once (r6): the a/b weekend-split self-join below and
+    # every caller's re-reference of eff each re-derived the
+    # orders⨝customer⨝nation fact rollup (4-6 fact scans per consumer
+    # query); the ≤2·|nations|-row moment grid materializes once
+    grp = grp.localCheckpoint(eager=True)
     a = grp.filter((F.col("we") == 1) & (F.col("n") >= 2)).select(
         "nation",
         F.col("n").alias("n1"),

@@ -140,6 +140,11 @@ def _ann_neighbors(
         )
     else:
         sig = sig.withColumn("is_q", F.lit(True))
+    # checkpointed once (r6): the bucket fan-out and both settle-join
+    # sides each re-scanned embeddings and re-stamped the LSH bucket
+    # (6 embeddings scans in the plan); the signature table materializes
+    # once and all three consumers read it
+    sig = sig.localCheckpoint(eager=True)
     cand = (
         sig.select("bucket", "vec_id", "emb", "is_q")
         .groupBy("bucket")

@@ -403,6 +403,11 @@ def q_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
     )
+    # checkpointed once (r6): each chained stage and the stage counts
+    # re-derived the earlier per-user reductions (6 events scans in the
+    # plan); the per-user stage tables materialize once, leaving one
+    # full + two pushdown-pruned events scans — the minimal shape
+    v = v.localCheckpoint(eager=True)
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     c = (
         clicks.join(v, "user_id")
@@ -413,6 +418,7 @@ def q_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "t_view")
         .agg(F.min("ts").alias("t_click"))
     )
+    c = c.localCheckpoint(eager=True)
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     p = (
         purchases.join(c, "user_id")

@@ -71,6 +71,10 @@ def q_assoc_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_type")
         .distinct()
     )
+    # checkpointed once (r6): the order count, item counts, and both
+    # basket self-join sides each re-derived the lineitem⨝part distinct
+    # (4 fact scans in the plan); the incidence set materializes once
+    items = items.localCheckpoint(eager=True)
     n_orders = items.select("l_orderkey").distinct().count()
     item_n = items.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_item"))
     a = items.alias("a")

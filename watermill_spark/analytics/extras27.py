@@ -145,17 +145,26 @@ def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     joined = li.join(part, li.l_partkey == part.p_partkey)
+    # r6: top5 and the day series each re-scanned the fact, and the pair
+    # self-join doubled the day series — 4 lineitem scans. Both now
+    # derive from ONE checkpointed |brands|×|days| DECIMAL grid: the
+    # brand totals are sums of the per-day decimal sums (exact by
+    # decimal-addition associativity), and the top-5 day series is a
+    # filter of the grid. 4 fact scans → 1.
+    grid = (
+        joined.groupBy("p_brand", F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.sum(dec("l_extendedprice")).alias("revd"))
+        .localCheckpoint(eager=True)
+    )
     top5 = (
-        joined.groupBy("p_brand")
-        .agg(F.sum(dec("l_extendedprice")).alias("rev"))
+        grid.groupBy("p_brand")
+        .agg(F.sum("revd").alias("rev"))
         .orderBy(F.col("rev").desc(), "p_brand")
         .limit(5)
         .select("p_brand")
     )
-    bd = (
-        joined.join(F.broadcast(top5), "p_brand")
-        .groupBy("p_brand", F.date_trunc("day", "l_shipdate").alias("day"))
-        .agg(F.sum(dec("l_extendedprice")).cast("double").alias("rev"))
+    bd = grid.join(F.broadcast(top5), "p_brand").select(
+        "p_brand", "day", F.col("revd").cast("double").alias("rev")
     )
     a = bd.alias("a")
     b = bd.alias("b")

@@ -114,7 +114,12 @@ def q_supplier_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "o_custkey")
         .distinct()
     )
+    # checkpointed once (r6): sizes (×2 via sa/sb) and both projection
+    # sides each re-derived the lineitem⨝orders distinct (4 fact scans
+    # in the plan); the incidence set materializes once
+    sc = sc.localCheckpoint(eager=True)
     sizes = sc.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.localCheckpoint(eager=True)
     a = sc.alias("a")
     b = sc.alias("b")
     pairs = (

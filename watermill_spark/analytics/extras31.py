@@ -301,6 +301,11 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
     )
+    # checkpointed once (r6): the verify join references toksets twice
+    # per banding config (6 document scans+tokenizes in the plan); the
+    # doc-grain token-set table materializes once (posting-list class,
+    # same as the pass-2 q_tfidf_cosine_pairs checkpoint)
+    toksets = toksets.localCheckpoint(eager=True)
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("double") - inter
     out = None

@@ -344,22 +344,33 @@ def q_fixed_effects_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "l_shipdate").alias("mth"),
     )
 
-    def means(df, key):
-        return df.groupBy(key).agg(
+    # r6: the brand / month / grand means used to be three separate
+    # aggregations, and nb/nm re-derived two of them — six fact scans for
+    # one regression. One GROUPING SETS pass computes all three grids
+    # with the identical per-group decimal sums (exact integer-scaled
+    # addition is order- and grouping-independent), and the ≤(|brands| +
+    # |months| + 1)-row result is checkpointed so every later reference
+    # reads materialized rows: 6 fact scans → 2 (means pass + demeaned
+    # pass — the minimum without changing the float shape the oracle
+    # pins).
+    g = (
+        base.groupingSets([["brand"], ["mth"], []], "brand", "mth")
+        .agg(
             (F.sum(dec("x", "decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("mx"),
             (F.sum(dec("y", "decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("my"),
+            bcount("n"),
+            F.grouping_id().alias("gid"),
         )
-
-    gb = means(base, "brand").withColumnRenamed("mx", "bx").withColumnRenamed(
-        "my", "by"
+        .localCheckpoint(eager=True)
     )
-    gm = means(base, "mth").withColumnRenamed("mx", "tx").withColumnRenamed(
-        "my", "ty"
+    gb = g.filter(F.col("gid") == 1).select(
+        "brand", F.col("mx").alias("bx"), F.col("my").alias("by")
     )
-    gg = base.agg(
-        (F.sum(dec("x", "decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("gx"),
-        (F.sum(dec("y", "decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("gy"),
-        bcount("n"),
+    gm = g.filter(F.col("gid") == 2).select(
+        "mth", F.col("mx").alias("tx"), F.col("my").alias("ty")
+    )
+    gg = g.filter(F.col("gid") == 3).select(
+        F.col("mx").alias("gx"), F.col("my").alias("gy"), "n"
     )
     dm = (
         base.join(F.broadcast(gb), "brand")

@@ -82,6 +82,10 @@ def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("grp"))
         .agg(bcount("n_g"), F.sum(dec("o_totalprice")).alias("s_g"))
     )
+    # checkpointed once (r6): tot and both reps derivations each
+    # re-derived the orders⨝customer rollup (4 fact scans in the plan);
+    # the ≤|nations|-row group-sum grid materializes once
+    g = g.localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("double").alias("s"),

@@ -233,19 +233,29 @@ def q_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
     base = o.select(F.col("o_custkey").alias("cl"), F.col("o_totalprice").alias("y"))
-    t = base.agg(
-        bcount("n"),
-        (
-            F.sum(dec("y", "decimal(20,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("ybar"),
-    )
+    # r6: t/g/ssb/ssw each re-scanned the fact (6 orders scans in the
+    # plan). The cluster grid now carries its DECIMAL sum and is
+    # checkpointed; the global mean derives from those exact per-cluster
+    # sums (decimal addition is associative, so Σs_g casts to the
+    # identical double as the one-pass global sum), leaving the
+    # within-deviation join as the only other fact scan: 6 → 2, the
+    # two-pass ANOVA minimum.
     g = base.groupBy("cl").agg(
         bcount("n_g"),
+        F.sum(dec("y", "decimal(20,6)")).alias("s_g"),
+    ).select(
+        "cl",
+        "n_g",
+        "s_g",
+        (F.col("s_g").cast("double") / F.col("n_g").cast("double")).alias("m_g"),
+    )
+    g = g.localCheckpoint(eager=True)
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
         (
-            F.sum(dec("y", "decimal(20,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("m_g"),
+            F.sum("s_g").cast("double")
+            / F.sum("n_g").cast("double")
+        ).alias("ybar"),
     )
     k_ = g.agg(
         bcount("k"),

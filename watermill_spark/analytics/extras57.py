@@ -313,6 +313,10 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("rev")
     )
+    # checkpointed once (r6): the PH fold, sigma, and the alarm/total
+    # legs each re-derived the fact rollup (6 orders scans in the plan);
+    # the calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     wseq = Window.orderBy("d")
     wrun = wseq.rowsBetween(Window.unboundedPreceding, 0)
     idx = daily.select(

@@ -336,6 +336,11 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c")
     )
+    # checkpointed once (r6): the distance join and both centroid-pair
+    # sides each re-derived the posexplode pass (6 embeddings scans in
+    # the plan); the ≤|labels|×dims centroid grid materializes once,
+    # leaving centroid pass + distance pass as the only fact scans
+    cent = cent.localCheckpoint(eager=True)
     dist2 = (
         flat.join(F.broadcast(cent), ["label", "i"])
         .groupBy("vec_id", "label")
@@ -351,6 +356,8 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("s")
     )
+    # si/sj reference the ≤|labels|-row scatter table twice
+    scatter = scatter.localCheckpoint(eager=True)
     ca, cb = cent.alias("ca"), cent.alias("cb")
     cdist = (
         ca.join(

@@ -315,6 +315,11 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcount("n_events"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
     )
+    # checkpointed once (r6): the max probe and the scored pass each
+    # re-derived the user rollup, and tot/ece/final re-derived the bin
+    # grid (6 events scans in the plan); the per-user grid and the 5-row
+    # bin grid materialize once — events is scanned exactly once
+    users = users.localCheckpoint(eager=True)
     mx = users.agg(F.max("n_events").cast("bigint").alias("m"))
     scored = users.crossJoin(F.broadcast(mx)).select(
         "y",
@@ -329,6 +334,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_score"),
     )
+    bins = bins.localCheckpoint(eager=True)
     tot = bins.agg(F.sum("n").cast("bigint").alias("n_tot"))
     ece = (
         bins.crossJoin(F.broadcast(tot))

@@ -156,6 +156,11 @@ def q_bonferroni_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("val"),
         )
     )
+    # checkpointed once (r6): each of the three metric branches
+    # re-derived the first-event window + user rollup (6 events scans in
+    # the plan); the per-user grid materializes once (same class as the
+    # pass-3 per-user grids)
+    users = users.localCheckpoint(eager=True)
 
     def metric(name: str, col, q_typ: str | None = None):
         v = col.cast("double")

@@ -342,6 +342,10 @@ def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("v0").isNotNull())
     )
+    # checkpointed once (r6): nat/ind/j each re-derived the 4-table star
+    # rollup (3 fact scans in the plan); the ≤|nations|×|brands| cell
+    # grid materializes once
+    cell = cell.localCheckpoint(eager=True)
     nat = cell.agg(
         F.sum(dec("v0")).cast("double").alias("t0"),
         F.sum(dec(F.coalesce(F.col("v1"), F.lit(0.0)))).cast("double").alias("t1"),

@@ -215,6 +215,10 @@ def q_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").alias("rk"),
         F.coalesce(F.col("rev"), F.lit(0.0)).alias("x"),
     )
+    # checkpointed once (r6): s/z/pairs/den each re-derived the
+    # orders⨝customer fact rollup (6 fact scans in the plan); the
+    # ≤|nations|-row grid materializes once
+    v = v.localCheckpoint(eager=True)
     d12 = "decimal(38,12)"
     s = v.agg(
         bcount("n"),
@@ -321,6 +325,10 @@ def q_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("day"))
         .agg(F.sum(dec("l_extendedprice")).alias("rev"))
     )
+    # checkpointed once (r6): the a/b duel self-join re-derived the
+    # lineitem⨝part rollup per side (4 fact scans in the plan); the
+    # |brands|×|days| grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     a, b = daily.alias("a"), daily.alias("b")
     duels = (
         a.join(
@@ -338,6 +346,9 @@ def q_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wb"),
         )
     )
+    # the outcomes union references duels twice; the ≤|brands|² duel
+    # table materializes once instead of re-running the day-keyed join
+    duels = duels.localCheckpoint(eager=True)
     outcomes = duels.select(
         F.col("ba").alias("brand"),
         F.when(F.col("wa") > F.col("wb"), 1).otherwise(0).alias("win"),

@@ -92,8 +92,19 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
         .select(F.col("c_acctbal").alias("x"), F.col("n_name").alias("grp"))
     )
-    glob = pos.agg(
-        bcount("n"), F.sum(dec("x")).cast("double").alias("s")
+    # r6: glob/terms/bygrp each re-scanned the fact (4 customer scans in
+    # the plan). The group pass now keeps its DECIMAL sums and is
+    # checkpointed; the global moments derive from those exact per-group
+    # sums (decimal addition is associative, so SUM of group sums casts
+    # to the identical double as the one-pass global sum), leaving the
+    # term pass as the only other fact scan: 4 scans → 2, the minimum
+    # while the oracle pins the per-row (x/μ)ln(x/μ) float shape.
+    bygrp = pos.groupBy("grp").agg(
+        bcount("ng"), F.sum(dec("x")).alias("sgd")
+    ).localCheckpoint(eager=True)
+    glob = bygrp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sgd").cast("double").alias("s"),
     ).select("n", "s", (F.col("s") / F.col("n")).alias("mu"))
 
     ratio = F.col("x") / F.col("mu")
@@ -105,9 +116,7 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mu").alias("mu"),
         )
     )
-    bygrp = pos.groupBy("grp").agg(
-        bcount("ng"), F.sum(dec("x")).cast("double").alias("sg")
-    )
+    bygrp = bygrp.select("grp", "ng", F.col("sgd").cast("double").alias("sg"))
     mug = F.col("sg") / F.col("ng")
     btw = (
         bygrp.crossJoin(F.broadcast(glob))

@@ -270,11 +270,20 @@ def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    anchor = ev.agg(F.date_trunc("month", F.max("ts")).alias("am"))
     um = ev.select(
         "user_id", F.date_trunc("month", "ts").alias("mon")
     ).distinct()
+    # checkpointed once (r6): anchor/first_m/active each re-derived the
+    # distinct (user, month) rollup from the fact (6 events scans in the
+    # plan); the rollup materializes once, and the anchor month now
+    # derives from it (max month ≡ month of max ts — date_trunc is
+    # monotone), so events is scanned exactly once
+    um = um.localCheckpoint(eager=True)
+    anchor = um.agg(F.max("mon").alias("am"))
     first_m = um.groupBy("user_id").agg(F.min("mon").alias("m0"))
+    # first_m feeds both the horizon and the activity join; materialize
+    # the per-user firsts once (same class as the pass-3 per-user grids)
+    first_m = first_m.localCheckpoint(eager=True)
     horizon = first_m.crossJoin(F.broadcast(anchor)).select(
         F.months_between("am", "m0").cast("bigint").alias("h")
     )
