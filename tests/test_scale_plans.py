@@ -831,3 +831,24 @@ def test_stl_windows_on_daily_grid(spark):
     read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
     assert "l_shipdate" in read_schema and "l_extendedprice" in read_schema
     assert "l_partkey" not in read_schema
+
+
+def test_r6_single_pass_rewrites_stay_single_pass(spark):
+    """r6 multi-scan collapses must not regress: each fact table is scanned
+    once (true scan-node count = `Location:` detail lines).
+
+    - q_candidate_keys: all five orders column profiles from ONE scan (the
+      multi-count_distinct Expand plan) plus one lineitem scan — was 6.
+    - q_pii_scan: all four PII regexes stamped in ONE documents pass — was 5
+      scans, each re-running its regex over the full corpus.
+    - q_exactly_once_dedup_audit: the delivery stream (explode of attempts)
+      materializes once; every counting pass reads the checkpoint — was 5.
+    """
+
+    def scan_nodes(name: str) -> int:
+        plan = _plan(spark, REGISTRY[name].fn(spark, SF))
+        return plan.count("Location: InMemoryFileIndex")
+
+    assert scan_nodes("q_candidate_keys") <= 2
+    assert scan_nodes("q_pii_scan") <= 1
+    assert scan_nodes("q_exactly_once_dedup_audit") == 0

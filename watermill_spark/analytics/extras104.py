@@ -310,6 +310,10 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # checkpointed once (r6): both sides of the item-pair self-join
+    # re-derived the three-table fact star (6 fact scans in the plan);
+    # the ≤|customers|×|brands| rating grid materializes once
+    ratings = ratings.localCheckpoint(eager=True)
     a = ratings.select(
         F.col("u"), F.col("i").alias("brand_a"), F.col("r").alias("ra")
     )

@@ -437,6 +437,11 @@ def q_dfa_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(dec("value")).cast("double").alias("rev")
     )
+    # checkpointed once (r6): the mean/count aggregate, the profile
+    # window, and the final nd re-reference each re-derived the fact
+    # rollup (5 events scans in the plan); the calendar-bounded day grid
+    # materializes once
+    daily = daily.localCheckpoint(eager=True)
     m = daily.agg(
         (F.sum(dec("rev", _D15)).cast("double") / F.count(F.lit(1))).alias("mu"),
         bcount("nd"),
@@ -488,7 +493,11 @@ def q_dfa_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("ntot"),
         bcount("nboxes"),
     )
-    fvals = resid.select("n", F.sqrt(F.col("ss") / F.col("ntot")).alias("f"))
+    # ≤|scales| rows feeding both the log-log fit and the pivot: cut the
+    # boxed-fit lineage so the |days|×|scales| chain runs once, not twice
+    fvals = resid.select(
+        "n", F.sqrt(F.col("ss") / F.col("ntot")).alias("f")
+    ).localCheckpoint(eager=True)
     lnn = F.log(F.col("n").cast("double"))
     cnt = F.count(F.lit(1)).cast("double")
     alpha = fvals.agg(

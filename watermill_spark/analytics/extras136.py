@@ -59,9 +59,13 @@ _DAILY_SQL = """
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): both consumers (cusum_mean_shift, ewma
+    # chart) feed the day grid into _moments AND re-reference it
+    # for the z/residual pass — 2 fact scans each; the calendar-bounded
+    # day grid materializes once
     return li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
 
 
 def _moments(daily: DataFrame) -> DataFrame:

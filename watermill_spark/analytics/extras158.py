@@ -445,6 +445,10 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k0") + 1).cast("bigint").alias("k"),
         F.col("v0").cast("double").alias("v"),
     )
+    # checkpointed once (r6): norms and both dot-product join sides each
+    # re-scanned+re-exploded embeddings (5 scans in the plan); the
+    # bounded 200-vector component sample materializes once
+    comp = comp.localCheckpoint(eager=True)
     norms = comp.groupBy("vec_id").agg(
         F.sqrt(
             F.sum((F.col("v") * F.col("v")).cast(_D15)).cast("double")

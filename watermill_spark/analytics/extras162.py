@@ -46,9 +46,13 @@ def _idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
     )
+    # checkpointed once (r6): every consumer (kpss's partial sums vs the
+    # level fit, extremal_index's threshold → exceedance → gap chain)
+    # re-referenced the indexed series 4-5 times, re-deriving the fact
+    # rollup each time; the calendar-bounded day grid materializes once
     return daily.select(
         "y", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn")
-    )
+    ).localCheckpoint(eager=True)
 
 
 @register(

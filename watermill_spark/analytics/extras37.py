@@ -209,6 +209,10 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     uw = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
+    # checkpointed once (r6): firstw, prev, lab, and both churn join
+    # sides each re-derived the distinct user-week rollup from the fact
+    # (5 events scans in the plan); the user×week grid materializes once
+    uw = uw.localCheckpoint(eager=True)
     firstw = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     prev = uw.select(
         "user_id", (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"),

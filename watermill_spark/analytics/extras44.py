@@ -262,6 +262,10 @@ def q_eta_squared_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
     ).select((F.weekday("d") + 1).cast("bigint").alias("dow"), "y")
+    # checkpointed once (r6): the grand moments, per-dow moments, and the
+    # SS_total pass each re-derived the fact rollup (5 lineitem scans in
+    # the plan); the calendar-bounded (dow, y) grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     t = daily.agg(
         bcount("n"),
         (

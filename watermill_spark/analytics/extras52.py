@@ -74,27 +74,37 @@ def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 
-    def prof(df: DataFrame, name: str, expr) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("col_name"),
-            bcount("n_rows"),
-            F.count_distinct(expr).cast("bigint").alias("n_distinct"),
-        )
-
-    rows = (
-        prof(o, "o_orderkey", F.col("o_orderkey"))
-        .unionByName(prof(o, "o_custkey", F.col("o_custkey")))
-        .unionByName(prof(o, "o_totalprice", F.col("o_totalprice")))
-        .unionByName(prof(o, "o_orderdate", F.col("o_orderdate")))
-        .unionByName(prof(o, "o_orderpriority", F.col("o_orderpriority")))
-        .unionByName(
-            prof(
-                li,
-                "l_orderkey+l_linenumber",
-                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
-            )
-        )
+    # r6: one profile pass per column meant five full orders scans (plus
+    # one lineitem) — at 100 TB five corpus reads for one profile table.
+    # A single aggregate computes every distinct count in one scan (the
+    # Expand plan: each row fans out once per distinct-agg, partial
+    # aggregation dedups map-side before the shuffle), then stack()
+    # unpivots the 1-row profile into the same six rows. Exact integer
+    # counts either way: 6 fact scans → 2 (orders once, lineitem once).
+    o_prof = o.agg(
+        bcount("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("d1"),
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("d2"),
+        F.count_distinct(F.col("o_totalprice")).cast("bigint").alias("d3"),
+        F.count_distinct(F.col("o_orderdate")).cast("bigint").alias("d4"),
+        F.count_distinct(F.col("o_orderpriority")).cast("bigint").alias("d5"),
     )
+    o_rows = o_prof.select(
+        F.expr(
+            "stack(5, 'o_orderkey', d1, 'o_custkey', d2, 'o_totalprice', d3,"
+            " 'o_orderdate', d4, 'o_orderpriority', d5)"
+            " AS (col_name, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_distinct")
+    li_rows = li.agg(
+        F.lit("l_orderkey+l_linenumber").alias("col_name"),
+        bcount("n_rows"),
+        F.count_distinct(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    rows = o_rows.unionByName(li_rows)
     return rows.select(
         "col_name",
         "n_rows",

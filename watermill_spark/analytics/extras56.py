@@ -153,21 +153,33 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    per_pattern = []
-    for name, rx in _PII_PATTERNS:
-        hits = F.size(F.regexp_extract_all("text", F.lit(rx), 0))
-        per_pattern.append(
-            docs.groupBy("source").agg(
+    # r6: one aggregation per pattern plus the per-source total meant 5
+    # full corpus scans, each re-running its regex over every document.
+    # One pass now stamps every doc with all four (pattern, hits) pairs
+    # (same regexp_extract_all expressions, evaluated once per doc),
+    # explodes, and aggregates the ≤|sources|×4 grid; n_docs = the group
+    # row count (every doc emits every pattern). Exact integer counts:
+    # 5 fact scans+regex passes → 1.
+    pat_hits = F.array(
+        *[
+            F.struct(
                 F.lit(name).alias("pattern"),
-                F.count_if(hits > 0).cast("bigint").alias("docs_hit"),
-                F.sum(hits).cast("bigint").alias("total_hits"),
+                F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias(
+                    "hits"
+                ),
             )
-        )
-    hits_df = per_pattern[0]
-    for p in per_pattern[1:]:
-        hits_df = hits_df.unionByName(p)
-    tot = docs.groupBy("source").agg(bcount("n_docs"))
-    return hits_df.join(F.broadcast(tot), "source").select(
+            for name, rx in _PII_PATTERNS
+        ]
+    )
+    exploded = docs.select("source", F.explode(pat_hits).alias("ph"))
+    grid = exploded.groupBy(
+        "source", F.col("ph.pattern").alias("pattern")
+    ).agg(
+        F.count_if(F.col("ph.hits") > 0).cast("bigint").alias("docs_hit"),
+        F.sum(F.col("ph.hits")).cast("bigint").alias("total_hits"),
+        bcount("n_docs"),
+    )
+    return grid.select(
         "pattern",
         "source",
         "n_docs",

@@ -70,12 +70,24 @@ def q_exactly_once_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    redelivered = ev.filter(F.col("event_id") % 3 == 0)
+    # r6: the union-of-two-branches build plus the three counting passes
+    # re-scanned events 5 times. The same delivery multiset comes from ONE
+    # scan — every event emits attempt 1, the id%3==0 redeliveries emit
+    # attempt 2 via explode (NULL ids fall to the single-attempt branch,
+    # exactly like the old filter) — and the stream materializes once;
+    # n_source reads the attempt==1 slice instead of re-scanning the
+    # fact: 5 fact scans → 1.
     delivered = ev.select(
-        "event_id", "ts", "value", F.lit(1).alias("attempt")
-    ).unionByName(
-        redelivered.select("event_id", "ts", "value", F.lit(2).alias("attempt"))
+        "event_id",
+        "ts",
+        "value",
+        F.explode(
+            F.when(
+                F.col("event_id") % 3 == 0, F.array(F.lit(1), F.lit(2))
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("attempt"),
     )
+    delivered = delivered.localCheckpoint(eager=True)
     merged = (
         delivered.select(
             "event_id",
@@ -87,7 +99,7 @@ def q_exactly_once_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
     nd = delivered.agg(bcount("n_delivered"))
-    ns = ev.agg(bcount("n_source"))
+    ns = delivered.filter(F.col("attempt") == 1).agg(bcount("n_source"))
     m = merged.agg(
         bcount("n_after_merge"),
         F.round(F.sum(dec("value")).cast("double"), 4).alias(

@@ -85,6 +85,11 @@ def q_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", (F.col("pos") + 1).alias("i"), F.col("xv").cast("double").alias("x")
     )
+    # checkpointed once (r6): the per-dim means, the vector count, and
+    # the centering join each re-scanned+re-exploded embeddings (5 scans
+    # in the plan); the component table materializes once (state linear
+    # in corpus×64, the posting-list class from pass 2)
+    flat = flat.localCheckpoint(eager=True)
     mu = flat.groupBy("i").agg(
         (
             F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
@@ -95,6 +100,8 @@ def q_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = flat.join(F.broadcast(mu), "i").select(
         "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
     )
+    # both sides of the Gram self-join read the centered table once
+    c = c.localCheckpoint(eager=True)
     ca, cb = c.alias("ca"), c.alias("cb")
     cov = (
         ca.join(

@@ -187,6 +187,10 @@ def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("b"))
         .agg(F.sum(dec("l_extendedprice")).cast("double").alias("v"))
     )
+    # checkpointed once (r6): quotients, the vote total, and the final
+    # join each re-derived the lineitem⨝part rollup (6 fact scans in the
+    # plan); the ≤|brands|-row vote grid materializes once
+    votes = votes.localCheckpoint(eager=True)
     divs = spark.range(1, _SEATS + 1).select(F.col("id").cast("int").alias("d"))
     quotients = votes.crossJoin(F.broadcast(divs)).select(
         "b", "v", "d", (F.col("v") / F.col("d")).alias("q")

@@ -31,9 +31,13 @@ _DAILY = """
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): every consumer (sample_entropy's template
+    # join, cochrane_orcutt's OLS→rho→GLS chain, haar_energy's level
+    # pairs) re-referenced the day series 4-5 times, re-deriving the fact
+    # rollup each time; the calendar-bounded day grid materializes once
     return orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
 
 
 @register(
