@@ -324,12 +324,17 @@ def test_ols_trend_no_joins(spark):
 
 
 def test_mad_outliers_all_broadcast(spark):
-    """q_mad_outliers: both per-type median tables join back to events as
-    broadcasts — three BroadcastHashJoins, zero SortMergeJoins (the fact
-    side never shuffles on a join key)."""
+    """q_mad_outliers: the per-type median tables join back to events as
+    broadcasts, never SortMergeJoins (the fact side never shuffles on a
+    join key). Since the r6 lineage cut the deviation stream materializes
+    once (events⨝medians runs a single time inside the checkpoint), so
+    the visible plan is ONE broadcast join of the MAD table over the
+    checkpointed stream — previously the same two joins were re-executed
+    per consumer (three visible BHJs)."""
     plan = _plan(spark, REGISTRY["q_mad_outliers"].fn(spark, SF))
     tree = _tree(plan)
-    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "Scan ExistingRDD" in tree, tree  # the checkpointed dev stream
     assert "SortMergeJoin" not in tree
 
 

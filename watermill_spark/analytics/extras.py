@@ -278,6 +278,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # checkpointed once (r6): the centroid slice and the assignment join
+    # each re-scanned embeddings, and the expensive cell-assignment
+    # aggregate was re-derived for the query slice (4 scans in the plan);
+    # the vector table and the per-vector cell assignment each
+    # materialize once
+    emb = emb.localCheckpoint(eager=True)
     cents = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("cvec")
     )
@@ -294,6 +300,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cand").alias("best"), F.first("emb").alias("emb"))
         .select("vec_id", "emb", (-F.col("best.neg_cell")).alias("cell_id"))
         .withColumn("c_n", F.sqrt(_dot("emb", "emb")))
+        .localCheckpoint(eager=True)
     )
     queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -210,12 +210,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_TC_BUCKETS - 1),
     ).cast("bigint")
     rows_b = cust.select("c_nationkey", "c_mktsegment", b.alias("b"))
-    glob = (
-        rows_b.groupBy("b")
-        .agg(bcount("gc"))
-        .crossJoin(F.broadcast(rows_b.agg(bcount("gn"))))
+    # r6: the global bucket histogram, the global total, and the class
+    # grid each re-scanned customer (4 scans in the plan). The bounded
+    # ≤|nations|×|segments|×buckets class grid is the finest grain — it
+    # materializes once and the global marginals are its exact integer
+    # column sums: 4 fact scans → 1.
+    cls = (
+        rows_b.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(bcount("cc"))
+        .localCheckpoint(eager=True)
     )
-    cls = rows_b.groupBy("c_nationkey", "c_mktsegment", "b").agg(bcount("cc"))
+    glob = (
+        cls.groupBy("b")
+        .agg(F.sum("cc").cast("bigint").alias("gc"))
+        .crossJoin(
+            F.broadcast(cls.agg(F.sum("cc").cast("bigint").alias("gn")))
+        )
+    )
     csize = cls.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("cc").cast("bigint").alias("cn")
     )

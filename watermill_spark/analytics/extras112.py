@@ -96,6 +96,10 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     sig = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    # checkpointed once (r6): the query slice and both ranking passes'
+    # corpus sides each re-scanned+re-bucketed embeddings (4 scans in
+    # the plan); the signature table materializes once
+    sig = sig.localCheckpoint(eager=True)
     queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qb"),

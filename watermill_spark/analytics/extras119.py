@@ -297,6 +297,11 @@ def q_moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("below"),
         )
     )
+    # checkpointed once (r6): the totals and the chi² pass each re-derived
+    # the contingency cells from the fact (4 events scans in the plan);
+    # the ≤|types| grid materializes once, leaving the inherent two-pass
+    # read (global median, then cells)
+    cells = cells.localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum("above").cast("bigint").alias("ta"),
         F.sum("below").cast("bigint").alias("tb"),

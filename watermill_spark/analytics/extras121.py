@@ -121,6 +121,11 @@ def q_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.alias("ts"),
         F.md5(F.array_join(F.slice(ts, 1, 8), " ")).alias("ph"),
     )
+    # checkpointed once (r6): both blocking-join sides re-scanned and
+    # re-tokenized documents, and the a/b explode union re-derived the
+    # join (4 document scans in the plan); the tokenized doc table and
+    # the blocking-pruned candidate pairs each materialize once
+    pre = pre.localCheckpoint(eager=True)
     a = pre.select(
         F.col("doc_id").alias("da"), F.col("ts").alias("ta"), F.col("ph").alias("pha")
     )
@@ -129,7 +134,7 @@ def q_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = a.join(
         b, (F.col("phb") == F.col("pha")) & (F.col("da") < F.col("db"))
-    ).select("da", "db", "ta", "tb")
+    ).select("da", "db", "ta", "tb").localCheckpoint(eager=True)
     toks = cand.select(
         "da", "db", F.lit("a").alias("side"), F.explode("ta").alias("tok")
     ).unionByName(

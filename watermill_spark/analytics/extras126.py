@@ -305,6 +305,10 @@ def q_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(dec("value")).cast("double").alias("y")
     )
+    # checkpointed once (r6): the mean, the cumulative-deviation walk,
+    # and the sd pass each re-derived the fact rollup (4 events scans in
+    # the plan); the calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         (F.sum(F.col("y").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(

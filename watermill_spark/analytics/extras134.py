@@ -112,6 +112,10 @@ def q_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("we"),
     ).agg(F.sum(dec("l_extendedprice")).cast("double").alias("y"))
+    # checkpointed once (r6): the sizes, the observed diff, and the
+    # permutation fan-out each re-derived the fact rollup (4 lineitem
+    # scans in the plan); the calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     szs = daily.agg(bcount("n"), F.sum("we").cast("bigint").alias("n_we"))
     dsum = lambda cond: F.sum(  # noqa: E731
         F.when(cond, F.col("y").cast(_D15))

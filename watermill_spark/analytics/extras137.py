@@ -321,6 +321,12 @@ def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # checkpointed once (r6): the cohort firsts and the aging join each
+    # re-derived the distinct customer-month rollup from the fact, and
+    # the cohort sizes re-derived the activity grid (4 orders scans in
+    # the plan); the customer×month grid and the ≤cohorts×ages activity
+    # grid each materialize once
+    om = om.localCheckpoint(eager=True)
     first = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
     aged = (
         om.join(first, "o_custkey")
@@ -337,6 +343,7 @@ def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     act = aged.groupBy("cohort", "age").agg(bcount("n_active"))
+    act = act.localCheckpoint(eager=True)
     sz = act.filter(F.col("age") == 0).select(
         "cohort", F.col("n_active").alias("cohort_size")
     )

@@ -109,13 +109,18 @@ def q_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
-    mx = o.agg(
-        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("m")
-    )
     cust = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("f"),
         F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("l"),
     )
+    # checkpointed once (r6): the anchor month, the risk-set total, and
+    # the age histogram each re-derived the per-customer rollup from the
+    # fact (4 orders scans in the plan); the per-customer grid
+    # materializes once, and the anchor now derives from it —
+    # max(per-customer max month) ≡ month of the global max date
+    # (date_trunc is monotone) — so orders is scanned exactly once
+    cust = cust.localCheckpoint(eager=True)
+    mx = cust.agg(F.max("l").alias("m"))
     months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     span = cust.crossJoin(F.broadcast(mx)).select(
         (months(F.col("l")) - months(F.col("f"))).alias("age_end"),

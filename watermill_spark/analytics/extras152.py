@@ -400,6 +400,11 @@ def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
     )
+    # checkpointed once (r6): the event-day probe, the estimation-window
+    # moments, and the event-window slice each re-derived the fact rollup
+    # (4 lineitem scans in the plan); the calendar-bounded day grid
+    # materializes once
+    daily = daily.localCheckpoint(eager=True)
     ev = daily.orderBy(F.col("y").desc(), "d").limit(1).select(
         F.col("d").alias("ed")
     )

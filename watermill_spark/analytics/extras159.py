@@ -444,6 +444,11 @@ def q_embedding_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k0") + 1).cast("bigint").alias("k"),
         F.col("v0").cast("double").alias("v"),
     )
+    # checkpointed once (r6): the centroid and the distance pass each
+    # re-scanned+re-exploded embeddings, and the moment/z passes
+    # re-derived the distances (4 scans in the plan); the component table
+    # and the per-vector distances each materialize once
+    comp = comp.localCheckpoint(eager=True)
     centroid = comp.groupBy("k").agg(
         (F.sum(F.col("v").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(
             "c"
@@ -462,6 +467,7 @@ def q_embedding_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+    dists = dists.localCheckpoint(eager=True)
     mom = dists.agg(
         bcount("n"),
         F.sum(F.col("dist").cast(_D15)).cast("double").alias("s"),

@@ -70,6 +70,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
+    # checkpointed once (r6): the MAD pass and the outlier count each
+    # re-derived the deviation stream → events⨝medians join (4 events
+    # scans in the plan); the stream materializes once, leaving the
+    # inherent two-pass read (per-type median, then deviations)
+    dev = dev.localCheckpoint(eager=True)
     mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -83,6 +83,14 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         F.col("label").cast("bigint").alias("label"),
     )
+    # checkpointed once (r6): both cross-join sides re-scanned embeddings
+    # and the negative/positive rankings each re-ran the O(n²) scoring
+    # pass (4 scans + 2× the quadratic work in the plan); the vector
+    # table and the scored pairs each materialize once. Pair state is
+    # O(n²) — this query is the exact-recall twin of
+    # q_hard_negative_mining_ann (the production path), so the quadratic
+    # materialization is the quarantine-class trade, not a scale path.
+    e = e.localCheckpoint(eager=True)
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("emb").alias("emb_b"),
@@ -100,6 +108,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-side norms precomputed before the O(n^2) join (r6)
             F.round(_dot("emb", "emb_b") / (F.col("n_a") * F.col("n_b")), 6).alias("cos"),
         )
+        .localCheckpoint(eager=True)
     )
     neg = (
         pairs.filter(F.col("label_a") != F.col("label_b"))
@@ -219,6 +228,10 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
     )
     sig = sig.withColumn("bucket", lsh_bucket(F.col("emb")))
+    # checkpointed once (r6): the numpy candidate pruner and both settle-
+    # join sides each re-scanned+re-bucketed embeddings (6 scans in the
+    # plan); the signature table materializes once
+    sig = sig.localCheckpoint(eager=True)
 
     def _bucket_candidates(pdf):
         import numpy as np

@@ -103,6 +103,11 @@ def q_cusum_ols_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.row_number().over(Window.orderBy("d")).cast("double").alias("x"),
     )
+    # checkpointed once (r6): the OLS moments, the residual pass, the
+    # residual sd, and the CUSUM walk each re-derived the fact rollup
+    # (4 lineitem scans in the plan); the calendar-bounded day grid
+    # materializes once
+    pts = pts.localCheckpoint(eager=True)
     mom = pts.agg(
         bcount("n"),
         F.sum(F.col("x").cast(_D15)).cast("double").alias("sx"),

@@ -152,6 +152,10 @@ def q_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "y", "y0", "y1")
         .agg(F.sum(dec("o_totalprice")).alias("s"))
     )
+    # checkpointed once (r6): the old- and new-year quintile slices each
+    # re-derived the per-customer rollup + ntile window from the fact
+    # (4 orders scans in the plan); the ranked two-year grid materializes
+    # once (the year-bound probe stays the one other scan)
     q = per.select(
         "o_custkey",
         "y",
@@ -160,7 +164,7 @@ def q_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5)
         .over(Window.partitionBy("y").orderBy(F.col("s").desc(), "o_custkey"))
         .alias("qt"),
-    )
+    ).localCheckpoint(eager=True)
     a = q.filter(F.col("y") == F.col("y0")).select(
         "o_custkey", F.col("qt").alias("q_old")
     )

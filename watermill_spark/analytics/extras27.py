@@ -58,6 +58,10 @@ def q_weekly_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = ev.select(
         F.date_trunc("week", "ts").alias("wk"), "user_id"
     ).distinct()
+    # checkpointed once (r6): the week sizes and both self-join sides
+    # each re-derived the distinct user-week rollup from the fact (4
+    # events scans in the plan); the user×week grid materializes once
+    wu = wu.localCheckpoint(eager=True)
     sizes = wu.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
     a = wu.alias("a")
     b = wu.alias("b")

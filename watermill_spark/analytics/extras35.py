@@ -114,10 +114,16 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = cust.filter(F.col("c_nationkey") < 5).select(
         F.col("c_custkey").alias("k")
     )
+    # checkpointed once (r6): the bit set, the member count, and the set
+    # size each re-derived their inputs from the fact (4 customer scans
+    # in the plan); the member slice and the ≤m-bit position set each
+    # materialize once, leaving the probe pass as the one other scan
+    members = members.localCheckpoint(eager=True)
     bits = (
         members.crossJoin(F.broadcast(seeds))
         .select(_bloom_pos(F.col("k"), F.col("s")).alias("pos"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     probe = (
         cust.crossJoin(F.broadcast(seeds))

@@ -136,6 +136,10 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(dec("o_totalprice")).cast("decimal(18,6)").alias("rev"))
     )
+    # checkpointed once (r6): both S-statistic self-join sides, the day
+    # count, and the tie pass each re-derived the fact rollup (4 orders
+    # scans in the plan); the ≤365-row 1995 day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (
         a.join(b, F.col("b.d") > F.col("a.d"))

@@ -326,6 +326,10 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", (F.col("pos") + 1).alias("i"), F.col("xv").cast("double").alias("x")
     )
+    # checkpointed once (r6): the projection pass and both original-
+    # distance join sides each re-scanned+re-exploded embeddings (4 scans
+    # in the plan); the bounded sample materializes once
+    flat = flat.localCheckpoint(eager=True)
     proj = (
         flat.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
@@ -338,6 +342,8 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
     )
+    # both projected-distance join sides read the sample×K grid once
+    proj = proj.localCheckpoint(eager=True)
     fa, fb = flat.alias("a"), flat.alias("b")
     orig_d2 = (
         fa.join(

@@ -257,6 +257,10 @@ def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % _N_FOLDS
     assign = emb.select("label", fold.alias("fold"))
     cell = assign.groupBy("fold", "label").agg(bcount("n"))
+    # checkpointed once (r6): the fold/label/grand marginals and the TV
+    # join each re-derived the cell grid from the fact (4 embeddings
+    # scans in the plan); the ≤folds×|labels| grid materializes once
+    cell = cell.localCheckpoint(eager=True)
     fold_tot = cell.groupBy("fold").agg(F.sum("n").cast("bigint").alias("fold_n"))
     label_tot = cell.groupBy("label").agg(F.sum("n").cast("bigint").alias("label_n"))
     grand = cell.agg(F.sum("n").cast("bigint").alias("n_total"))

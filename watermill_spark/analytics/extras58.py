@@ -185,6 +185,11 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # checkpointed once (r6): each sweep references its input twice
+        # (median probe + subtraction join), nested twice — 4 orders
+        # scans in the plan; the ≤5×3 grid materializes once and the
+        # 15-row sweeps run on it
+        .localCheckpoint(eager=True)
     )
 
     def sweep(df: DataFrame, key: str) -> DataFrame:

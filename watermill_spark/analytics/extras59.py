@@ -179,6 +179,10 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "d", "rev", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t")
     )
+    # checkpointed once (r6): the OLS moments, the residual/leverage
+    # pass, and the MSE each re-derived the fact rollup (4 orders scans
+    # in the plan); the ≤365-row 1995 day grid materializes once
+    idx = idx.localCheckpoint(eager=True)
     m = idx.agg(
         bcount("n"),
         F.sum("t").cast("double").alias("st"),

@@ -71,10 +71,31 @@ def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
-    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
-    both = r.intersectAll(a).groupBy("k").agg(bcount("n")).withColumn("tag", F.lit("in_both"))
-    surplus = r.exceptAll(a).groupBy("k").agg(bcount("n")).withColumn("tag", F.lit("r_surplus"))
+    # r6: intersectAll + exceptAll each scanned both filtered branches —
+    # 4 lineitem scans and two set-op shuffles. Multiset semantics over a
+    # single key column reduce to per-key copy counts: intersectAll keeps
+    # min(rc, ac) copies, exceptAll keeps rc − ac when positive — so ONE
+    # scan builds the (suppkey, rc, ac) grid and both outputs are filters
+    # of it. Exact integer counts: 4 fact scans → 1.
+    grid = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(
+            F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("rc"),
+            F.count_if(F.col("l_returnflag") == "A").cast("bigint").alias("ac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    both = (
+        grid.filter((F.col("rc") > 0) & (F.col("ac") > 0))
+        .select("k", F.least("rc", "ac").cast("bigint").alias("n"))
+        .withColumn("tag", F.lit("in_both"))
+    )
+    surplus = (
+        grid.filter(F.col("rc") > F.col("ac"))
+        .select("k", (F.col("rc") - F.col("ac")).cast("bigint").alias("n"))
+        .withColumn("tag", F.lit("r_surplus"))
+    )
     return both.unionByName(surplus).select("tag", "k", "n")
 
 

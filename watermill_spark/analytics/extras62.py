@@ -216,6 +216,10 @@ def q_stratified_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = strat.groupBy("s", "arm").agg(
         bcount("n"), F.sum("converted").cast("bigint").alias("conv")
     )
+    # checkpointed once (r6): stratum sizes, the total, the crude diff,
+    # and the within-stratum rates each re-derived the 6-cell grid from
+    # the fact (4 events scans in the plan); it materializes once
+    cells = cells.localCheckpoint(eager=True)
     sw = cells.groupBy("s").agg(F.sum("n").cast("bigint").alias("n_s"))
     tot = cells.agg(F.sum("n").cast("bigint").alias("n_tot"))
     rate = lambda a, c: (

@@ -231,6 +231,10 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), "i")
     )
     joint = flat.groupBy("i", "label", "b").agg(bcount("c"))
+    # checkpointed once (r6): the three marginals and the MI pass each
+    # re-derived the joint grid from the fact (4 embeddings scans in the
+    # plan); the ≤dims×|labels|×2 grid materializes once
+    joint = joint.localCheckpoint(eager=True)
     margins = joint.groupBy("i").agg(F.sum("c").cast("bigint").alias("n"))
     lab_m = joint.groupBy("i", "label").agg(F.sum("c").cast("bigint").alias("cl"))
     bit_m = joint.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("cb"))

@@ -168,6 +168,10 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h"),
         F.substring("text", 1, 16).alias("blk"),
     )
+    # checkpointed once (r6): the truth/caught/candidate pair counts and
+    # the total each re-scanned+re-fingerprinted documents (4 scans in
+    # the plan); the doc-grain fingerprint table materializes once
+    fp = fp.localCheckpoint(eager=True)
 
     def pairs(df: DataFrame, keys: list[str], alias: str) -> DataFrame:
         return (

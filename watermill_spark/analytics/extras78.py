@@ -207,13 +207,17 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
+    # checkpointed once (r6): the positives total and the k-sweep each
+    # re-derived ranked → the events⨝firsts join (4 events scans in the
+    # plan); the ranked per-user grid materializes once, leaving the
+    # two-pass (window + join-agg) fact read the firsts shape needs
     ranked = users.select(
         "y",
         F.row_number()
         .over(Window.orderBy(F.col("score").desc(), "user_id"))
         .cast("bigint")
         .alias("r"),
-    )
+    ).localCheckpoint(eager=True)
     tot = ranked.agg(F.sum("y").cast("bigint").alias("n_pos"))
     ks = spark.range(0, 5).select(
         F.element_at(

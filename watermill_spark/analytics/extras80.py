@@ -238,6 +238,11 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("arm") == "A").cast("bigint").alias("ca"),
         F.count_if(F.col("arm") == "B").cast("bigint").alias("cb"),
     )
+    # checkpointed once (r6): totals, the CDF steps, and the mean each
+    # re-derived the support histogram → per-user rollup → fact chain
+    # (4 events scans in the plan); the ≤|distinct k| histogram
+    # materializes once
+    support = support.localCheckpoint(eager=True)
     tot = support.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),

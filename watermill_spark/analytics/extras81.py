@@ -104,8 +104,24 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arm projected after the aggregate — pure function of the group key
     # (r6: string agg buffers force SortAggregate over all of events)
     users = ev.groupBy("user_id").agg(bcount("k")).withColumn("arm", arm)
-    ha = users.filter(F.col("arm") == "A").groupBy("k").agg(bcount("c"))
-    hb = users.filter(F.col("arm") == "B").groupBy("k").agg(bcount("c"))
+    # checkpointed once (r6): the two arm histograms, their totals, and
+    # both cross-join sides each re-derived the per-user rollup from the
+    # fact (6 events scans in the plan); the per-user grid materializes
+    # once, and the tiny per-k histograms are cut too so each is
+    # aggregated once, not three times
+    users = users.localCheckpoint(eager=True)
+    ha = (
+        users.filter(F.col("arm") == "A")
+        .groupBy("k")
+        .agg(bcount("c"))
+        .localCheckpoint(eager=True)
+    )
+    hb = (
+        users.filter(F.col("arm") == "B")
+        .groupBy("k")
+        .agg(bcount("c"))
+        .localCheckpoint(eager=True)
+    )
     diffs = (
         ha.alias("a")
         .crossJoin(F.broadcast(hb.alias("b")))
@@ -227,10 +243,14 @@ def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
+    # checkpointed once (r6): the totals and the descending ROC sweep each
+    # re-derived support → the events⨝firsts join (4 events scans in the
+    # plan); the ≤|distinct score| histogram materializes once, leaving
+    # the two-pass (window + join-agg) fact read the window shape needs
     support = users.groupBy("score").agg(
         F.sum("y").cast("bigint").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
-    )
+    ).localCheckpoint(eager=True)
     tot = support.agg(
         F.sum("pos").cast("bigint").alias("p"),
         F.sum("neg").cast("bigint").alias("n"),

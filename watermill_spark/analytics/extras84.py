@@ -183,6 +183,9 @@ def q_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = emb.filter(F.col("vec_id") < _SIM_SAMPLE).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    # checkpointed once (r6): both pair-join sides re-scanned embeddings
+    # (4 scans in the plan); the bounded sample materializes once
+    s = s.localCheckpoint(eager=True)
     a = s.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     pairs = a.join(
@@ -194,6 +197,8 @@ def q_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = pairs.groupBy(
         F.floor((F.col("sim") + 1.0) * 5).cast("bigint").alias("bin")
     ).agg(bcount("c"))
+    # the total and the merge both read the ≤12-row histogram once
+    binned = binned.localCheckpoint(eager=True)
     tot = binned.agg(F.sum("c").cast("bigint").alias("n"))
     merged = (
         binned.crossJoin(F.broadcast(tot))

@@ -180,6 +180,10 @@ def q_events_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
     tu = ev.select("event_type", "user_id").distinct()
+    # checkpointed once (r6): the per-type sizes and both intersection
+    # join sides each re-derived the distinct rollup from the fact (4
+    # events scans in the plan); the type×user grid materializes once
+    tu = tu.localCheckpoint(eager=True)
     sizes = tu.groupBy("event_type").agg(bcount("n"))
     a = tu.alias("a")
     b = tu.alias("b")

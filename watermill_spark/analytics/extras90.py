@@ -224,6 +224,11 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_tr").cast("double") / F.col("n_tr")).alias("p_hat"),
         (F.col("r_k").cast("double") / F.col("n_k")).alias("y_k"),
     )
+    # checkpointed once (r6): the test totals and the decomposition
+    # terms each re-derived the bin grid from the two date-pruned scans
+    # (4 lineitem scans in the plan); the ≤|quantities| grid materializes
+    # once, leaving the inherent disjoint train/test reads
+    bins = bins.localCheckpoint(eager=True)
     tot = bins.agg(
         F.sum("n_k").cast("bigint").alias("n_test"),
         F.sum("r_k").cast("bigint").alias("r_test"),

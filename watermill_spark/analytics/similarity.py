@@ -583,16 +583,23 @@ def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))
-    p = emb.agg(_nb_col().alias("nb"))
-    bands = emb.crossJoin(p).select(
+    # checkpointed once (r6): the nb probe, the banding map, and both
+    # verify-join sides each re-scanned embeddings (6 scans in the plan);
+    # the (vec_id, emb, norm) table materializes once and every stage
+    # reads it — at 100 TB that is one corpus read instead of six
+    en = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb"))).localCheckpoint(eager=True)
+    p = en.agg(_nb_col().alias("nb"))
+    bands = en.crossJoin(p).select(
         "vec_id",
         F.explode(
-            hyperplane_bands(
-                F.col("embedding").cast("array<double>"), N_TABLES, F.col("nb")
-            )
+            hyperplane_bands(F.col("emb"), N_TABLES, F.col("nb"))
         ).alias("band"),
     ).select("vec_id", F.col("band.band_idx").alias("band_idx"),
              F.col("band.band_key").alias("band_key"))
+    # both self-join sides read the banded stream once (lsh helper class)
+    bands = bands.localCheckpoint(eager=True)
     cand = (
         bands.alias("a")
         .join(
@@ -604,12 +611,10 @@ def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").cast("array<double>").alias("a_emb")
-                    ).withColumn("a_n", F.sqrt(_dot("a_emb", "a_emb")))
-    eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").cast("array<double>").alias("b_emb")
-                    ).withColumn("b_n", F.sqrt(_dot("b_emb", "b_emb")))
+    ea = en.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+                   F.col("nrm").alias("a_n"))
+    eb = en.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+                   F.col("nrm").alias("b_n"))
     # per-side norms precomputed before the candidate join (r6)
     sim = F.round(_dot("a_emb", "b_emb") / (F.col("a_n") * F.col("b_n")), 6)
     return (
@@ -708,14 +713,20 @@ def q_dedup_embedding_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> 
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))
-    p = emb.agg(_nb_col().alias("nb"))
+    # checkpointed once (r6): same single-corpus-read restructure as the
+    # base query above — one (vec_id, emb, norm) materialization feeds
+    # the nb probe, the (1+probes)× banding map, and both verify sides
+    en = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb"))).localCheckpoint(eager=True)
+    p = en.agg(_nb_col().alias("nb"))
     bands = (
-        emb.crossJoin(p)
+        en.crossJoin(p)
         .select(
             "vec_id",
             F.explode(
                 hyperplane_bands_multiprobe(
-                    F.col("embedding").cast("array<double>"),
+                    F.col("emb"),
                     N_TABLES,
                     F.col("nb"),
                     N_PROBES,
@@ -729,6 +740,8 @@ def q_dedup_embedding_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> 
             F.col("band.is_probe").alias("is_probe"),
         )
     )
+    # both self-join sides read the banded stream once (lsh helper class)
+    bands = bands.localCheckpoint(eager=True)
     cand = (
         bands.alias("a")
         .join(
@@ -741,12 +754,10 @@ def q_dedup_embedding_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> 
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").cast("array<double>").alias("a_emb")
-                    ).withColumn("a_n", F.sqrt(_dot("a_emb", "a_emb")))
-    eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").cast("array<double>").alias("b_emb")
-                    ).withColumn("b_n", F.sqrt(_dot("b_emb", "b_emb")))
+    ea = en.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+                   F.col("nrm").alias("a_n"))
+    eb = en.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+                   F.col("nrm").alias("b_n"))
     # per-side norms precomputed before the candidate join (r6)
     sim = F.round(_dot("a_emb", "b_emb") / (F.col("a_n") * F.col("b_n")), 6)
     return (
