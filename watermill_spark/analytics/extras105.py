@@ -89,6 +89,11 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = emb.withColumn("bucket", lsh_bucket(F.col("emb"))).withColumn(
         "nrm", F.sqrt(_dot("emb", "emb"))
     )
+    # checkpointed once (r6): the representative pick, its vector lookup,
+    # and the scoring join each re-scanned embeddings and re-ran the LSH
+    # bucketing (3 scans in the plan); the signature table materializes
+    # once
+    sig = sig.localCheckpoint(eager=True)
     rep = sig.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     rep_vec = rep.join(
         sig.select(

@@ -359,6 +359,10 @@ def q_doc_length_lognormal_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = docs.filter(F.col("n_chars") > 0).select(
         "doc_id", F.log(F.col("n_chars").cast("double")).alias("lx")
     )
+    # checkpointed once (r6): the mean, the sigma pass, and the ranked
+    # KS pass each re-scanned documents (3 scans in the plan); the
+    # two-column length table materializes once
+    x = x.localCheckpoint(eager=True)
     fit = x.agg(
         bcount("n"),
         (F.sum(F.col("lx").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(

@@ -226,9 +226,14 @@ def q_data_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per = assigned.groupBy("split", "lang").agg(bcount("c"))
+    # checkpointed once (r6): the split/lang marginals each re-scanned
+    # documents and re-ran the md5 assignment, and the grand total was a
+    # fourth full count (3+1 scans in the plan); the ≤3×|langs| grid
+    # materializes once and the total is its exact integer sum
+    per = per.localCheckpoint(eager=True)
     tots = per.groupBy("split").agg(F.sum("c").cast("bigint").alias("n"))
     glob = per.groupBy("lang").agg(F.sum("c").cast("bigint").alias("g"))
-    gn = docs.count()
+    gn = per.agg(F.sum("c")).collect()[0][0]
     return (
         per.join(F.broadcast(tots), "split")
         .join(F.broadcast(glob), "lang")

@@ -91,6 +91,10 @@ def q_cluster_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim("text"))).alias("b"),
     )
     cont = parts.groupBy("a", "b").agg(bcount("nij"))
+    # checkpointed once (r6): the row/column marginals and the pair sums
+    # each re-scanned documents and re-ran BOTH full-text md5s (3 scans
+    # in the plan); the contingency grid materializes once
+    cont = cont.localCheckpoint(eager=True)
     c2 = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
     am = cont.groupBy("a").agg(F.sum("nij").cast("bigint").alias("ai"))
     bm = cont.groupBy("b").agg(F.sum("nij").cast("bigint").alias("bj"))

@@ -176,6 +176,11 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # checkpointed once (r6): the per-doc sizes and both containment
+    # join sides each re-scanned documents and re-exploded the 4-gram
+    # shingles (3 scans in the plan); the distinct doc-shingle posting
+    # list materializes once
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

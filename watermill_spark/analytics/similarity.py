@@ -844,15 +844,19 @@ def q_embedding_lsh_recall_calibration(spark: SparkSession, sf_dir: str) -> Data
     """
     tune_session(spark)
     emb = spread(load(spark, sf_dir, "embeddings"))
-    p = emb.agg(
+    # checkpointed once (r6): the (n, nb) probe and both mixer-join sides
+    # each re-scanned embeddings (3 scans in the plan); the vector table
+    # materializes once
+    en = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint(eager=True)
+    p = en.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"), _nb_col().alias("nb")
     )
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v_emb")
-    )
-    m = emb.select(
+    v = en.select("vec_id", F.col("emb").alias("v_emb"))
+    m = en.select(
         F.col("vec_id").alias("m_id"),
-        F.col("embedding").cast("array<double>").alias("m_emb"),
+        F.col("emb").alias("m_emb"),
     )
     w = F.element_at(
         F.array(*[F.lit(x) for x in CAL_WEIGHTS]),
