@@ -486,15 +486,17 @@ def test_abc_running_share_post_rollup(spark):
 
 def test_covariance_matrix_single_pass(spark):
     """q_covariance_matrix: all nine moments come from ONE aggregation over
-    one scan — no joins, no window, at most the final gather exchange, and
-    the scan reads only the three feature columns."""
+    one scan, and since r6 the 1-row moment table is checkpointed — the
+    three unioned pair selects read the materialized row instead of
+    re-deriving the lineitem aggregate (3 fact scans → 1 true scan). The
+    displayed plan therefore has no parquet scan at all, no joins, no
+    window."""
     plan = _plan(spark, REGISTRY["q_covariance_matrix"].fn(spark, SF))
     tree = _tree(plan)
     assert "Join" not in tree
     assert "Window" not in tree
-    scan = plan[plan.index("Scan parquet") :]
-    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
-    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan  # the checkpointed 1-row moment table
 
 
 def test_winsorized_mean_single_exchange(spark):

@@ -101,6 +101,10 @@ def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    # checkpointed once (r6): the arm means and the deviation join each
+    # re-derived the per-user rollup (3 events scans in the plan); the
+    # grid materializes once (state linear in the user domain)
+    per_user = per_user.localCheckpoint(eager=True)
     arms = per_user.groupBy("z").agg(
         bcount("n"),
         (F.sum(F.col("x").cast(_D15)).cast("double") / F.count(F.lit(1))).alias("mx"),

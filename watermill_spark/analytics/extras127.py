@@ -60,6 +60,10 @@ def _daily_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(dec("value")).cast("double").alias("y")
     )
+    # checkpointed once (r6): the mean, SD and z passes each re-derived
+    # the fact rollup (3 events scans in both consumers' plans); the
+    # calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         (

@@ -248,26 +248,39 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
 
-    def kth(pred):
-        hashed = (
-            ev.filter(pred)
-            .select("user_id")
-            .distinct()
-            .select(
-                F.md5(
-                    F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
-                ).alias("h")
-            )
+    # single scan (r6): the three bottom-k passes (clickers, purchasers,
+    # union) each re-scanned and re-deduped events; ONE scan now builds
+    # the per-user membership grid (distinct user ⇒ one hash row, with
+    # click/purchase flags), checkpointed once (state linear in the user
+    # domain), and each kth() is a rank filter over the grid
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("is_a"),
+            F.max(F.col("event_type") == "purchase").alias("is_b"),
         )
+        .select(
+            F.md5(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+            ).alias("h"),
+            "is_a",
+            "is_b",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def kth(cond):
         return (
-            hashed.select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+            flags.filter(cond)
+            .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
             .filter(F.col("rn") == _SK)
             .select(_spark_hexval8(F.col("h")).alias("kth"))
         )
 
-    ka = kth(F.col("event_type") == "click").select(F.col("kth").alias("kth_a"))
-    kb = kth(F.col("event_type") == "purchase").select(F.col("kth").alias("kth_b"))
-    ku = kth(F.col("event_type").isin("click", "purchase")).select(
+    ka = kth(F.col("is_a")).select(F.col("kth").alias("kth_a"))
+    kb = kth(F.col("is_b")).select(F.col("kth").alias("kth_b"))
+    ku = kth(F.col("is_a") | F.col("is_b")).select(
         F.col("kth").alias("kth_u")
     )
     s = ka.crossJoin(kb).crossJoin(ku)

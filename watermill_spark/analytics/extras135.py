@@ -94,6 +94,10 @@ def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate").cast("bigint").alias("yr"),
         F.month("l_shipdate").cast("bigint").alias("season"),
     ).agg(F.sum(dec("l_extendedprice")).cast("double").alias("y"))
+    # checkpointed once (r6): both self-join sides and the per-season
+    # count each re-derived the monthly rollup (3 lineitem scans in the
+    # plan); the calendar-bounded year×month grid materializes once
+    monthly = monthly.localCheckpoint(eager=True)
     a = monthly.select(
         F.col("season").alias("sa"), F.col("yr").alias("ya"), F.col("y").alias("va")
     )

@@ -219,6 +219,10 @@ def q_dow_effect_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxx"),
     )
+    # checkpointed once (r6): the totals, the Monday reference and the
+    # final select each re-derived the grid (3 lineitem scans in the
+    # plan); the ≤7-row dow grid materializes once
+    grp = grp.localCheckpoint(eager=True)
     tot = grp.agg(
         F.sum("n_days").cast("bigint").alias("n"),
         F.sum(F.col("s").cast("decimal(38,10)")).cast("double").alias("gs"),

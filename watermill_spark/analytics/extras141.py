@@ -271,6 +271,10 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
     )
+    # checkpointed once (r6): both pair sides and the group counts each
+    # re-derived the fact rollup (3 lineitem scans in the plan); the
+    # calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     lab = daily.select(
         "y",
         F.when(((F.dayofweek("d") + 5) % 7) + 1 >= 6, 1).otherwise(0).alias("we"),

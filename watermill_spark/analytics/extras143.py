@@ -169,18 +169,27 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ((c1 - 1) * 16 + (c2 - 1)).alias("bucket")
 
-    hashed = ev.crossJoin(F.broadcast(depths)).select("j", bucket())
-    counters = hashed.groupBy("j", "bucket").agg(bcount("cnt"))
-    keys = ev.select("event_type").distinct()
-    key_buckets = keys.crossJoin(F.broadcast(depths)).select(
-        "event_type", "j", bucket()
+    # single scan (r6): the counter build, the key list and the exact
+    # counts each re-scanned events; ONE scan now builds the per-type
+    # count grid (≤|event_types| rows, checkpointed once) and the sketch
+    # counters become count-weighted sums over it — identical integers,
+    # since every row of a type lands in the same (j, bucket)
+    per_type = ev.groupBy("event_type").agg(bcount("exact_cnt")).localCheckpoint(
+        eager=True
+    )
+    key_buckets = per_type.crossJoin(F.broadcast(depths)).select(
+        "event_type", "exact_cnt", "j", bucket()
+    )
+    counters = key_buckets.groupBy("j", "bucket").agg(
+        F.sum("exact_cnt").cast("bigint").alias("cnt")
     )
     est = (
-        key_buckets.join(F.broadcast(counters), ["j", "bucket"])
+        key_buckets.select("event_type", "j", "bucket")
+        .join(F.broadcast(counters), ["j", "bucket"])
         .groupBy("event_type")
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )
-    exact = ev.groupBy("event_type").agg(bcount("exact_cnt"))
+    exact = per_type
     return (
         exact.join(est, "event_type")
         .select(
@@ -261,6 +270,10 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y")
     )
+    # checkpointed once (r6): both pair sides and the group counts each
+    # re-derived the fact rollup (3 lineitem scans in the plan); the
+    # calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     lab = daily.select(
         "y",
         F.when(((F.dayofweek("d") + 5) % 7) + 1 >= 6, 1).otherwise(0).alias("we"),

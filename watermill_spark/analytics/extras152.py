@@ -139,6 +139,10 @@ def q_placebo_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nx") > 0) & (F.col("ny") > 0))
         .drop("nx", "ny")
     )
+    # checkpointed once (r6): the fit, pre-SE and post passes each
+    # re-derived the fact rollup (3 events scans in the plan); the
+    # calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     idx = daily.select(
         "x",
         "y",

@@ -157,7 +157,14 @@ def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho.alias("rho"),
         "user_id",
     )
-    wreg = h.groupBy("mth", "wk", "bucket").agg(
+    # single scan (r6): register maxima AND the exact distinct-user truth
+    # both derive from the deduped (month, week, user) grid — bucket and
+    # rho are pure functions of user_id so distinct() keeps them intact;
+    # max over the deduped set equals max over the multiset. Checkpointed
+    # once (state linear in the user×week domain — the growth_accounting
+    # posting-list class); was 3 events scans in the plan.
+    um = h.distinct().localCheckpoint(eager=True)
+    wreg = um.groupBy("mth", "wk", "bucket").agg(
         F.max("rho").cast("bigint").alias("m_j")
     )
     zsum = F.sum(
@@ -174,7 +181,7 @@ def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     west = wreg.groupBy("mth", "wk").agg(est.alias("est"))
     mreg = wreg.groupBy("mth", "bucket").agg(F.max("m_j").alias("m_j"))
     mest = mreg.groupBy("mth").agg(est.alias("merged_est"))
-    truth = h.groupBy("mth").agg(
+    truth = um.groupBy("mth").agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
     wsum = west.groupBy("mth").agg(

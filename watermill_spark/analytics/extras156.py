@@ -327,6 +327,11 @@ def q_cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
     ).agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    # checkpointed once (r6): the cohort map (itself consumed twice) and
+    # the aged join each re-derived the rollup (3 orders scans in the
+    # plan); the ≤|customers|×|months| grid materializes once (state
+    # linear in the customer domain — the q_slope_one posting-list class)
+    om = om.localCheckpoint(eager=True)
     first = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
     sz = first.groupBy("cohort").agg(bcount("cohort_size"))
     aged = (

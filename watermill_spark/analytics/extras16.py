@@ -358,24 +358,33 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
-    fo = orders.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", "o_orderdate")).alias("cm")
-    )
+    # single scan (r6): the cohort map (consumed twice) and the aged
+    # rollup each re-scanned orders; ONE scan now builds the
+    # customer×month grid (checkpointed once — the q_slope_one
+    # posting-list class), and the aged rollup re-sums its exact decimal
+    # partials (decimal addition is associative, counts sum to counts)
+    omg = orders.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    ).agg(
+        bcount("n_o"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mrev"),
+    ).localCheckpoint(eager=True)
+    fo = omg.groupBy("o_custkey").agg(F.min("om").alias("cm"))
     sizes = fo.groupBy("cm").agg(bcount("cohort_size"))
-    om = F.date_trunc("month", "o_orderdate")
     rev = (
-        orders.join(fo, "o_custkey")
+        omg.join(fo, "o_custkey")
         .groupBy(
             "cm",
             (
-                (F.year(om) - F.year("cm")) * 12 + (F.month(om) - F.month("cm"))
+                (F.year("om") - F.year("cm")) * 12
+                + (F.month("om") - F.month("cm"))
             )
             .cast("bigint")
             .alias("age_months"),
         )
         .agg(
-            bcount("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.sum("n_o").cast("bigint").alias("n_orders"),
+            F.sum("mrev").alias("rev"),
         )
     )
     wc = Window.partitionBy("cm").orderBy("age_months")

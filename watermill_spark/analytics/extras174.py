@@ -80,6 +80,11 @@ def q_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
     ).agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    # checkpointed once (r6): the month spine and both join sides each
+    # re-derived the rollup (3 orders scans in the plan); the
+    # ≤|customers|×|months| grid materializes once (state linear in the
+    # customer domain — the q_slope_one posting-list class)
+    cm = cm.localCheckpoint(eager=True)
     months = cm.select("ym").distinct().select(F.col("ym").alias("cur_ym"))
     prev = cm.select(
         F.col("o_custkey").alias("pk"),

@@ -98,7 +98,12 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((q * d).cast(_D30)).alias("sqd"),
         F.sum((p * d).cast(_D30)).alias("spd"),
     )
-    dd = m.select(*[F.col(c).cast("double").alias(c) for c in m.columns])
+    # checkpointed once (r6): the three unioned pair selects each
+    # re-derived the moment aggregate (3 lineitem scans in the plan);
+    # the 1-row moment table materializes once
+    dd = m.select(
+        *[F.col(c).cast("double").alias(c) for c in m.columns]
+    ).localCheckpoint(eager=True)
     n = F.col("n")
 
     def pair(name, sxy, sx, sy, sx2, sy2):

@@ -253,24 +253,30 @@ def q_product_adoption_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    first_ship = li.groupBy("l_partkey").agg(
-        F.min(F.date_trunc("month", "l_shipdate")).alias("intro_month")
-    )
+    # single pass (r6): intro_month via a partkey window min instead of a
+    # groupBy-min joined back (3 lineitem scans -> 1; the window rides the
+    # same partkey exchange the join needed), and n_parts folds into the
+    # final rollup as count_distinct(partkey) — every lineitem of a part
+    # carries the same intro_month, so the distinct count per intro month
+    # IS the introduced-parts count
     lm = F.date_trunc("month", "l_shipdate")
-    m_rel = (F.year(lm) - F.year("intro_month")) * 12 + (
-        F.month(lm) - F.month("intro_month")
-    )
-    rel = li.join(first_ship, "l_partkey").select(
-        "intro_month",
-        m_rel.alias("m_rel"),
+    rel = li.select(
+        "l_partkey",
+        lm.alias("lm"),
         (
             dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,6)"))
         ).alias("rev"),
+    ).withColumn(
+        "intro_month", F.min("lm").over(Window.partitionBy("l_partkey"))
     )
-    parts = first_ship.groupBy("intro_month").agg(bcount("n_parts"))
+    m_rel = (F.year("lm") - F.year("intro_month")) * 12 + (
+        F.month("lm") - F.month("intro_month")
+    )
     return (
-        rel.groupBy("intro_month")
+        rel.withColumn("m_rel", m_rel)
+        .groupBy("intro_month")
         .agg(
+            F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
             F.round(
                 F.sum(F.when(F.col("m_rel") == 0, F.col("rev"))).cast("double"), 4
             ).alias("rev_m0"),
@@ -281,7 +287,6 @@ def q_product_adoption_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("m_rel") == 2, F.col("rev"))).cast("double"), 4
             ).alias("rev_m2"),
         )
-        .join(F.broadcast(parts), "intro_month")
         .select("intro_month", "n_parts", "rev_m0", "rev_m1", "rev_m2")
     )
 

@@ -91,9 +91,19 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(dec("l_extendedprice")).alias("r")
-    )
+    # single scan (r6): the ABC revenue rollup, the weekly XYZ grid and
+    # the grand total each re-scanned lineitem; ONE scan now builds the
+    # part×week grid carrying BOTH quantity and revenue (checkpointed
+    # once, state linear in the part×week domain), and the per-part
+    # revenue is the exact decimal sum of its weekly sums
+    wkd = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("week", "l_shipdate").alias("w"),
+    ).agg(
+        F.sum(dec("l_quantity")).alias("q"),
+        F.sum(dec("l_extendedprice")).alias("wr"),
+    ).localCheckpoint(eager=True)
+    rev = wkd.groupBy("pk").agg(F.sum("wr").alias("r"))
     w_rank = Window.orderBy(F.desc("r"), "pk").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -114,10 +124,6 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
-    wkd = li.groupBy(
-        F.col("l_partkey").alias("pk"),
-        F.date_trunc("week", "l_shipdate").alias("w"),
-    ).agg(F.sum(dec("l_quantity")).alias("q"))
     qd = F.col("q").cast("double")
     xyz = wkd.groupBy("pk").agg(
         bcount("n_w"),

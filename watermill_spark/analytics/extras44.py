@@ -174,21 +174,31 @@ def q_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    connected = (
-        a.join(b, "ok")
-        .filter(F.col("pa") != F.col("pb"))
-        .select(F.col("pa").alias("pk"))
-        .distinct()
+    # single scan (r6): the co-purchase self-join exploded every k-part
+    # order into k(k-1) pairs and scanned lineitem three times; a part is
+    # co-purchased iff SOME order contains it alongside a different part,
+    # i.e. its max per-order distinct-part count is ≥ 2 — one scan, one
+    # dedup, one window, no pair explosion
+    d = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    per_pk = (
+        d.select(
+            "pk",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("ok"))
+            .alias("parts_in_order"),
+        )
+        .groupBy("pk")
+        .agg(F.max("parts_in_order").alias("mx"))
     )
-    sold = li.select(F.col("l_partkey").alias("pk")).distinct()
+    stats = per_pk.agg(
+        bcount("n_sold"),
+        F.count_if(F.col("mx") >= 2).cast("bigint").alias("n_co_purchased"),
+    )
     n_cat = part.agg(bcount("n_catalog"))
-    n_sold = sold.agg(bcount("n_sold"))
-    n_conn = connected.agg(bcount("n_co_purchased"))
     return (
-        n_cat.crossJoin(F.broadcast(n_sold))
-        .crossJoin(F.broadcast(n_conn))
+        n_cat.crossJoin(F.broadcast(stats))
         .select(
             "n_catalog",
             "n_sold",

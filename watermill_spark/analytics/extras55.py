@@ -85,6 +85,11 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).cast("bigint").alias("t0"),
         F.unix_micros(F.max("ts")).cast("bigint").alias("t1"),
     )
+    # checkpointed once (r6): both union branches and the prediction
+    # aggregate each re-derived the per-user rollup (3 events scans in
+    # the plan); the grid materializes once (state linear in the user
+    # domain — the q_slope_one posting-list class)
+    spans = spans.localCheckpoint(eager=True)
     bounds = spans.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
         spans.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
     )

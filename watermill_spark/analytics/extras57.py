@@ -108,6 +108,10 @@ def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("t2"),
     )
+    # checkpointed once (r6): am/bm/g each re-derived the cell rollup
+    # (3 orders scans in the plan); the ≤|priorities|×|years| grid
+    # materializes once
+    cell = cell.localCheckpoint(eager=True)
     am = cell.groupBy("a").agg(
         F.sum(F.col("t").cast("decimal(38,0)")).cast("double").alias("ta"),
         F.sum("n").cast("bigint").alias("na"),

@@ -158,6 +158,10 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dst"),
     )
     trans = seq.filter(F.col("dst").isNotNull()).groupBy("src", "dst").agg(bcount("c"))
+    # checkpointed once (r6): row totals, the grand total and the row-
+    # entropy join each re-derived the transition counts (3 events scans
+    # in the plan); the ≤|event_types|² grid materializes once
+    trans = trans.localCheckpoint(eager=True)
     tot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("n"))
     grand = trans.agg(F.sum("c").cast("bigint").alias("g"))
     p = F.col("c").cast("double") / F.col("n")

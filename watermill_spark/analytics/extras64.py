@@ -92,12 +92,19 @@ def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = o.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v")
     )
-    bounds = cents.agg(
+    # single scan (r6): bounds, the histogram and the exact p95 each
+    # re-scanned orders; ONE scan now builds the per-distinct-value count
+    # grid, checkpointed once (state linear in the distinct-price domain
+    # — posting-list class). The exact rank-r value over the raw rows is
+    # recovered losslessly from the grid: it is the smallest v whose
+    # cumulative count reaches r.
+    vc = cents.groupBy("v").agg(bcount("c")).localCheckpoint(eager=True)
+    bounds = vc.agg(
         F.min("v").cast("bigint").alias("lo"),
         F.max("v").cast("bigint").alias("hi"),
-        bcount("n"),
+        F.sum("c").cast("bigint").alias("n"),
     )
-    bucketed = cents.crossJoin(F.broadcast(bounds)).select(
+    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor(
                 (F.col("v") - F.col("lo"))
@@ -109,8 +116,11 @@ def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
         "n",
+        "c",
     )
-    hist = bucketed.groupBy("bk", "lo", "hi", "n").agg(bcount("c"))
+    hist = bucketed.groupBy("bk", "lo", "hi", "n").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
     cum = hist.select(
         "bk",
         "lo",
@@ -132,13 +142,16 @@ def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_est")
     )
     exact = (
-        cents.select(
+        vc.select(
             "v",
-            F.row_number().over(Window.orderBy("v")).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+            F.sum("c")
+            .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("cum"),
+            F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
         )
-        .filter(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"))
-        .select(F.col("v").alias("p95_exact"))
+        .filter(F.col("cum") >= F.ceil(0.95 * F.col("n")).cast("bigint"))
+        .agg(F.min("v").alias("p95_exact"))
     )
     s = est.crossJoin(F.broadcast(exact))
     return s.select(

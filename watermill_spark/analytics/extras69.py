@@ -322,6 +322,10 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("k"),
     ).withColumn("arm", arm)
+    # checkpointed once (r6): the moment aggregate and both dominance
+    # sides each re-derived the per-user rollup (3 events scans in the
+    # plan); the grid materializes once (state linear in the user domain)
+    users = users.localCheckpoint(eager=True)
     mom = users.agg(
         F.count_if(F.col("arm") == "A").cast("bigint").alias("n1"),
         F.count_if(F.col("arm") == "B").cast("bigint").alias("n2"),

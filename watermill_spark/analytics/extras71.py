@@ -279,6 +279,10 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s2"),
     )
+    # checkpointed once (r6): pooled/pa/pb each re-derived the per-group
+    # moments (3 orders scans in the plan); the ≤|priorities| grid
+    # materializes once
+    per_g = per_g.localCheckpoint(eager=True)
     ssw_term = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
     arr = F.array_sort(F.collect_list(F.struct(F.col("g"), ssw_term.alias("t"))))
     pooled = per_g.agg(

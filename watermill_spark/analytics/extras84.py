@@ -263,6 +263,10 @@ def q_hour_type_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ev.groupBy(
         F.hour("ts").cast("bigint").alias("hr"), "event_type"
     ).agg(bcount("c"))
+    # checkpointed once (r6): peak, trough and the grand total each
+    # re-derived the counts (3 events scans in the plan); the ≤24×|types|
+    # grid materializes once
+    grid = grid.localCheckpoint(eager=True)
     hr_tot = grid.groupBy("hr").agg(F.sum("c").cast("bigint").alias("hc"))
     peak = (
         hr_tot.select(

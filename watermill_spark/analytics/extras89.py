@@ -269,6 +269,10 @@ def q_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("rev")
     )
+    # checkpointed once (r6): the threshold rank, exceedance join and
+    # day count each re-derived the fact rollup (3 orders scans in the
+    # plan); the calendar-bounded day grid materializes once
+    daily = daily.localCheckpoint(eager=True)
     thr = (
         daily.select(
             "rev",

@@ -425,37 +425,48 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     sup = load(spark, sf_dir, "supplier")
-    late = (
+    # single pass (r6): the semi/anti self-joins re-scanned lineitem
+    # twice more (3 scans, two fact-fact SMJs). Both exist conditions are
+    # order-local distinct-supplier counts: "another supplier has a line
+    # in this order" ⇔ distinct suppliers ≥ 2, and "no OTHER supplier is
+    # late on it" ⇔ distinct LATE suppliers = 1 (the candidate line's own
+    # supplier is late, so it contributes the 1). Two collect_set windows
+    # over the same order partition replace both joins; row multiplicity
+    # of the candidate late lines is untouched, so numwait counts the
+    # same lines. The orders inner join already restricts every line of a
+    # kept order to status 'F' (status is order-level), matching the old
+    # l2 = all-lineitems side.
+    wok = Window.partitionBy("l_orderkey")
+    ann = (
         li.join(
             orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    l1 = late.alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
-    sole_late = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
         )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.size(F.collect_set("l_suppkey").over(wok)).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(wok)
+            ).alias("n_late_supp"),
         )
+    )
+    sole_late = ann.filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        sole_late.join(sup, F.col("l1.l_suppkey") == sup.s_suppkey)
+        sole_late.join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(bcount("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
