@@ -341,12 +341,14 @@ def test_mad_outliers_all_broadcast(spark):
 def test_theil_sen_pairs_post_aggregate(spark):
     """q_theil_sen_trend: the pairwise-slope BNLJ must sit ABOVE the daily
     rollup on both sides (pairs of the SF-invariant ~2.4k-day aggregate,
-    never of raw lineitem) and broadcast its build side."""
+    never of raw lineitem) and broadcast its build side. Since r6 the day
+    grid is checkpointed, so both BNLJ inputs read the materialized grid
+    (no parquet scan below the join at all)."""
     plan = _plan(spark, REGISTRY["q_theil_sen_trend"].fn(spark, SF))
     tree = _tree(plan)
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
-    bnlj = tree.index("BroadcastNestedLoopJoin")
-    assert "HashAggregate" in tree[bnlj:]  # both inputs are aggregates
+    assert "Scan parquet" not in plan, plan  # pairs of the checkpointed grid
+    assert "ExistingRDD" in plan
     assert "SortMergeJoin" not in tree
 
 
@@ -790,11 +792,14 @@ def test_burstiness_single_user_exchange(spark):
 
 def test_embedding_drift_grid_after_one_explode(spark):
     """q_embedding_drift: after the single posexplode pass everything runs
-    on the |labels|×dims×2 grid — no nested-loop joins, one scan of
-    embeddings per batch-split branch at most."""
+    on the |labels|×dims×2 grid — no nested-loop joins. Since r6 that grid
+    is checkpointed, so the displayed plan reads the materialized grid
+    (no Generate and no parquet scan at all) and both batch-split
+    branches filter it."""
     plan = _plan(spark, REGISTRY["q_embedding_drift"].fn(spark, SF))
     tree = _tree(plan)
-    assert "Generate" in tree, tree
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan  # the checkpointed label×batch×dim grid
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
 
@@ -859,3 +864,36 @@ def test_r6_single_pass_rewrites_stay_single_pass(spark):
     assert scan_nodes("q_candidate_keys") <= 2
     assert scan_nodes("q_pii_scan") <= 1
     assert scan_nodes("q_exactly_once_dedup_audit") == 0
+
+
+def test_q21_window_rewrite_no_self_joins(spark):
+    """q21_waiting_supplier (r6 pass 10): the semi/anti lineitem self-joins
+    are replaced by two collect_set windows over the order partition — ONE
+    lineitem scan, no fact-fact SortMergeJoin, and both distinct-supplier
+    counts ride the same l_orderkey exchange."""
+    plan = _plan(spark, REGISTRY["q21_waiting_supplier"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "SortMergeJoin" not in tree, tree
+    assert plan.count("Location: InMemoryFileIndex") <= 3  # li + orders + supplier
+    assert tree.count("Window") == 1  # both collect_sets in one window op
+
+
+def test_q18_grid_reuse_no_second_lineitem_scan(spark):
+    """q18_large_orders (r6 pass 11): total_qty comes from the >150 filter's
+    own per-order rollup — lineitem is scanned once, not re-joined raw."""
+    plan = _plan(spark, REGISTRY["q18_large_orders"].fn(spark, SF))
+    # one scan each: lineitem, orders, customer
+    assert plan.count("Location: InMemoryFileIndex") <= 3, plan
+
+
+def test_cold_start_no_pair_explosion(spark):
+    """q_cold_start_coverage (r6 pass 10): the k(k-1) co-purchase self-join
+    is gone — co-purchase is a per-order distinct-count window over the
+    deduped (order, part) grid; the only joins left are the 1-row
+    cross-attaches."""
+    plan = _plan(spark, REGISTRY["q_cold_start_coverage"].fn(spark, SF))
+    tree = _tree(plan)
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # stats cross-attach
+    assert "Window" in tree

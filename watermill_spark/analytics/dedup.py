@@ -357,7 +357,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     cand = lsh_candidate_pairs(sigs)
-    toksets = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    # checkpointed once (r6): the doc_a and doc_b verify joins each
+    # re-tokenized the corpus (2 scans in the plan); the token-set table
+    # materializes once (posting-list class, as in q_dedup_jaccard_pairs)
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    ).localCheckpoint(eager=True)
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("double") - inter
     jac = inter / union
@@ -459,7 +464,12 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.size("ts").cast("double")) / F.lit(math.log(1.0 / 0.9)))
         .cast("int")
         .alias("bkt"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): both blocked self-join sides re-scanned
+    # documents and re-ran split+array_distinct (2 tokenize passes in the
+    # plan); the token-set table materializes once (posting-list class:
+    # state linear in the corpus — same trade as the shingle/effective-
+    # rank checkpoints, and the self-join shuffles this volume anyway)
     a = toksets.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

@@ -143,13 +143,22 @@ def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.date_trunc("month", F.min("ts")).alias("cohort"))
+    # single scan (r6): the cohort map and the activity join each
+    # re-scanned events; both derive exactly from ONE deduped
+    # (user, month) grid (checkpointed once — posting-list class, state
+    # linear in the user×month domain): trunc(min(ts)) == min(trunc(ts))
+    # by monotonicity, and distinct users per (cohort, month) are the
+    # grid rows themselves
+    um = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("m")
+    ).distinct().localCheckpoint(eager=True)
+    firsts = um.groupBy("user_id").agg(F.min("m").alias("cohort"))
     months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     return (
-        ev.join(firsts, "user_id")
+        um.join(firsts, "user_id")
         .groupBy(
             F.col("cohort").alias("cohort_month"),
-            (months(F.col("ts")) - months(F.col("cohort"))).cast("bigint").alias("months_since"),
+            (months(F.col("m")) - months(F.col("cohort"))).cast("bigint").alias("months_since"),
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
     )

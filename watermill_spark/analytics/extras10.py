@@ -94,7 +94,12 @@ def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two stacked aggregations, the second over |distinct sizes| rows only."""
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(bcount("n_lines"))
+    # checkpointed once (r6): the total and the histogram both re-derived
+    # the rollup (2 lineitem scans in the plan); the order-domain grid
+    # materializes once (posting-list class)
+    per_order = li.groupBy("l_orderkey").agg(bcount("n_lines")).localCheckpoint(
+        eager=True
+    )
     total = per_order.agg(F.count(F.lit(1)).cast("double").alias("t"))
     return (
         per_order.groupBy("n_lines")
@@ -235,7 +240,12 @@ def q_user_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(bcount("n_events"))
+    # checkpointed once (r6): the total and the decile rank both
+    # re-derived the rollup (2 events scans in the plan); the
+    # user-domain grid materializes once
+    per_user = ev.groupBy("user_id").agg(bcount("n_events")).localCheckpoint(
+        eager=True
+    )
     total = per_user.agg(F.sum("n_events").cast("double").alias("t"))
     deciled = per_user.select(
         "n_events",

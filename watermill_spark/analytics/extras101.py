@@ -299,7 +299,10 @@ def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ss"),
         bcount("nc"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the global moments and the deviation join
+    # both re-derived the rollup (2 embeddings scans in the plan); the
+    # ≤|labels|×64 grid materializes once
     gd = ld.groupBy("dim").agg(
         F.sum(F.col("s").cast("decimal(38,12)")).cast("double").alias("gs"),
         F.sum("nc").cast("bigint").alias("n"),

@@ -325,7 +325,10 @@ def q_dirichlet_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    cnt = ev.groupBy("event_type").agg(bcount("n"))
+    # checkpointed once (r6): the total and the posterior pass both
+    # re-derived the counts (2 events scans in the plan); the ≤|types|
+    # grid materializes once
+    cnt = ev.groupBy("event_type").agg(bcount("n")).localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("n").cast("bigint").alias("nn"), bcount("k")
     )

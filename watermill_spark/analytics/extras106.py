@@ -149,6 +149,10 @@ def q_cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.log(F.lit(1.0) + F.col("cnt").cast("double")).alias("x"),
     )
+    # checkpointed once (r6): every Newton step (and the final counts)
+    # re-derived the per-user rollup from events; the user-domain grid
+    # materializes once and the iterations read it
+    users = users.localCheckpoint(eager=True)
     beta = spark.range(1).select(F.lit(0.0).alias("b"))
     wd = Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0)
 

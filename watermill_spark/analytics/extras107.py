@@ -291,9 +291,12 @@ def q_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # checkpointed once (r6): the row count and the ordered scoring both
+    # re-derived the rollup (2 events scans in the plan); the
+    # calendar-bounded day grid materializes once
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(dec("value")).cast("double").alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     nrow = daily.agg(bcount("n"))
     ordered = daily.crossJoin(F.broadcast(nrow)).select(
         F.col("rev").alias("x"),

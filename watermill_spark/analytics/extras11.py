@@ -408,9 +408,12 @@ def q_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
+    # checkpointed once (r6): the chi2 pass and the dof aggregate both
+    # re-derived the counts (2 events scans in the plan); the
+    # ≤|types|×7 grid materializes once
     cell = ev.groupBy(
         "event_type", (F.weekday("ts") + 1).cast("bigint").alias("dow")
-    ).agg(bcount("obs"))
+    ).agg(bcount("obs")).localCheckpoint(eager=True)
     aug = cell.select(
         "event_type",
         "dow",

@@ -185,7 +185,14 @@ def q_pert_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("last_ship", "o_orderdate").cast("bigint").alias("delay"),
         )
     )
-    freq = delays.groupBy("mode", "delay").agg(bcount("c"))
+    # single pass (r6): the modal pick and the extremes both derive from
+    # the (mode, delay) frequency grid (checkpointed once, ≤|priorities|
+    # ×|delays| rows): min/max over the grid equal min/max over raw
+    # delays, and the group count is the exact sum of the frequencies —
+    # was 2 lineitem+orders join passes in the plan
+    freq = delays.groupBy("mode", "delay").agg(bcount("c")).localCheckpoint(
+        eager=True
+    )
     modal = (
         freq.withColumn(
             "rn",
@@ -196,10 +203,10 @@ def q_pert_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("mode", F.col("delay").alias("m"))
     )
-    ext = delays.groupBy("mode").agg(
+    ext = freq.groupBy("mode").agg(
         F.min("delay").cast("bigint").alias("o"),
         F.max("delay").cast("bigint").alias("p"),
-        bcount("n"),
+        F.sum("c").cast("bigint").alias("n"),
     )
     return (
         ext.join(F.broadcast(modal), "mode")

@@ -104,7 +104,10 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.coalesce(F.col("value"), F.lit(0)))).cast("double")
             / F.count(F.lit(1))
         ).alias("mv")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the arm means and the deviation join both
+    # re-derived the rollup (2 events scans in the plan); the user-domain
+    # grid materializes once
     arms = per_user.groupBy("is_b").agg(
         bcount("n"),
         (F.sum(F.col("mv").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(
@@ -202,6 +205,10 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy(
         "user_id", (F.col("user_id") % 2 == 1).alias("is_b")
     ).agg(F.sum(dec(F.coalesce(F.col("value"), F.lit(0)))).cast("double").alias("tv"))
+    # checkpointed once (r6): both arm slices re-derived the rollup
+    # (2 events scans in the plan); the user-domain grid materializes
+    # once
+    per_user = per_user.localCheckpoint(eager=True)
     ranked = per_user.select(
         "is_b",
         "tv",

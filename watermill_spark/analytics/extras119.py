@@ -180,22 +180,32 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    obs = ev.select(F.col("event_type").alias("grp"), F.col("value").alias("v"))
-    mom = obs.groupBy("grp").agg(
-        bcount("n"),
-        (F.sum(F.col("v").cast(_D15)).cast("double") / F.count(F.lit(1))).alias(
-            "mu"
-        ),
+    # single scan (r6): the group means and the deviation pass each
+    # re-scanned events; both derive exactly from ONE (group, value)
+    # count grid (checkpointed once — posting-list class), with the
+    # decimal sums count-weighted and every product sized within
+    # precision 38 (no rescale ⇒ c × value ≡ the value added c times)
+    vg = ev.select(
+        F.col("event_type").alias("grp"), F.col("value").alias("v")
+    ).groupBy("grp", "v").agg(bcount("c")).localCheckpoint(eager=True)
+    cw = F.col("c").cast("decimal(12,0)")
+    mom = vg.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("v").cast("decimal(25,15)") * cw).cast("double")
+            / F.sum("c")
+        ).alias("mu"),
     )
     vars_g = (
-        obs.join(F.broadcast(mom), "grp")
+        vg.join(F.broadcast(mom), "grp")
         .groupBy("grp", "n")
         .agg(
             (
                 F.sum(
                     ((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).cast(
-                        _D15
+                        "decimal(25,15)"
                     )
+                    * cw
                 ).cast("double")
                 / (F.col("n") - 1)
             ).alias("s2")

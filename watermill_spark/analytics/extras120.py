@@ -196,8 +196,16 @@ def q_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    shard_local = docs.groupBy(
-        (F.col("doc_id") % _N_SHARDS).alias("shard"), F.md5("text").alias("h")
+    # checkpointed once (r6): the shard-local and the direct global
+    # aggregation each re-scanned documents and re-ran the full-text md5
+    # (2 scans in the plan); ONE hashed projection materializes once
+    # (posting-list class: state linear in the doc domain) and BOTH
+    # aggregations — still computed independently — read it
+    hashed = docs.select(
+        "doc_id", F.md5("text").alias("h")
+    ).localCheckpoint(eager=True)
+    shard_local = hashed.groupBy(
+        (F.col("doc_id") % _N_SHARDS).alias("shard"), "h"
     ).agg(
         F.min("doc_id").cast("bigint").alias("local_canonical"),
         bcount("local_copies"),
@@ -207,7 +215,7 @@ def q_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("local_copies").cast("bigint").alias("n_copies"),
         bcount("n_shards_present"),
     )
-    direct = docs.groupBy(F.md5("text").alias("h")).agg(
+    direct = hashed.groupBy("h").agg(
         F.min("doc_id").cast("bigint").alias("g_canonical"),
         F.count(F.lit(1)).cast("bigint").alias("g_copies"),
     )

@@ -78,7 +78,10 @@ def q_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x"),
         bcount("n"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the center line and the per-day limits
+    # both re-derived the rollup (2 events scans in the plan); the
+    # calendar-bounded day grid materializes once
     pbar = daily.agg(
         (F.sum("x").cast("double") / F.sum("n")).alias("pb")
     )

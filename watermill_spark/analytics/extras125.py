@@ -312,11 +312,15 @@ def q_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     ts = F.split("text", " ")
+    # checkpointed once (r6): both candidate-join sides re-scanned
+    # documents and re-ran split+md5 (2 passes in the plan); the
+    # tokenized projection materializes once (posting-list class: state
+    # linear in the corpus)
     pre = docs.filter(F.size(ts) >= 8).select(
         "doc_id",
         ts.alias("ts"),
         F.md5(F.array_join(F.slice(ts, 1, 8), " ")).alias("ph"),
-    )
+    ).localCheckpoint(eager=True)
     a = pre.select(
         F.col("doc_id").alias("da"), F.col("ts").alias("ta"), F.col("ph").alias("pha")
     )

@@ -132,9 +132,12 @@ def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): the mean and the central-moment pass both
+    # re-derived the rollup (2 lineitem scans in the plan); the
+    # calendar-bounded day grid materializes once
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         (

@@ -147,6 +147,9 @@ def q_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(bcount("cnt"))
+        # checkpointed once (r6): the total and the final select both
+        # re-derived the ≤7-digit grid (2 orders scans in the plan)
+        .localCheckpoint(eager=True)
     )
     tot = cnts.agg(F.sum("cnt").cast("bigint").alias("n"))
     pd_share = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))

@@ -97,6 +97,10 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.substring("text", 1, 6)).alias("blk"),
             F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int").alias("ca"),
         )
+        # checkpointed once (r6): both blocked self-join sides re-scanned
+        # documents (2 scans in the plan); the narrow doc-domain
+        # projection materializes once (posting-list class)
+        .localCheckpoint(eager=True)
     )
     a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns]).withColumn(
         "tj", F.explode(F.sequence(F.col("a_ca"), F.lit(S - 1)))

@@ -108,6 +108,10 @@ def q_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    # checkpointed once (r6): both lag-join sides re-derived the rollup
+    # (2 events scans in the plan); the calendar-bounded day grid
+    # materializes once
+    daily = daily.localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     idx = daily.select(
@@ -314,7 +318,10 @@ def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = ev.groupBy(
         F.date_trunc("week", "ts").cast("date").alias("wk"),
         F.floor(F.log("value") / F.log(F.lit(2.0))).cast("bigint").alias("bkt"),
-    ).agg(bcount("cnt"))
+    ).agg(bcount("cnt")).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): both week-pair join sides re-derived the
+    # counts (2 events scans in the plan); the calendar-bounded
+    # week×bucket grid materializes once
     from pyspark.sql import Window
 
     shares = bucketed.select(

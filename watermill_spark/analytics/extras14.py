@@ -256,11 +256,12 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
         .alias("first_digit")
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    # single scan (r6): the grand total is the exact sum of the ≤10-row
+    # digit grid (checkpointed once) instead of a second orders scan
+    cnts = d.groupBy("first_digit").agg(bcount("n")).localCheckpoint(eager=True)
+    tot = cnts.agg(F.sum("n").alias("n_total"))
     return (
-        d.groupBy("first_digit")
-        .agg(bcount("n"))
-        .crossJoin(F.broadcast(tot))
+        cnts.crossJoin(F.broadcast(tot))
         .select(
             "first_digit",
             "n",
@@ -308,7 +309,10 @@ def q_event_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    c = ev.groupBy("event_type").agg(bcount("k"))
+    # checkpointed once (r6): the total and the CI pass both re-derived
+    # the counts (2 events scans in the plan); the ≤|types| grid
+    # materializes once
+    c = ev.groupBy("event_type").agg(bcount("k")).localCheckpoint(eager=True)
     t = c.agg(F.sum("k").cast("bigint").alias("n"))
     kd = F.col("k").cast("double")
     nd = F.col("n").cast("double")

@@ -82,10 +82,17 @@ def q_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    hod = ev.groupBy(F.hour("ts").cast("bigint").alias("h")).agg(bcount("cnt"))
-    days = ev.agg(
-        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias("nd")
-    )
+    # single scan (r6): the hourly totals and the distinct-day count each
+    # re-scanned events; both derive exactly from ONE (date, hour) count
+    # grid (checkpointed once, ≤days×24 rows): summing the grid per hour
+    # reproduces the raw per-hour counts, and its distinct dates are the
+    # distinct event dates
+    dh = ev.groupBy(
+        F.col("ts").cast("date").alias("dt"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(bcount("c")).localCheckpoint(eager=True)
+    hod = dh.groupBy("h").agg(F.sum("c").cast("bigint").alias("cnt"))
+    days = dh.agg(F.countDistinct("dt").cast("bigint").alias("nd"))
     peak = (
         hod.agg(F.max("cnt").cast("double").alias("mx"))
         .crossJoin(F.broadcast(days))

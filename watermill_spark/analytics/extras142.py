@@ -346,6 +346,10 @@ def q_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey", "n", "k", (F.col("k").cast("double") / F.col("n")).alias("r")
         )
+        # checkpointed once (r6): the moment fit and the shrinkage pass
+        # both re-derived the rollup (2 lineitem scans in the plan); the
+        # part-domain grid materializes once
+        .localCheckpoint(eager=True)
     )
     mom = rates.agg(
         bcount("np"),

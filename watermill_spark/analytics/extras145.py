@@ -52,9 +52,12 @@ _FC_SQL = """
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): consumers rank and aggregate the scored
+    # series separately (2 lineitem scans per consumer plan); the
+    # calendar-bounded day grid materializes once
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     fc = daily.select(
         "d", "y", F.lag("y", 7).over(Window.orderBy("d")).alias("yhat")
     )

@@ -307,9 +307,14 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 0)
         .select("l_partkey", (F.col("rev") / F.col("qty")).alias("m1"))
     )
+    # checkpointed once (r6): the moment fit and the outside-limits count
+    # both re-derived the rollup+dim join (2 lineitem scans in the plan);
+    # the part-domain diff grid materializes once
     pairs = sale.join(
         part, sale.l_partkey == part.p_partkey
-    ).select("m1", (F.col("m1") - F.col("p_retailprice")).alias("diff"))
+    ).select(
+        "m1", (F.col("m1") - F.col("p_retailprice")).alias("diff")
+    ).localCheckpoint(eager=True)
     mom = pairs.agg(
         bcount("n"),
         F.sum(F.col("diff").cast(_D15)).cast("double").alias("sd_"),

@@ -149,9 +149,13 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
+    # checkpointed once (r6): both self-join sides re-scanned documents
+    # and re-ran the full-text md5 (2 scans in the plan); the deduped
+    # (hash, source) grid materializes once (state linear in the
+    # distinct-doc domain — posting-list class)
     hashed = docs.select(
         F.md5(F.lower(F.trim("text"))).alias("h"), "source"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     b = hashed.select(F.col("h").alias("hb"), F.col("source").alias("source_b"))
     pairs = (
         hashed.join(

@@ -183,7 +183,10 @@ def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("orig_mean"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the reference row and the final join both
+    # re-derived the rollup (2 documents scans in the plan); the
+    # ≤|sources|×10 grid materializes once
     ref = per_cell.groupBy("dec").agg(
         (
             F.sum(F.col("orig_mean").cast("decimal(38,10)")).cast("double")

@@ -295,7 +295,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE)))
         .cast("double")
         .alias("y")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): both pair sides re-derived the rollup
+    # (2 lineitem scans in the plan); the calendar-bounded day grid
+    # materializes once
     a = daily.alias("a")
     b = daily.alias("b")
     slopes = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(

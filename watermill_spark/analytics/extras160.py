@@ -427,6 +427,10 @@ def q_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_acctbal")
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("y"))
+        # checkpointed once (r6): the Gini moments and the quintile sums
+        # both re-derived the join+rollup (2 orders scans in the plan);
+        # the customer-domain grid materializes once
+        .localCheckpoint(eager=True)
     )
     wrank = Window.orderBy("c_acctbal", "c_custkey")
     ranked = spend.select(

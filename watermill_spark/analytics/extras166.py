@@ -84,7 +84,10 @@ def q_null_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the trend moments and the final select
+    # both re-derived the rollup (2 events scans in the plan); the
+    # calendar-bounded month grid materializes once
     from pyspark.sql import Window
 
     idx = monthly.select(
@@ -261,7 +264,9 @@ def q_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2"
         )
     )
-    cnts = digits.groupBy("d2").agg(bcount("cnt"))
+    # checkpointed once (r6): the total and the final join both
+    # re-derived the 10-row grid (2 orders scans in the plan)
+    cnts = digits.groupBy("d2").agg(bcount("cnt")).localCheckpoint(eager=True)
     tot = cnts.agg(F.sum("cnt").cast("bigint").alias("n"))
     ds = spark.range(0, 10).select(F.col("id").cast("bigint").alias("d2"))
     fs = spark.range(1, 10).select(F.col("id").cast("bigint").alias("f"))

@@ -292,9 +292,12 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the totals and the deviation pass both
+    # re-derived the rollup (2 orders scans in the plan); the
+    # customer-domain grid materializes once
     spend = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     tot = spend.agg(
         bcount("n"),
         F.sum(F.col("y").cast("decimal(38,10)")).cast("double").alias("sy"),

@@ -241,13 +241,21 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    dau = ev.groupBy(
+    # single scan (r6): DAU and MAU each re-scanned events for their
+    # distinct grain; both derive exactly from ONE deduped
+    # (month, day, user) grid, checkpointed once (state linear in the
+    # user×day domain — the growth_accounting posting-list class)
+    um = ev.select(
         F.col("ts").cast("date").alias("d"),
         F.date_trunc("month", "ts").cast("date").alias("ym"),
-    ).agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
-    mau = ev.groupBy(
-        F.date_trunc("month", "ts").cast("date").alias("mym")
-    ).agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+        "user_id",
+    ).distinct().localCheckpoint(eager=True)
+    dau = um.groupBy("d", "ym").agg(
+        bcount("dau", "user_id")
+    )
+    mau = um.select(F.col("ym").alias("mym"), "user_id").distinct().groupBy(
+        "mym"
+    ).agg(bcount("mau", "user_id"))
     monthly = (
         dau.join(F.broadcast(mau), F.col("mym") == F.col("ym"))
         .groupBy("ym")

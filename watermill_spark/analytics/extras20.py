@@ -254,28 +254,43 @@ def q_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    s = ev.groupBy(F.col("event_type").alias("t")).agg(
-        F.count(F.lit(1)).alias("sn"),
-        F.sum(dec("value")).cast("double").alias("sx"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+    # single scan (r6): the per-type stats and the scoring join-back each
+    # re-scanned events; every output is an aggregate, so both derive
+    # exactly from ONE (type, value) count grid (checkpointed once —
+    # posting-list class): min/max over the grid equal min/max over raw
+    # rows, and the sums are count-weighted with every decimal product
+    # sized within precision 38 (no rescale ⇒ c × value ≡ the value
+    # added c times)
+    vg = ev.groupBy("event_type", "value").agg(bcount("c")).localCheckpoint(
+        eager=True
+    )
+    cw = F.col("c").cast("decimal(12,0)")
+    s = vg.groupBy(F.col("event_type").alias("t")).agg(
+        F.sum("c").alias("sn"),
+        F.sum(dec("value").cast("decimal(25,6)") * cw).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)") * cw)
         .cast("double")
         .alias("sx2"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
-    j = ev.join(F.broadcast(s), ev.event_type == s.t)
+    j = vg.join(F.broadcast(s), vg.event_type == s.t)
     mu = F.col("sx") / F.col("sn")
     sd = F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("sn")) / (F.col("sn") - 1))
     z = (F.col("value") - mu) / sd
     mm = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
     return (
-        j.select("event_type", z.alias("z"), mm.alias("mm"))
+        j.select("event_type", z.alias("z"), mm.alias("mm"), "c")
         .groupBy("event_type")
         .agg(
-            bcount("n"),
+            F.sum("c").cast("bigint").alias("n"),
             F.round(F.min("z"), 6).alias("min_z"),
             F.round(F.max("z"), 6).alias("max_z"),
-            F.count(F.when(F.abs(F.col("z")) > 2, 1)).cast("bigint").alias("n_outliers"),
+            F.coalesce(
+                F.sum(F.when(F.abs(F.col("z")) > 2, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
             F.round(F.min("mm"), 6).alias("min_minmax"),
             F.round(F.max("mm"), 6).alias("max_minmax"),
         )
@@ -353,13 +368,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.expr(f"instr('{_HEX}', substr(md5(CAST(s AS STRING) || ':' || CAST(user_id AS STRING)), 2, 1))")
         - 1
     ).alias("b")
+    # single scan (r6): the sketch counted raw event rows per (seed,
+    # bucket) with a second events scan; every event of a user lands in
+    # the same bucket, so the counters are exactly the per-user count
+    # grid re-summed (checkpointed once, state linear in the user domain)
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_n")
+    ).localCheckpoint(eager=True)
     sketch = (
-        ev.select("user_id", seeds)
-        .select("s", bucket)
+        truth.select("user_id", "true_n", seeds)
+        .select("s", bucket, "true_n")
         .groupBy("s", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("true_n").alias("cnt"))
     )
-    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
     probe = (
         truth.select("user_id", "true_n", seeds)
         .select("user_id", "true_n", "s", bucket)
@@ -437,9 +458,12 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the median rank and the sign sequence both
+    # re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     d = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(dec("o_totalprice")).alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     r = d.select(
         "day",
         "rev",

@@ -70,9 +70,12 @@ def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the 7-day fan-out and the final join both
+    # re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     d = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(dec("o_totalprice")).alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     x = d.select(
         "day",
         "rev",
@@ -290,9 +293,12 @@ def q_entropy_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
+    # checkpointed once (r6): the day totals and the entropy join both
+    # re-derived the counts (2 events scans in the plan); the
+    # day×|types| grid materializes once
     c = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(bcount("n"))
+    ).agg(bcount("n")).localCheckpoint(eager=True)
     t = c.groupBy("day").agg(F.sum("n").cast("bigint").alias("total"))
     r = c.join(t, "day").withColumn(
         "rn",

@@ -423,9 +423,12 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the control limits and the flagging join
+    # both re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     d = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(dec("o_totalprice")).alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     mr = d.select(
         "day",
         "rev",

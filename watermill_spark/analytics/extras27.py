@@ -248,9 +248,12 @@ def q_missing_calendar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the bounds, the anti-join and the two
+    # count actions each re-derived the dedup (2 orders scans in the
+    # plan); the calendar-bounded day grid materializes once
     present = orders.select(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     bounds = present.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(

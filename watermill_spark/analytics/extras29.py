@@ -152,7 +152,10 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("c"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): both batch slices re-derived the rollup
+    # (2 embeddings scans+explodes in the plan); the ≤|labels|×2×64 grid
+    # materializes once
     a = cm.filter(F.col("batch") == 0).select(
         "label", "dim", F.col("c").alias("ca"), F.col("n").alias("na")
     )

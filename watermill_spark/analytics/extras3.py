@@ -168,16 +168,18 @@ def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
-        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    # single scan (r6): the spine bounds derived from a second orders
+    # scan; date_trunc is monotone so trunc(min(d)) == min(trunc(d)) —
+    # the checkpointed month grid supplies them exactly
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(bcount("n_orders")).localCheckpoint(eager=True)
+    bounds = per_month.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
     )
     months = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
     )
-    per_month = orders.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(bcount("n_orders"))
     return (
         months.join(per_month, "month", "left")
         .select("month", F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"))

@@ -165,9 +165,12 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the chi2 pass and the dims aggregate both
+    # re-derived the counts (2 orders scans in the plan); the
+    # ≤|priorities|×|statuses| grid materializes once
     cell = o.groupBy(
         F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
-    ).agg(bcount("obs"))
+    ).agg(bcount("obs")).localCheckpoint(eager=True)
     aug = cell.select(
         "obs",
         F.sum("obs").over(Window.partitionBy("r")).alias("row_tot"),

@@ -92,7 +92,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count_if(F.col("grp") == "weekday").cast("bigint").alias("n1"),
         F.count_if(F.col("grp") == "weekend").cast("bigint").alias("n2"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the totals and the smoothed-share pass
+    # both re-derived the counts (2 events scans in the plan); the
+    # ≤|buckets| grid materializes once
     tot = cell.agg(
         F.sum("n1").cast("bigint").alias("t1"),
         F.sum("n2").cast("bigint").alias("t2"),
@@ -177,7 +180,10 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count_if(F.col("event_type") == "click").cast("bigint").alias("n1"),
         F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n2"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the totals and the smoothed-share pass
+    # both re-derived the counts (2 events scans in the plan); the
+    # ≤|buckets| grid materializes once
     tot = cell.agg(
         F.sum("n1").cast("bigint").alias("t1"),
         F.sum("n2").cast("bigint").alias("t2"),

@@ -234,6 +234,10 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.weekofyear("o_orderdate").cast("bigint").alias("wk"),
         )
         .agg(F.sum(dec("o_totalprice")).alias("y"))
+        # checkpointed once (r6): both year slices re-derived the rollup
+        # (2 orders scans in the plan); the 2-year week grid
+        # materializes once
+        .localCheckpoint(eager=True)
     )
     a = wk.filter(F.col("yr") == 1996).select("wk", F.col("y").alias("ya"))
     b = wk.filter(F.col("yr") == 1997).select("wk", F.col("y").alias("yb"))

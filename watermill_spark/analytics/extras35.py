@@ -237,8 +237,17 @@ def q_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = F.substring(hx, 3, 30)
     zeros = F.length(F.regexp_extract(rest, "^0*", 0))
     # first non-zero hex digit needs a column start position → SQL substr
-    reg = ev.select(
+    # single scan (r6): the register maxima and the exact distinct-user
+    # truth each re-scanned events; both derive exactly from ONE deduped
+    # (type, user) grid, checkpointed once (posting-list class) — bucket
+    # and rho are pure functions of user_id, and max over the deduped
+    # set equals max over the multiset
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=True
+    )
+    reg = du.select(
         "event_type",
+        "user_id",
         (
             _hexval(F.substring(hx, 1, 1)) * 16 + _hexval(F.substring(hx, 2, 1))
         ).alias("bucket"),
@@ -270,7 +279,7 @@ def q_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_present"),
     )
-    truth = ev.groupBy("event_type").agg(
+    truth = reg.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
     alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))

@@ -102,7 +102,10 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    c = docs.groupBy("lang").agg(bcount("n_docs"))
+    # checkpointed once (r6): the total and the final select both
+    # re-derived the counts (2 documents scans in the plan); the
+    # ≤|langs| grid materializes once
+    c = docs.groupBy("lang").agg(bcount("n_docs")).localCheckpoint(eager=True)
     t = c.agg(
         F.sum("n_docs").cast("bigint").alias("total"), bcount("k")
     )
@@ -173,9 +176,12 @@ def q_stl_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): the RMS scale and the anomaly ranking both
+    # re-derived the rollup (2 lineitem scans in the plan); the
+    # calendar-bounded day grid materializes once
     daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     w_ord = Window.orderBy("d")
     ord_df = daily.select(
         "d",

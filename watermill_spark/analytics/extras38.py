@@ -152,7 +152,12 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("s"))
+    # checkpointed once (r6): the decile rank and the totals both
+    # re-derived the rollup (2 orders scans in the plan); the
+    # customer-domain grid materializes once
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("s")
+    ).localCheckpoint(eager=True)
     ranked = spend.select(
         "s", F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile")
     )

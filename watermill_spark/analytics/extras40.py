@@ -385,7 +385,12 @@ def q_throttle_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(bcount("a"))
+    # checkpointed once (r6): the spine bounds and the arrival join both
+    # re-derived the rollup (2 events scans in the plan); the
+    # calendar-bounded hour grid materializes once
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        bcount("a")
+    ).localCheckpoint(eager=True)
     bounds = hours.agg(
         F.min("h").alias("h0"),
         F.max("h").alias("h1"),

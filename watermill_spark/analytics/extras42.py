@@ -147,6 +147,10 @@ def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             F.sum(dec("l_quantity")).cast("double").alias("q"),
         )
+        # checkpointed once (r6): both year slices re-derived the rollup
+        # (2 lineitem scans in the plan); the part×2-year grid
+        # materializes once
+        .localCheckpoint(eager=True)
     )
     a = yr.filter(F.col("y") == 1995).select(
         "pk", F.col("p").alias("p0"), F.col("q").alias("q0")

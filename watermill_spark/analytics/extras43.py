@@ -224,8 +224,15 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(bcount("c"))
-    nd = toks.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    # single scan (r6): the tf grid and the doc count each re-scanned
+    # documents and re-ran the tokenize explode (2 passes in the plan);
+    # the (doc, term) grid materializes once (posting-list class) and a
+    # doc appears in it iff it has ≥1 token, so the distinct-doc count
+    # over the grid is the original count
+    tf = toks.groupBy("doc_id", "term").agg(bcount("c")).localCheckpoint(
+        eager=True
+    )
+    nd = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     mom = tf.groupBy("term").agg(
         bcount("df"),
         F.sum("c").cast("bigint").alias("sc"),

@@ -91,9 +91,12 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("x"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
+    # checkpointed once (r6): the totals and the cumulative sweep both
+    # re-derived the counts (2 lineitem scans in the plan); the
+    # ≤|distinct discounts| grid materializes once
     grid = lab.groupBy(F.col("x").alias("thr")).agg(
         bcount("n_at"), F.sum("y").cast("bigint").alias("pos_at")
-    )
+    ).localCheckpoint(eager=True)
     tot = grid.agg(
         F.sum("n_at").cast("bigint").alias("n"),
         F.sum("pos_at").cast("bigint").alias("pos"),

@@ -325,7 +325,13 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    hashed = ev.select("user_id").distinct().select(
+    # single scan (r6): the bottom-k rank and the exact count each
+    # re-scanned and re-deduped events; ONE deduped user grid
+    # (checkpointed once, state linear in the user domain) feeds both —
+    # count_distinct over the distinct rows is the same count, and the
+    # md5 ranking sees the identical row set
+    du = ev.select("user_id").distinct().localCheckpoint(eager=True)
+    hashed = du.select(
         F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h")
     )
     kth = (
@@ -333,7 +339,7 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == _KMV_K)
         .select(_spark_hexval8(F.col("h")).alias("kth_val"))
     )
-    exact = ev.agg(
+    exact = du.agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
     s = kth.crossJoin(exact)

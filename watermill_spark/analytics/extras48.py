@@ -392,27 +392,41 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("vc"),
     )
+    # single scan (r6): the per-group median and the deviation pass each
+    # re-scanned orders; both derive exactly from ONE (group, cents)
+    # count grid, checkpointed once (posting-list class: state linear in
+    # the distinct-cents domain). All math is integer: the rank-r median
+    # is the smallest value whose cumulative count reaches r, and the
+    # deviation sums are count-weighted integer products (every decimal
+    # product sized within precision 38 — no rescale, so c × value ≡ the
+    # value added c times).
+    grid = cents.groupBy("g", "vc").agg(bcount("c")).localCheckpoint(
+        eager=True
+    )
     wg = Window.partitionBy("g")
     med = (
-        cents.select(
+        grid.select(
             "g",
             "vc",
-            F.row_number().over(wg.orderBy("vc")).alias("rn"),
-            F.count(F.lit(1)).over(wg).alias("n"),
+            F.sum("c")
+            .over(wg.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("c").over(wg).alias("n"),
         )
         .filter(
-            F.col("rn")
-            == F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+            F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
         )
-        .select("g", F.col("vc").alias("med_c"))
+        .groupBy("g")
+        .agg(F.min("vc").alias("med_c"))
     )
-    z = cents.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("vc") - F.col("med_c")).alias("zc")
+    z = grid.join(F.broadcast(med), "g").select(
+        "g", "c", F.abs(F.col("vc") - F.col("med_c")).alias("zc")
     )
+    cw = F.col("c").cast("decimal(18,0)")
     gstat = z.groupBy("g").agg(
-        bcount("n_i"),
-        F.sum(F.col("zc").cast("decimal(38,0)")).cast("double").alias("s1"),
-        F.sum((F.col("zc") * F.col("zc")).cast("decimal(38,0)"))
+        F.sum("c").cast("bigint").alias("n_i"),
+        F.sum(F.col("zc").cast("decimal(19,0)") * cw).cast("double").alias("s1"),
+        F.sum((F.col("zc") * F.col("zc")).cast("decimal(19,0)") * cw)
         .cast("double")
         .alias("s2"),
     )

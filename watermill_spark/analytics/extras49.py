@@ -64,9 +64,12 @@ def _spark_ols_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
     )
+    # checkpointed once (r6): the moment fit and the residual pass both
+    # re-derived the rollup (2 orders scans in every consumer's plan);
+    # the calendar-bounded 1995 day grid materializes once
     idx = daily.select(
         "d", "rev", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t")
-    )
+    ).localCheckpoint(eager=True)
     m = idx.agg(
         bcount("n"),
         F.sum("t").cast("double").alias("st"),
@@ -271,7 +274,10 @@ def q_chi2_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("b")
     )
-    obs = buckets.groupBy("b").agg(bcount("o"))
+    # checkpointed once (r6): the total and the chi2 join both re-derived
+    # the distinct-user hash (2 events scans in the plan); the 16-row
+    # bucket grid materializes once
+    obs = buckets.groupBy("b").agg(bcount("o")).localCheckpoint(eager=True)
     tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
     j = obs.crossJoin(F.broadcast(tot))
     e = F.col("n").cast("double") / 16

@@ -391,7 +391,11 @@ def q_sprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_t") * F.lit(_L1) + (F.col("t") - F.col("c_t")) * F.lit(_L0)).alias(
             "llr_t"
         ),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the first-crossing pick and the totals
+    # each re-derived the stream (2 events scans AND 2 global cumulative
+    # sorts in the plan); the narrow 3-column stream materializes once
+    # (posting-list class: state linear in the corpus)
     beyond = F.col("llr_t") >= F.lit(_A)
     below = F.col("llr_t") <= F.lit(_B)
     crossings = (

@@ -161,9 +161,14 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
+    # checkpointed once (r6): the first-seen map and the per-doc counts
+    # each re-scanned documents and re-ran the tokenize explode (2 passes
+    # in the plan); the token stream materializes once (posting-list
+    # class: state linear in corpus tokens — the shingle-containment
+    # trade, and both group-bys shuffle this volume anyway)
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).filter(F.col("t") != "")
+    ).filter(F.col("t") != "").localCheckpoint(eager=True)
     first_seen = tok.groupBy("t").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
     new_types = first_seen.groupBy("first_doc").agg(bcount("new_types"))
     per_doc = (

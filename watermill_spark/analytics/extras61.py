@@ -167,35 +167,41 @@ def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("y"),
     )
 
-    def moments(df, keys):
-        return df.groupBy(*keys).agg(
-            bcount("n"),
-            F.sum(dec("x")).cast("double").alias("sx"),
-            F.sum(dec("y")).cast("double").alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sxx"),
-        ) if keys else df.agg(
-            bcount("n"),
-            F.sum(dec("x")).cast("double").alias("sx"),
-            F.sum(dec("y")).cast("double").alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sxx"),
-        )
+    # single scan (r6): the per-brand and pooled moment passes each
+    # re-scanned the lineitem⨝part join; the per-brand grid now KEEPS
+    # its exact decimal sums (checkpointed once, ≤|brands| rows), and the
+    # pooled moments are their exact decimal re-sums — decimal addition
+    # is associative, so the pooled doubles are bit-identical to the old
+    # one-pass sums
+    gm = base.groupBy("g").agg(
+        bcount("n"),
+        F.sum(dec("x")).alias("dsx"),
+        F.sum(dec("y")).alias("dsy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("dsxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("dsxx"),
+    ).localCheckpoint(eager=True)
+    per_g = gm.select(
+        "g",
+        "n",
+        F.col("dsx").cast("double").alias("sx"),
+        F.col("dsy").cast("double").alias("sy"),
+        F.col("dsxy").cast("double").alias("sxy"),
+        F.col("dsxx").cast("double").alias("sxx"),
+    )
+    pooled_m = gm.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("dsx").cast("double").alias("sx"),
+        F.sum("dsy").cast("double").alias("sy"),
+        F.sum("dsxy").cast("double").alias("sxy"),
+        F.sum("dsxx").cast("double").alias("sxx"),
+    )
 
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slopes = moments(base, ["g"]).filter(det > 0).select("g", slope.alias("b"))
-    pooled_b = moments(base, []).select(slope.alias("pb"))
+    slopes = per_g.filter(det > 0).select("g", slope.alias("b"))
+    pooled_b = pooled_m.select(slope.alias("pb"))
     j = slopes.crossJoin(F.broadcast(pooled_b))
     opp = (F.col("b") > 0) != (F.col("pb") > 0)
     return j.groupBy("pb").agg(

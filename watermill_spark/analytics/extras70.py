@@ -310,10 +310,13 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the covariance moments and the scoring
+    # pass both re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("x"),
         F.count(F.lit(1)).cast("double").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     mom = daily.agg(
         bcount("n"),
         (F.sum(dec("x")).cast("double") / F.count(F.lit(1))).alias("mx"),

@@ -292,7 +292,11 @@ def q_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
         F.col("t") != ""
     )
-    counts = tok.groupBy("t").agg(bcount("c"))
+    # checkpointed once (r6): the total and the spectrum pass each
+    # re-scanned documents and re-ran the tokenize explode (2 passes in
+    # the plan); the type-count grid materializes once (posting-list
+    # class: state linear in the vocabulary)
+    counts = tok.groupBy("t").agg(bcount("c")).localCheckpoint(eager=True)
     nn = counts.agg(F.sum("c").cast("bigint").alias("n"))
     j = counts.crossJoin(F.broadcast(nn))
     p = F.col("c").cast("double") / F.col("n")

@@ -211,37 +211,52 @@ def q_optimal_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("x"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("xc"),
     )
-    ranked = v.select(
+    # single scan (r6): the IQR rank and the moment pass each re-scanned
+    # orders; both derive exactly from ONE per-distinct-value count grid
+    # (checkpointed once — posting-list class). The rank-r quantile is
+    # the smallest value whose cumulative count reaches r, and the
+    # moment sums are count-weighted with every decimal product sized
+    # within precision 38 (no rescale ⇒ c × value ≡ the value added c
+    # times).
+    vg = v.groupBy("x", "xc").agg(bcount("c")).localCheckpoint(eager=True)
+    cg = vg.groupBy("xc").agg(F.sum("c").cast("bigint").alias("c"))
+    ranked = cg.select(
         "xc",
-        F.row_number().over(Window.orderBy("xc")).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("c")
+        .over(Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
     )
     iqr = ranked.agg(
         (
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                    F.col("cum") >= F.ceil(0.75 * F.col("n")).cast("bigint"),
                     F.col("xc"),
                 )
             )
             / 100.0
-            - F.max(
+            - F.min(
                 F.when(
-                    F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                    F.col("cum") >= F.ceil(0.25 * F.col("n")).cast("bigint"),
                     F.col("xc"),
                 )
             )
             / 100.0
         ).alias("iqr_v")
     )
-    mom = v.agg(
-        bcount("n"),
+    cw = F.col("c").cast("decimal(12,0)")
+    cnt_n = F.sum("c").cast("bigint")
+    mom = vg.agg(
+        cnt_n.alias("n"),
         (F.max("x") - F.min("x")).alias("rng"),
         F.sqrt(
-            F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-            - (F.sum(dec("x")).cast("double") / F.count(F.lit(1)))
-            * (F.sum(dec("x")).cast("double") / F.count(F.lit(1)))
+            F.sum((F.col("x") * F.col("x")).cast("decimal(25,6)") * cw)
+            .cast("double")
+            / cnt_n
+            - (F.sum(dec("x").cast("decimal(25,6)") * cw).cast("double") / cnt_n)
+            * (F.sum(dec("x").cast("decimal(25,6)") * cw).cast("double") / cnt_n)
         ).alias("sd"),
     )
     s = mom.crossJoin(F.broadcast(iqr))

@@ -195,7 +195,13 @@ def q_interarrival_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .cast("bigint")
         .alias("g")
-    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0)).localCheckpoint(
+        eager=True
+    )
+    # ^ checkpointed once (r6): the rate fit and the KS ranking both
+    # re-derived the gap stream (2 events scans AND 2 global lag sorts
+    # in the plan); the narrow 1-column stream materializes once
+    # (posting-list class: state linear in the corpus)
     lam = gaps.agg(
         (F.count(F.lit(1)).cast("double") / F.sum("g").cast("double")).alias(
             "lambda_hat"

@@ -286,7 +286,10 @@ def q_topk_policy_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_train") == 0, F.col("rev")))
         .cast("double")
         .alias("test_rev"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the rank windows and the test total both
+    # re-derived the join+rollup (2 lineitem scans in the plan); the
+    # part-domain grid materializes once
     train_rank = per_part.select(
         "l_partkey",
         "test_rev",

@@ -230,9 +230,12 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    # checkpointed once (r6): both self-join sides re-scanned and
+    # re-deduped lineitem (2 scans in the plan); the deduped
+    # (order, bucket) grid materializes once (posting-list class)
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 1000).alias("part_bucket")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     a = items.alias("a")
     b = items.alias("b")
     return (

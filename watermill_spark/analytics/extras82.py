@@ -411,7 +411,10 @@ def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q1") / F.col("n1") - m1 * m1) / F.col("n1")
             + (F.col("q2") / F.col("n2") - m2 * m2) / F.col("n2")
         ).alias("var_eff"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the pooled weights and the Cochran-Q pass
+    # both re-derived the per-study rollup (2 events scans in the plan);
+    # the ≤|types| effect grid materializes once
     pooled = effects.agg(
         bcount("k"),
         F.sum((F.col("eff") / F.col("var_eff")).cast("decimal(28,12)"))

@@ -287,9 +287,12 @@ def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the VaR cutoff and the exceedance flags
+    # both re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     ret = daily.select(
         "d", (F.col("rev") / F.lag("rev").over(Window.orderBy("d")) - 1.0).alias("r")
     ).filter(F.col("r").isNotNull())

@@ -361,7 +361,12 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(bcount("n"))
+    # checkpointed once (r6): the totals and the entropy join both
+    # re-derived the counts (2 events scans in the plan); the user×type
+    # grid materializes once (posting-list class)
+    counts = ev.groupBy("user_id", "event_type").agg(bcount("n")).localCheckpoint(
+        eager=True
+    )
     totals = counts.groupBy("user_id").agg(
         F.sum("n").cast("bigint").alias("total"), bcount("n_types")
     )
@@ -465,7 +470,10 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(18,6)"
             )
         ).alias("revenue_dec")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ checkpointed once (r6): the grand total and the running share
+    # both re-derived the rollup (2 lineitem scans in the plan); the
+    # supplier-domain grid materializes once
     total = rev.agg(F.sum("revenue_dec").alias("t"))
     w = Window.orderBy(F.desc("revenue_dec"), "l_suppkey").rowsBetween(
         Window.unboundedPreceding, 0

@@ -107,7 +107,10 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pattern")
     )
-    c = pat.groupBy("pattern").agg(bcount("cnt"))
+    # checkpointed once (r6): the entropy total and the share pass both
+    # re-derived the day rollup + lead windows (2 orders scans in the
+    # plan); the ≤6-row pattern grid materializes once
+    c = pat.groupBy("pattern").agg(bcount("cnt")).localCheckpoint(eager=True)
     wall = Window.partitionBy()
     p = F.col("cnt").cast("double") / F.sum("cnt").over(wall)
     tot = c.select(
@@ -348,9 +351,12 @@ def q_variogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the lag fan-out and the sill variance both
+    # re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     d = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     lags = [1, 2, 3, 4, 5, 6, 7, 14, 28]
     w = Window.orderBy("day")
     led = d.select(

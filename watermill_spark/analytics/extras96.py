@@ -375,9 +375,12 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
+    # checkpointed once (r6): the EWMA window pass and the sigma moments
+    # both re-derived the rollup (2 orders scans in the plan); the
+    # calendar-bounded day grid materializes once
     d = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         (F.sum(dec("o_totalprice")).cast("double") / F.lit(1e6)).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("day")
     ew = None
     for j, wt in enumerate(_EWMA_W):

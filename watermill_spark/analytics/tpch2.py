@@ -275,18 +275,29 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
+    # single lineitem pass (r6): the per-order rollup already holds the
+    # order's total quantity, so the old re-join of raw lineitem (2nd
+    # fact scan) + re-aggregation is redundant — the exact decimal sum
+    # computed for the >150 filter IS total_qty (cast double, identical
+    # to the old dsum over the same lineitems), and the inner join to
+    # the filtered grid keeps exactly the semi-join's orders, one row
+    # per order like the old groupBy emitted.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "bk"), orders.o_orderkey == F.col("bk"), "left_semi")
+        orders.join(big, orders.o_orderkey == F.col("bk"))
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
     )
 
 

@@ -279,6 +279,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("value_dec"))
+        # checkpointed once (r6): the 0.5% threshold and the filtered
+        # output both re-derived the rollup (2 lineitem scans in the
+        # plan); the part-domain grid materializes once
+        .localCheckpoint(eager=True)
     )
     total = per_part.agg(
         (F.sum("value_dec").cast("double") * F.lit(0.005)).alias("threshold")
