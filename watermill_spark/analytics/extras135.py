@@ -417,13 +417,16 @@ def q_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nx") > 0) & (F.col("ny") > 0))
         .drop("nx", "ny")
     )
+    # checkpointed once (r6): the pre fit, the residual sd, and the post
+    # scoring each re-derived the ranked day grid from the events scan
+    # (3 fact scans in the plan); the ≤|days| grid materializes once
     idx = daily.select(
         "d",
         "x",
         "y",
         F.row_number().over(Window.orderBy("d")).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     pre_rows = idx.filter(F.col("rn") <= F.col("n") / 2)
     pre = pre_rows.agg(
         bcount("np"),
