@@ -85,9 +85,21 @@ def q_subword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
     ).select("lang", F.expr("substr(t, i, 2)").alias("bg"))
     good = bigrams.filter(F.col("bg").rlike("^[a-z][a-z]$"))
-    vocab = (
-        good.groupBy("bg")
+    # single bigram pass (r6): the vocab build and the coverage scoring
+    # each re-ran the char-volume explode+regex, and the scoring join
+    # carried bigram-volume rows. Both now derive from ONE checkpointed
+    # (lang, bg) count grid (≤|langs|×676 rows): vocab counts are the
+    # grid's exact integer column sums, and per-lang coverage is the
+    # count-weighted sum over the grid (covered ∈ {0,1}, so
+    # Σ covered·cnt ≡ counting each occurrence once).
+    grid = (
+        good.groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        grid.groupBy("bg")
+        .agg(F.sum("cnt").alias("cnt"))
         .select(
             "bg",
             F.row_number()
@@ -96,16 +108,21 @@ def q_subword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rk"),
         )
     )
-    scored = good.join(F.broadcast(vocab), "bg").select(
-        "lang", F.when(F.col("rk") <= 100, 1).otherwise(0).alias("covered")
+    scored = grid.join(F.broadcast(vocab), "bg").select(
+        "lang",
+        "cnt",
+        F.when(F.col("rk") <= 100, 1).otherwise(0).alias("covered"),
     )
     return (
         scored.groupBy("lang")
         .agg(
-            bcount("n_bigrams"),
-            F.sum("covered").cast("bigint").alias("n_covered"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("covered") * F.col("cnt")).cast("bigint").alias("n_covered"),
             F.round(
-                F.sum("covered").cast("double") / F.count(F.lit(1)) * 100.0, 4
+                F.sum(F.col("covered") * F.col("cnt")).cast("double")
+                / F.sum("cnt")
+                * 100.0,
+                4,
             ).alias("coverage_pct"),
         )
         .orderBy("lang")

@@ -54,20 +54,38 @@ def q_json_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
-    keyed = ev.select(
-        F.explode(F.json_object_keys("props")).alias("key"), "props"
+    # single props pass (r6): n_rows re-scanned the heavy props column
+    # just to count non-null rows. posexplode_outer emits exactly ONE
+    # pos∈{0,NULL} marker row per source row (0 for non-empty key
+    # arrays, NULL for empty/invalid ones, which the old explode
+    # dropped and the old count kept), so the row count folds into the
+    # same pass; the per-key value extraction moves inside the row
+    # (identical get_json_object per (props, key) pair, just relocated)
+    # so the checkpointed stream is the narrow (pos, key, val) grid —
+    # no props re-read, and the state carries values, not payloads.
+    pairs = (
+        ev.select(
+            F.posexplode_outer(
+                F.expr(
+                    "transform(json_object_keys(props), "
+                    "k -> struct(k AS key, "
+                    "get_json_object(props, concat('$.', k)) AS val))"
+                )
+            ).alias("pos", "kv")
+        )
+        .select("pos", F.col("kv.key").alias("key"), F.col("kv.val").alias("val"))
+        .localCheckpoint(eager=True)
     )
-    tot = ev.agg(bcount("n_rows"))
+    keyed = pairs.filter(F.col("key").isNotNull())
+    tot = pairs.filter((F.col("pos") == 0) | F.col("pos").isNull()).agg(
+        bcount("n_rows")
+    )
     return (
         keyed.crossJoin(F.broadcast(tot))
         .groupBy("key", "n_rows")
         .agg(
             bcount("n_present"),
-            F.countDistinct(
-                F.expr("get_json_object(props, concat('$.', key))")
-            )
-            .cast("bigint")
-            .alias("distinct_values"),
+            F.countDistinct("val").cast("bigint").alias("distinct_values"),
         )
         .select(
             "key",

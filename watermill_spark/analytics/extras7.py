@@ -264,10 +264,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(toks).cast("double")
         > 0.08
     )
-    scored = docs.select("doc_id", "source", "text", q_ok.alias("q_ok"), lang_ok.alias("lang_ok"))
-    passed = scored.filter("q_ok AND lang_ok").withColumn(
-        "fp", F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    )
+    # single corpus pass (r6): the funnel rollup and the kept-stats branch
+    # each re-scanned documents and re-ran the tokenize gates (and the
+    # kept branch re-tokenized for its token count) — 2 full-text passes.
+    # ONE narrow per-doc grid (flags + fingerprint/token-count computed
+    # only for passers, text dropped) materializes once; both branches
+    # read it. Same flags, same fp, same per-doc token count ⇒ identical
+    # aggregates; state is ~60 B/doc vs re-reading and re-parsing the
+    # corpus text.
+    scored = docs.select(
+        "doc_id",
+        "source",
+        q_ok.alias("q_ok"),
+        lang_ok.alias("lang_ok"),
+        F.when(
+            q_ok & lang_ok, F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fp"),
+        F.when(q_ok & lang_ok, F.size(toks)).alias("ntok"),
+    ).localCheckpoint(eager=True)
+    passed = scored.filter("q_ok AND lang_ok")
     from pyspark.sql import Window as _W
 
     kept = passed.withColumn(
@@ -275,7 +290,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") == 1)
     kept_stats = kept.groupBy("source").agg(
         bcount("n_kept"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens_kept"),
+        F.sum("ntok").cast("bigint").alias("tokens_kept"),
     )
     funnel = scored.groupBy("source").agg(
         bcount("n_total"),
