@@ -485,6 +485,11 @@ BY_DESIGN["q_dsir_importance_weights"] = {"BNLJ"}
 # batch 139: three 1-row k-th-hash sketch outputs (rn == k filter on the
 # bottom-k window) crossed into the 1-row estimate row (extras131.py)
 BY_DESIGN["q_kmv_set_ops"] = {"BNLJ"}
+# r6 kmeans rewrite: the k×64 centroid grid collapses to ONE row (array
+# of structs) cross-attached to the vectors so assignment is a pure
+# per-row fold — the audited 1-row scalar-attach pattern (always 1 row
+# by construction: a global collect_list aggregate)
+BY_DESIGN["q_kmeans_lloyd"] = {"BNLJ"}
 # batch 140: unigram and bigram clipped-precision aggregates of the same
 # candidate-pair set joined on their shared (da, db) grouping key — SMJ is
 # the right plan (neither side broadcastable at scale); plus the pre a/b
@@ -838,6 +843,7 @@ MAX_COUNTS = {
     "q_kfold_balance": {"BNLJ": 1},
     "q_kl_coding_cost": {"BNLJ": 1},
     "q_kmv_distinct_estimate": {"BNLJ": 1},
+    "q_kmeans_lloyd": {"BNLJ": 1},
     "q_kmv_set_ops": {"BNLJ": 2},
     "q_knn_bruteforce": {"BNLJ": 1},
     "q_knn_classifier_eval": {"BNLJ": 1},

@@ -236,58 +236,54 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,15)-cast before the mean; the train/test split is the
     deterministic doc_id parity.
 
-    Scale: tokenize once; unigram/bigram count tables shuffle on token
-    keys (map-side combinable); the test scan is one pass with two
-    hash joins against the (broadcastable) model tables. §2.B [NS] /
-    LLM-pipeline surface.
+    Scale (r6 rewrite): bigrams come from an in-row slice-zip of the
+    per-doc token array (adjacent positions) instead of the old
+    token-stream self-join on (doc_id, pos+1) — identical pairs (both
+    tokens of a bigram share the doc, so the old is_train AND tr_b
+    filter is just is_train), with the token-volume shuffle join and
+    its two exploded join sides gone. The <unk> remap joins are gone
+    too: an OOV token's mapped key '<unk>' never matches train_bi/uni
+    (the corpus' [a-z]+ tokens cannot collide with it), so a raw-key
+    left join yields the same c2=0/c1=0 for every OOV bigram and the
+    same counts otherwise — lp is unchanged row by row. Model joins
+    are unhinted: the train bigram table is vocabulary²-scaled, so the
+    broadcast decision belongs to AQE's measured sizes, not a hint
+    (the r5 broadcast-audit rule). §2.B [NS] / LLM-pipeline surface.
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
+    base = docs.select(
         (F.col("doc_id") % 2 == 0).alias("is_train"),
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        F.split("text", " ").alias("ts"),
     ).localCheckpoint(eager=True)
-    vocab = toks.filter("is_train").select("tok").distinct()
-    vsize = vocab.count() + 1
-    uni = (
-        toks.filter("is_train").groupBy("tok").agg(bcount("c1"))
-    )
-    a = toks.select("doc_id", "is_train", F.col("pos").alias("p1"), F.col("tok").alias("t1"))
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("is_train").alias("tr_b"),
-        F.col("pos").alias("p2"),
-        F.col("tok").alias("t2"),
-    )
-    bigrams = a.join(
-        b, (F.col("doc_b") == F.col("doc_id")) & (F.col("p2") == F.col("p1") + 1)
-    )
+    train_toks = base.filter("is_train").select(F.explode("ts").alias("tok"))
+    vsize = train_toks.distinct().count() + 1
+    uni = train_toks.groupBy("tok").agg(bcount("c1"))
+    bi = base.select(
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts)-1, 0)),"
+                "         slice(ts, 2, greatest(size(ts)-1, 0)),"
+                "         (a, b) -> struct(a AS t1, b AS t2))"
+            )
+        ).alias("p"),
+    ).select("is_train", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
     train_bi = (
-        bigrams.filter(F.col("is_train") & F.col("tr_b"))
+        bi.filter("is_train")
         .groupBy(F.col("t1").alias("w1"), F.col("t2").alias("w2"))
         .agg(bcount("c2"))
     )
-    vset = vocab.select(F.col("tok").alias("vt1"))
-    vset2 = vocab.select(F.col("tok").alias("vt2"))
-    test_bi = (
-        bigrams.filter(~F.col("is_train") & ~F.col("tr_b"))
-        .join(F.broadcast(vset), F.col("vt1") == F.col("t1"), "left")
-        .join(F.broadcast(vset2), F.col("vt2") == F.col("t2"), "left")
-        .select(
-            F.when(F.col("vt1").isNull(), "<unk>").otherwise(F.col("t1")).alias("w1"),
-            F.when(F.col("vt2").isNull(), "<unk>").otherwise(F.col("t2")).alias("w2"),
-        )
+    test_bi = bi.filter(~F.col("is_train")).select(
+        F.col("t1").alias("w1"), F.col("t2").alias("w2")
     )
     lp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + _PPL_K)
         / (F.coalesce(F.col("c1"), F.lit(0)) + _PPL_K * vsize)
     )
     scored = (
-        test_bi.join(F.broadcast(train_bi), ["w1", "w2"], "left")
-        .join(
-            F.broadcast(uni.select(F.col("tok").alias("w1"), "c1")), "w1", "left"
-        )
+        test_bi.join(train_bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("tok").alias("w1"), "c1"), "w1", "left")
         .select(lp.alias("lp"))
     )
     ce = F.sum((-F.col("lp")).cast(_D15)).cast("double") / F.count(F.lit(1))

@@ -214,18 +214,62 @@ def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order; both fits use exact-decimal moments and closed-form
     RSS = Syy − Sxy²/Sxx in scalar double arithmetic.
 
-    Scale: one global sort for segment assignment (rank shuffle), then
-    two segment moment passes. §2.B [NS].
+    Scale (r6 rewrite): the old global row_number window moved EVERY row
+    to one task (Spark executes an unpartitioned window in a single
+    partition) — the definitive straggler at 100 TB. The rank is now the
+    distributed zipWithIndex: range-repartition on the sort key, sort
+    within partitions (parallel), monotonically_increasing_id encodes
+    (partition, row-offset), and per-partition row counts (a tiny
+    aggregate) turn the offset into the exact global rank. Range
+    partitions are ordered and the key is unique, so r is identical to
+    the single-task rank row for row; partition count follows the
+    session's shuffle-partition setting (a deployment knob, not a core
+    count). §2.B [NS], guide §2.5.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    pts = li.select(
-        F.col("l_quantity").cast("decimal(18,6)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(18,6)").alias("y"),
-        F.row_number().over(w).cast("bigint").alias("r"),
-    ).localCheckpoint(eager=True)
-    n = pts.count()
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranked = (
+        li.select(
+            F.col("l_quantity").cast("decimal(18,6)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(18,6)").alias("y"),
+            "l_quantity",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .repartitionByRange(nparts, "l_quantity", "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_quantity", "l_orderkey", "l_linenumber")
+        .select("x", "y", F.monotonically_increasing_id().alias("mid"))
+        .localCheckpoint(eager=True)
+    )
+    # mid = (partition id << 33) | row offset within the sorted partition;
+    # cumulative per-partition counts convert the offset to a global rank.
+    off = (
+        ranked.groupBy(F.shiftright("mid", 33).alias("pid"))
+        .count()
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    pts = ranked.join(
+        F.broadcast(off), F.shiftright("mid", 33) == F.col("pid")
+    ).select(
+        "x",
+        "y",
+        (F.col("off") + (F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))) + 1)
+        .cast("bigint")
+        .alias("r"),
+    )
+    n = ranked.count()
     m = n // 3
 
     lo = _rss_closed(pts.filter(F.col("r") <= m)).select(

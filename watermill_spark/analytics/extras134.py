@@ -358,53 +358,262 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights are sums of fixed constants, so every pair's w takes one of
     2³ values; per-cell means route through DECIMAL.
 
-    Scale: the nation block bounds candidate pairs (the 100-TB version
-    blocks on (nation, phone-prefix) to keep blocks constant-size); one
-    equi-join + one small groupBy — never a cross product. §2.B join
-    family [NS].
+    Scale (r6 rewrite): the pair HISTOGRAM never needs the pairs. Every
+    pair's cell is determined by its agreement triple, so the output is a
+    function of eight exact pair counts N[a_bal, a_name, a_key] — and
+    those are countable in near-linear work instead of materializing the
+    |c|×|s|/|nations| blocked pair stream (60M rows at sf1, quadratic in
+    the corpus):
+
+    - bal-close counts per customer come from a rank/merge pass: union
+      the suppliers with two probe rows per customer at cb ± 999.995,
+      window-partition by the block/class keys, order by balance, and a
+      running supplier count turns each probe pair into an exact interval
+      count. acctbal is a 0.01-grid double, so the ±999.995 probes are
+      ≥0.005 from every supplier value — tie-free and exact for every
+      pair whose decimal |Δbal| ≤ 999.99 (such a pair's double predicate
+      abs(cb−sb) < 1000.0 is provably true: the rounding error of the
+      subtraction is ≤1e-12, far below the 0.01 gap). Four passes cover
+      the class combinations needed for inclusion-exclusion: (nation),
+      (nation, name-digit), (nation, key-digit), (nation, both).
+    - the ONLY ambiguous pairs are those with decimal |Δbal| = 1000.00
+      exactly, where the double predicate is decided by the subtraction's
+      rounding (such pairs exist: min | |Δ|−1000 | = 2.3e-13 at sf0.1).
+      They are enumerated exactly via an equi-join on cents = ±100000 and
+      scored with the ORIGINAL double predicate — a handful of rows.
+    - disagreement counts derive from the per-class supplier totals
+      (bounded grids ≤ |nations|×10×10) by inclusion-exclusion.
+    - the cell mean reproduces the per-pair DECIMAL(38,15) sum exactly:
+      N copies of the same decimal w sum to N×w, computed as
+      decimal(16,15) × decimal(19,0) = decimal(36,15) — exact, no
+      precision loss.
+
+    Per-task work drops from |c|×|s|/|nations|² pair rows to
+    (|c|+|s|)/|class partitions| window rows; at even larger blocks the
+    rank pass range-partitions on (block, balance) with per-partition
+    count offsets (the q_monetary_unit_sampling pattern). §2.B join
+    family [NS], guide §2.3/§2.5.
     """
+    import math
+
     tune_session(spark)
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    pairs = c.join(s, c.c_nationkey == s.s_nationkey).select(
-        (F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 1000.0).alias("a_bal"),
-        (
-            F.substring("c_name", -1, 1) == F.substring("s_name", -1, 1)
-        ).alias("a_name"),
-        (F.col("c_custkey") % 10 == F.col("s_suppkey") % 10).alias("a_key"),
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("cid"),
+            F.col("c_nationkey").alias("n"),
+            F.col("c_acctbal").alias("cb"),
+            F.substring("c_name", -1, 1).alias("clc"),
+            (F.col("c_custkey") % 10).alias("ck"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_nationkey").alias("n"),
+            F.col("s_acctbal").alias("sb"),
+            F.substring("s_name", -1, 1).alias("slc"),
+            (F.col("s_suppkey") % 10).alias("sk"),
+        )
+        .localCheckpoint(eager=True)
     )
 
-    def weight(agree: str, m: float, u: float):
-        import math
-
-        return F.when(F.col(agree), F.lit(math.log(m / u))).otherwise(
-            F.lit(math.log((1.0 - m) / (1.0 - u)))
+    def close_count(keys_c: list, keys_s: list, out: str) -> DataFrame:
+        kcols = [f"k{i}" for i in range(len(keys_c))]
+        sup = s.select(
+            *[F.col(sc).alias(k) for sc, k in zip(keys_s, kcols)],
+            F.col("sb").alias("bal"),
+            F.lit(1).alias("is_sup"),
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(0).alias("sign"),
+        )
+        pr = (
+            c.select(
+                *[F.col(cc).alias(k) for cc, k in zip(keys_c, kcols)],
+                "cid",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            (F.col("cb") + F.lit(999.995)).alias("bal"),
+                            F.lit(1).alias("sign"),
+                        ),
+                        F.struct(
+                            (F.col("cb") - F.lit(999.995)).alias("bal"),
+                            F.lit(-1).alias("sign"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                *kcols,
+                F.col("p.bal").alias("bal"),
+                F.lit(0).alias("is_sup"),
+                "cid",
+                F.col("p.sign").alias("sign"),
+            )
+        )
+        w = (
+            Window.partitionBy(*kcols)
+            .orderBy("bal")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            sup.unionByName(pr)
+            .withColumn("rc", F.sum("is_sup").over(w))
+            .filter(F.col("cid").isNotNull())
+            .groupBy("cid")
+            .agg(F.sum(F.col("rc") * F.col("sign")).cast("long").alias(out))
         )
 
-    scored = pairs.select(
-        (
-            F.when(F.col("a_bal"), 1).otherwise(0)
-            + F.when(F.col("a_name"), 1).otherwise(0)
-            + F.when(F.col("a_key"), 1).otherwise(0)
-        ).alias("n_agree"),
-        (
-            weight("a_bal", 0.9, 0.2)
-            + weight("a_name", 0.85, 0.1)
-            + weight("a_key", 0.8, 0.1)
-        ).alias("w"),
+    d_rank = close_count(["n"], ["n"], "d_rank")
+    b_rank = close_count(["n", "clc"], ["n", "slc"], "b_rank")
+    c_rank = close_count(["n", "ck"], ["n", "sk"], "c_rank")
+    a_rank = close_count(["n", "clc", "ck"], ["n", "slc", "sk"], "a_rank")
+
+    # decimal |Δbal| = 1000.00 boundary pairs: enumerate exactly (cents
+    # equi-join) and apply the ORIGINAL double predicate pair by pair.
+    sc_ = s.withColumn("scents", F.round(F.col("sb") * 100).cast("long"))
+    cbnd = c.select(
+        "cid",
+        "n",
+        "cb",
+        "clc",
+        "ck",
+        F.explode(
+            F.array(
+                F.round(F.col("cb") * 100).cast("long") - 100000,
+                F.round(F.col("cb") * 100).cast("long") + 100000,
+            )
+        ).alias("scents"),
     )
-    return (
-        scored.groupBy(
-            F.when(F.col("w") > 4.0, "link")
-            .when(F.col("w") < -2.0, "non-link")
-            .otherwise("possible")
-            .alias("decision"),
-            F.col("n_agree").cast("bigint").alias("n_agree"),
-        )
+    bnd = (
+        cbnd.join(sc_, ["n", "scents"])
+        .filter(F.abs(F.col("cb") - F.col("sb")) < 1000.0)
+        .groupBy("cid")
         .agg(
-            bcount("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("d_fix"),
+            F.sum(
+                F.when(F.col("slc") == F.col("clc"), 1).otherwise(0)
+            ).cast("long").alias("b_fix"),
+            F.sum(
+                F.when(F.col("sk") == F.col("ck"), 1).otherwise(0)
+            ).cast("long").alias("c_fix"),
+            F.sum(
+                F.when(
+                    (F.col("slc") == F.col("clc"))
+                    & (F.col("sk") == F.col("ck")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("a_fix"),
+        )
+    )
+
+    # per-class supplier totals: bounded grids (≤|nations|×10×10 rows)
+    t_all = s.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("t_d"))
+    t_lc = s.groupBy("n", F.col("slc").alias("clc")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_b")
+    )
+    t_k = s.groupBy("n", F.col("sk").alias("ck")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_c")
+    )
+    t_lck = s.groupBy(
+        "n", F.col("slc").alias("clc"), F.col("sk").alias("ck")
+    ).agg(F.count(F.lit(1)).cast("long").alias("t_a"))
+
+    z = F.lit(0).cast("long")
+    per = (
+        c.join(d_rank, "cid", "left")
+        .join(b_rank, "cid", "left")
+        .join(c_rank, "cid", "left")
+        .join(a_rank, "cid", "left")
+        .join(bnd, "cid", "left")
+        .join(F.broadcast(t_all), "n", "left")
+        .join(F.broadcast(t_lc), ["n", "clc"], "left")
+        .join(F.broadcast(t_k), ["n", "ck"], "left")
+        .join(F.broadcast(t_lck), ["n", "clc", "ck"], "left")
+    )
+    A = F.coalesce(F.col("a_rank"), z) + F.coalesce(F.col("a_fix"), z)
+    B = F.coalesce(F.col("b_rank"), z) + F.coalesce(F.col("b_fix"), z)
+    C = F.coalesce(F.col("c_rank"), z) + F.coalesce(F.col("c_fix"), z)
+    D = F.coalesce(F.col("d_rank"), z) + F.coalesce(F.col("d_fix"), z)
+    TA = F.coalesce(F.col("t_a"), z)
+    TB = F.coalesce(F.col("t_b"), z)
+    TC = F.coalesce(F.col("t_c"), z)
+    TD = F.coalesce(F.col("t_d"), z)
+    cells = {
+        (1, 1, 1): A,
+        (1, 1, 0): B - A,
+        (1, 0, 1): C - A,
+        (1, 0, 0): D - B - C + A,
+        (0, 1, 1): TA - A,
+        (0, 1, 0): TB - TA - (B - A),
+        (0, 0, 1): TC - TA - (C - A),
+        (0, 0, 0): TD - TB - TC + TA - (D - B - C + A),
+    }
+    triples = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(4 * t[0] + 2 * t[1] + t[2]).alias("t"),
+                        expr.alias("cnt"),
+                    )
+                    for t, expr in cells.items()
+                ]
+            )
+        ).alias("x")
+    ).select("x.t", "x.cnt")
+    grid = triples.groupBy("t").agg(
+        F.sum("cnt").cast("long").alias("n_pairs_t")
+    )
+
+    # per-triple constants: same operands, same left-to-right addition
+    # order as the per-pair expression — identical doubles.
+    wb = (math.log(0.9 / 0.2), math.log(0.1 / 0.8))
+    wn = (math.log(0.85 / 0.1), math.log(0.15 / 0.9))
+    wk = (math.log(0.8 / 0.1), math.log(0.2 / 0.9))
+    wmap, amap, dmap = {}, {}, {}
+    for bal in (1, 0):
+        for name in (1, 0):
+            for key in (1, 0):
+                t = 4 * bal + 2 * name + key
+                wt = (
+                    (wb[0] if bal else wb[1])
+                    + (wn[0] if name else wn[1])
+                    + (wk[0] if key else wk[1])
+                )
+                wmap[t] = wt
+                amap[t] = bal + name + key
+                dmap[t] = (
+                    "link" if wt > 4.0 else ("non-link" if wt < -2.0 else "possible")
+                )
+
+    def chain(mapping, caster):
+        e = None
+        for t, v in mapping.items():
+            lit = caster(v)
+            e = F.when(F.col("t") == t, lit) if e is None else e.when(
+                F.col("t") == t, lit
+            )
+        return e
+
+    wdec = chain(wmap, lambda v: F.lit(v).cast("decimal(16,15)"))
+    return (
+        grid.filter(F.col("n_pairs_t") > 0)
+        .select(
+            chain(dmap, F.lit).alias("decision"),
+            chain(amap, lambda v: F.lit(v).cast("bigint")).alias("n_agree"),
+            "n_pairs_t",
+            (wdec * F.col("n_pairs_t").cast("decimal(19,0)")).alias("wsum"),
+        )
+        .groupBy("decision", "n_agree")
+        .agg(
+            F.sum("n_pairs_t").cast("bigint").alias("n_pairs"),
             F.round(
-                F.sum(F.col("w").cast(_D15)).cast("double") / F.count(F.lit(1)), 6
+                F.sum("wsum").cast("double")
+                / F.sum("n_pairs_t").cast("double"),
+                6,
             ).alias("mean_weight"),
         )
         .orderBy("decision", "n_agree")

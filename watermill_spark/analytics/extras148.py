@@ -194,24 +194,57 @@ def q_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-ordered key; the crossing count is floor arithmetic on
     identical doubles; no randomness (fixed-start systematic design).
 
-    Scale: one total-order prefix window (range-partitioned sort at
-    100 TB — the auditor's order is the sort key) + a 1-row total
-    broadcast (whitelisted). §2.B window/sampling family [NS].
+    Scale (r6 rewrite): the old total-order prefix window moved EVERY
+    row to one task (Spark executes an unpartitioned window in a single
+    partition). The prefix sum is now two-level: range-repartition on
+    the audit order (parallel per-partition sort), per-partition DECIMAL
+    sums (a tiny aggregate) become cumulative offsets, and each row's
+    running sum is its partition offset plus the within-partition prefix
+    — decimal addition is associative, so every cum_hi/cum_lo is the
+    identical exact decimal, hence the identical double. Partition count
+    follows the session's shuffle-partition setting. The population
+    total/count also fold onto the same materialized stream (one
+    lineitem scan instead of two). §2.B window/sampling family [NS],
+    guide §2.5.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    pop = li.select(
-        "l_orderkey", "l_linenumber", dec("l_extendedprice").alias("v")
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    pop = (
+        li.select(
+            "l_orderkey", "l_linenumber", dec("l_extendedprice").alias("v")
+        )
+        .repartitionByRange(nparts, "l_orderkey", "l_linenumber")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("l_orderkey", "l_linenumber").rowsBetween(
-        Window.unboundedPreceding, 0
+    off = (
+        pop.groupBy("pid")
+        .agg(F.sum("v").alias("psum"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("psum").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            ),
+        )
+        .select("pid", "off")
     )
-    cum = pop.select(
+    wp = Window.partitionBy("pid").orderBy(
+        "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = pop.join(F.broadcast(off), "pid").select(
         "l_orderkey",
         "l_linenumber",
         F.col("v").cast("double").alias("value"),
-        F.sum("v").over(w).cast("double").alias("cum_hi"),
-        (F.sum("v").over(w) - F.col("v")).cast("double").alias("cum_lo"),
+        (F.col("off") + F.sum("v").over(wp)).cast("double").alias("cum_hi"),
+        (F.col("off") + F.sum("v").over(wp) - F.col("v"))
+        .cast("double")
+        .alias("cum_lo"),
     )
     tot = pop.agg(
         F.sum("v").cast("double").alias("t"), bcount("n")

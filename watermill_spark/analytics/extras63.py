@@ -167,35 +167,74 @@ def q_out_of_order_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps; percentiles are exact rank statistics (ceil(q·n)-th order
     values), never interpolated.
 
-    Scale: the frontier is the one inherently sequential pass (stateful
-    fold in production — state is one max); ranking partitions after a
-    single sort. §2.A delivery semantics / streaming surface.
+    Scale (r6 rewrite): both global windows are gone. The frontier
+    (running max over arrival order) is two-level: range-repartition on
+    event_id (parallel), per-partition running max, and each partition
+    folds in the max of all preceding partitions (a ≤nparts-row prefix
+    grid) — running max decomposes over any prefix split, so every
+    frontier value is identical. The exact rank percentiles come from
+    the (lateness, count) value grid: the rank-r order statistic is the
+    unique value whose cumulative count first reaches r — the pass-11
+    count-weighted-grid pattern; grid size is bounded by the lateness
+    value domain, not the stream. §2.A delivery semantics / streaming
+    surface, guide §2.5.
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    arrival = ev.select(
-        "ts",
-        F.max("ts")
-        .over(Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("frontier"),
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    base = (
+        ev.select("event_id", "ts")
+        .repartitionByRange(nparts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    lateness = arrival.select(
-        (F.unix_timestamp("frontier") - F.unix_timestamp("ts"))
+    poff = (
+        base.groupBy("pid")
+        .agg(F.max("ts").alias("pm"))
+        .select(
+            "pid",
+            F.max("pm")
+            .over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("prev_max"),
+        )
+    )
+    wrun = Window.partitionBy("pid").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lateness = base.join(F.broadcast(poff), "pid").select(
+        (
+            F.unix_timestamp(
+                F.greatest(F.max("ts").over(wrun), F.col("prev_max"))
+            )
+            - F.unix_timestamp("ts")
+        )
         .cast("bigint")
         .alias("late_s")
     )
-    ranked = lateness.select(
+    grid = (
+        lateness.groupBy("late_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wv = Window.orderBy("late_s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
         "late_s",
-        F.row_number().over(Window.orderBy("late_s")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        "c",
+        F.sum("c").over(wv).alias("cum"),
+        (F.sum("c").over(wv) - F.col("c")).alias("prev"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
     )
 
     def pct(q: float, alias: str):
+        r = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
         return (
             F.max(
                 F.when(
-                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
-                    F.col("late_s"),
+                    (F.col("prev") < r) & (r <= F.col("cum")), F.col("late_s")
                 )
             )
             .cast("bigint")
@@ -204,11 +243,13 @@ def q_out_of_order_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ranked.agg(
         F.max("n").alias("n_events"),
-        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("n_late"),
         F.round(
-            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).cast("double")
+            F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
             / F.max("n"),
             6,
         ).alias("late_share"),

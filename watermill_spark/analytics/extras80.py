@@ -336,16 +336,17 @@ def q_mg1_queue_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    gaps = ev.select(
+    # λ without the global lag window (single-task sort at scale): the
+    # interarrival sum over the time-sorted stream TELESCOPES to
+    # max(ts)−min(ts), and the gap count is (non-null ts count)−1 —
+    # identical values from one moment aggregate (r6, guide §2.5).
+    arr = ev.agg(
         (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(Window.orderBy("ts", "event_id")))
-        )
-        .cast("bigint")
-        .alias("g")
-    ).filter(F.col("g").isNotNull())
-    arr = gaps.agg(
-        (F.count(F.lit(1)).cast("double") / F.sum("g").cast("double")).alias("lam")
+            (F.count("ts") - F.lit(1)).cast("double")
+            / (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).cast("double")
+        ).alias("lam")
     )
     svc = ev.agg(
         (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es"),

@@ -190,22 +190,25 @@ def q_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: a comes from exact moment sums; the 12-step recursion
     is a generated fixed expression chain identical on both engines.
 
-    Scale: two moment passes → 1-row closed-form chain. §2.B [NS].
+    Scale (r6 rewrite): the arrival rate used a global lag window —
+    Spark executes an unpartitioned window in ONE task (every event row
+    through a single sort). But the interarrival sum TELESCOPES:
+    Σ(tsᵢ−tsᵢ₋₁) over the time-sorted stream = max(ts)−min(ts), and the
+    gap count is (non-null ts count)−1 — so λ is one map-side-combined
+    moment aggregate, no window, no sort, no single-task stage. Values
+    are identical bigint/double arithmetic. Two moment passes → 1-row
+    closed-form chain. §2.B [NS], guide §2.5.
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
-    gaps = ev.select(
+    arr = ev.agg(
         (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(Window.orderBy("ts", "event_id")))
-        )
-        .cast("bigint")
-        .alias("g")
-    ).filter(F.col("g").isNotNull())
-    arr = gaps.agg(
-        (F.count(F.lit(1)).cast("double") / F.sum("g").cast("double")).alias("lam")
+            (F.count("ts") - F.lit(1)).cast("double")
+            / (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).cast("double")
+        ).alias("lam")
     )
     svc = ev.agg(
         (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es")
