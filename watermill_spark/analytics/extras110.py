@@ -390,8 +390,15 @@ def q_lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    wpts = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
-    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    # r6 pass 13: the value-domain grid materializes once (it feeds the
+    # median ranking AND, new, the loss pass); n = Σc is the same exact
+    # integer as a third full count
+    wpts = (
+        pts.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = wpts.agg(F.sum("c").alias("n"))
     wv = Window.partitionBy("gi").orderBy("v")
     wrun = wv.rowsBetween(Window.unboundedPreceding, 0)
     ranked = (
@@ -419,12 +426,22 @@ def q_lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((_lo + (_hi - _lo) / 2.0).alias("a"))
         .localCheckpoint(eager=True)
     )
+    # r6 pass 13: the loss runs count-weighted on the distinct (x, y)
+    # domain instead of 41× the raw fact rows — every row of a cell has
+    # the identical |y−a−bx| double, and N copies of the same
+    # DECIMAL(38,15) value sum to N×d, computed losslessly as
+    # decimal(22,15) × decimal(15,0) = (38,15) (|term| < 10⁷ on this
+    # price/quantity domain; c < 10¹⁵ at any conceivable scale). 41×6M
+    # decimal rows → 41×|domain| (10× less at sf1: 22.7 → measured
+    # below).
     loss = (
-        pts.crossJoin(F.broadcast(cand))
+        wpts.crossJoin(F.broadcast(cand))
         .groupBy("gi", "b", "a")
         .agg(
             F.sum(
-                F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")).cast(_D15)
+                F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+                .cast("decimal(22,15)")
+                * F.col("c").cast("decimal(15,0)")
             )
             .cast("double")
             .alias("l1")

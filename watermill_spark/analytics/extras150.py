@@ -79,12 +79,22 @@ def q_subword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.lower(F.regexp_replace("text", "[^a-zA-Z]", " ")).alias("t"),
     )
-    bigrams = norm.select(
+    # r6 pass 13: good bigrams ("^[a-z][a-z]$") are exactly the
+    # within-word bigrams of the space-normalized text (any bigram
+    # crossing a word boundary contains the space). Emitting them from
+    # per-word arrays skips the per-CHARACTER explode row and its regex
+    # evaluation — one row per GOOD bigram instead of one per char.
+    # Same multiset: measured A/B at sf1 gives 23.4 → 5.4 s with a
+    # bit-identical (lang, bg, cnt) grid.
+    good = norm.select(
         "lang",
-        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
-        "t",
-    ).select("lang", F.expr("substr(t, i, 2)").alias("bg"))
-    good = bigrams.filter(F.col("bg").rlike("^[a-z][a-z]$"))
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(split(t, ' '), w -> length(w) >= 2),"
+                " w -> transform(sequence(1, length(w)-1), i -> substr(w, i, 2))))"
+            )
+        ).alias("bg"),
+    )
     # single bigram pass (r6): the vocab build and the coverage scoring
     # each re-ran the char-volume explode+regex, and the scoring join
     # carried bigram-volume rows. Both now derive from ONE checkpointed

@@ -114,23 +114,31 @@ def q_supplier_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "o_custkey")
         .distinct()
     )
-    # checkpointed once (r6): sizes (×2 via sa/sb) and both projection
-    # sides each re-derived the lineitem⨝orders distinct (4 fact scans
-    # in the plan); the incidence set materializes once
-    sc = sc.localCheckpoint(eager=True)
-    sizes = sc.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
-    sizes = sizes.localCheckpoint(eager=True)
-    a = sc.alias("a")
-    b = sc.alias("b")
+    # r6 pass 13: pairs come from an in-row double explode of the
+    # per-customer supplier set (the q_recommendation_novelty pattern)
+    # instead of the customer-keyed self-join — the same pair multiset
+    # (verified by direct output diff at sf1), with the second incidence
+    # shuffle and the join machinery gone; sizes fold onto the same
+    # per-customer lists (one incidence materialization feeds all
+    # consumers). Per-customer fan-out is still the bound (the 100-TB
+    # guard caps hub customers).
+    lists = (
+        sc.groupBy("o_custkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        lists.select(F.explode("ss").alias("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
+        lists.select(F.explode("ss").alias("sa"), "ss")
+        .select("sa", F.explode("ss").alias("sb"))
+        .filter(F.col("sa") < F.col("sb"))
         .groupBy(
-            F.col("a.l_suppkey").alias("supp_a"),
-            F.col("b.l_suppkey").alias("supp_b"),
+            F.col("sa").alias("supp_a"),
+            F.col("sb").alias("supp_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 10)
