@@ -9,20 +9,20 @@ WindowExec "No Partition Defined" warning). Over a bounded grid (days,
 brands, ≤shuffle-partition pid rows) that is fine; over a fact-volume or
 entity-keyed stream it is the definitive straggler at 100 TB (guide §2.5).
 
-Two detectors, both needed because eager localCheckpoints hide their
-subplan from the final explain:
+Detector: every ``Exchange`` whose detail block says ``SinglePartition``;
+its subtree is classified BOUNDED if any Limit/TakeOrdered or an
+aggregate keyed only by non-entity columns (the broadcast audit's rule)
+sits below, else flagged with the fact tables it scans. Writes
+{name: {"flags": [...]}}.
 
-- plan: every ``Exchange`` whose detail block says ``SinglePartition``;
-  its subtree is classified BOUNDED if any Limit/TakeOrdered or an
-  aggregate keyed only by non-entity columns (the broadcast audit's
-  rule) sits below, else flagged with the fact tables it scans.
-- log: WindowExec warnings emitted while the query fn runs (checkpoint
-  materialization) are attributed to the query and reported as
-  ``hidden_window_warns`` — those need manual triage (the plan can't
-  see what fed them).
-
-Writes {name: {"flags": [...], "hidden_window_warns": n}} for every
-query with either signal.
+Known limitation: a global window executed INSIDE an eager
+localCheckpoint is invisible to the final explain (its subplan ran at
+materialization). The census prints an ``@@QUERY <name>`` marker to
+stderr before each fn call so the JVM's interleaved
+``WARN WindowExec: No Partition Defined`` lines can be attributed by
+hand when stderr is kept (run with ``2> census.err`` and grep between
+markers); checkpoint-hidden offenders need that manual pass or a code
+grep for ``Window.orderBy`` with no partitionBy.
 """
 
 from __future__ import annotations
@@ -43,7 +43,6 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 _TBL = re.compile(r"Location: \w*FileIndex \[[^\]\n]*?([a-z_0-9]+)\.parquet")
-_TREE_LINE = re.compile(r"^([ :+*-]*)\(?(\d+)\)? ?(.*)$")
 _ENTITY_KEY = re.compile(
     r"(?<!nation)(?<!region)(?:key|id|uuid|qid|nid)\d*$", re.IGNORECASE
 )
@@ -135,13 +134,6 @@ def _flags(plan: str) -> list[str]:
     if tree:
         audit(tree)
     return flags
-
-
-class _WarnCounter:
-    """Counts WindowExec warnings routed through the py4j callback; Spark
-    logs go to the JVM's stderr, so instead we poll the executor log via
-    a log4j appender — too heavy. Pragmatic stand-in: the caller runs
-    with stderr captured per query (see __main__)."""
 
 
 def main() -> int:

@@ -244,9 +244,25 @@ def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # mid = (partition id << 33) | row offset within the sorted partition;
     # cumulative per-partition counts convert the offset to a global rank.
+    # monotonically_increasing_id keeps the row offset in the low 33
+    # bits — a range partition past 2^33 rows would overflow into the
+    # pid bits and silently mis-rank, so the count grid raises loudly
+    # instead (size partitions down via spark.sql.shuffle.partitions).
+    # Checkpointed: both segment passes read these ≤nparts rows.
     off = (
         ranked.groupBy(F.shiftright("mid", 33).alias("pid"))
         .count()
+        .withColumn(
+            "count",
+            F.when(F.col("count") < F.lit(1 << 33), F.col("count")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "range partition exceeds 2^33 rows; raise "
+                        "spark.sql.shuffle.partitions"
+                    )
+                ).cast("long")
+            ),
+        )
         .withColumn(
             "off",
             F.coalesce(
@@ -259,6 +275,7 @@ def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("pid", "off")
+        .localCheckpoint(eager=True)
     )
     pts = ranked.join(
         F.broadcast(off), F.shiftright("mid", 33) == F.col("pid")
