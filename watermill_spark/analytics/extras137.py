@@ -205,27 +205,58 @@ def q_abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression of decimal-exact (n, s, sxx); rank ties broken by
     partkey.
 
-    Scale: two fact rollups to the part grain; the Pareto window sorts
-    the part dimension (range-partitioned sort at 100 TB); the ABC-XYZ
-    join is part-keyed. §2.B window/aggregation family [NS].
+    Scale (r6 pass 13f): two fact rollups to the part grain; the Pareto
+    cumsum no longer runs in ONE task over the data-scaled part grid —
+    it is the two-level exact prefix sum (q_monetary_unit_sampling
+    pattern): range-repartition by the Pareto order, per-partition
+    DECIMAL(38,10) sums become cumulative offsets, each row adds its
+    offset to its within-partition prefix (operands cast to
+    DECIMAL(30,10) so the addition stays losslessly inside precision 38;
+    corpus revenue < 10¹⁸). Decimal addition is associative and the
+    order key unique, so every cum/total is the identical exact decimal.
+    The ABC-XYZ join is part-keyed. §2.B window/aggregation family
+    [NS], guide §2.5.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("revenue")
     )
-    wcum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    rg = (
+        rev.repartitionByRange(nparts, F.col("revenue").desc(), "l_partkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    wall = Window.partitionBy()
-    abc = rev.select(
+    d10 = F.col("revenue").cast("decimal(38,10)")
+    off = (
+        rg.groupBy("pid")
+        .agg(F.sum(d10).alias("psum"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("psum").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,10)"),
+            )
+            .cast("decimal(30,10)")
+            .alias("off"),
+            F.sum("psum").over(Window.partitionBy(F.lit(1))).alias("tot"),
+        )
+    )
+    wcum = Window.partitionBy("pid").orderBy(
+        F.col("revenue").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    abc = rg.join(F.broadcast(off), "pid").select(
         "l_partkey",
         "revenue",
         (
-            F.sum(F.col("revenue").cast("decimal(38,10)")).over(wcum).cast("double")
-            / F.sum(F.col("revenue").cast("decimal(38,10)"))
-            .over(wall)
+            (F.col("off") + F.sum(d10).over(wcum).cast("decimal(30,10)"))
             .cast("double")
+            / F.col("tot").cast("double")
         ).alias("cum_share"),
     )
     monthly = li.groupBy(

@@ -517,25 +517,60 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the 0.80/0.95 comparisons are double divisions of identical
     decimals.
 
-    Scale: part rollup is one fact shuffle; the running-sum window is a
-    single-partition sort over |parts| (dimension-sized — at 100 TB do the
-    same two-level trick as q_decile_lift: range-partition by rev rank,
-    cumulative-sum per range, then add per-range offsets computed on the
-    range summary grid). §2.B [NS].
+    Scale (r6 pass 13f): the part grid is data-scaled (|parts| grows
+    with the corpus), so the old single-partition running-sum window —
+    every part through ONE task — is now the two-level exact prefix sum
+    (the q_monetary_unit_sampling pattern): range-repartition the grid
+    by the Pareto order (parallel sorts), per-partition DECIMAL sums
+    become cumulative offsets, each row adds its partition offset to its
+    within-partition prefix. The (rev, partkey) order key is unique, so
+    the old RANGE-frame cumsum ≡ ROWS cumsum, and decimal addition is
+    associative, so every cum_rev is the identical exact decimal —
+    operands are cast to DECIMAL(30,12) first so the addition stays
+    inside precision 38 losslessly (corpus discounted revenue < 10¹⁸ at
+    any conceivable scale; values are exact at scale 12 either way).
+    §2.B [NS], guide §2.5.
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     p = li.groupBy("l_partkey").agg(
         F.sum(
             dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,6)"))
         ).alias("rev")
     )
-    r = p.select(
+    pg = (
+        p.repartitionByRange(nparts, F.col("rev").desc(), "l_partkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    off = (
+        pg.groupBy("pid")
+        .agg(F.sum("rev").alias("psum"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("psum").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,12)"),
+            )
+            .cast("decimal(30,12)")
+            .alias("off"),
+            F.sum("psum")
+            .over(Window.partitionBy(F.lit(1)))
+            .alias("tot_rev"),
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy(F.col("rev").desc(), "l_partkey")
+    r = pg.join(F.broadcast(off), "pid").select(
         "rev",
-        F.sum("rev")
-        .over(Window.orderBy(F.col("rev").desc(), "l_partkey"))
-        .alias("cum_rev"),
-        F.sum("rev").over(Window.partitionBy(F.lit(1))).alias("tot_rev"),
+        (
+            F.col("off") + F.sum("rev").over(wp).cast("decimal(30,12)")
+        ).alias("cum_rev"),
+        "tot_rev",
     )
     share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
     k = r.select(
