@@ -477,13 +477,21 @@ def test_decile_lift_ntile_post_rollup(spark):
 
 
 def test_abc_running_share_post_rollup(spark):
-    """q_abc_parts: the cumulative-revenue window scans the |parts| rollup
-    (dimension-sized), above the fact aggregation; no joins."""
+    """q_abc_parts (r6 pass 13f): the |parts| Pareto cumsum is the two-level
+    exact prefix sum — the checkpointed range-partitioned part grid
+    (ExistingRDD) feeds a pid-PARTITIONED running-sum window, and the only
+    join is the broadcast attach of the ≤nparts per-partition offset grid.
+    No single-task window over the data-scaled part grid, no SMJ."""
+    import re
+
     plan = _plan(spark, REGISTRY["q_abc_parts"].fn(spark, SF))
     tree = _tree(plan)
-    assert "Join" not in tree
-    # the |parts| rollup sits BELOW the running-share window
-    assert "HashAggregate" in tree[tree.index("Window") :]
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 1  # pid-offset attach only
+    assert "ExistingRDD" in tree  # checkpointed range-partitioned grid
+    # the part-grid running sum is partitioned by pid (parallel), with the
+    # Pareto order (rev DESC, partkey) inside each partition
+    assert re.search(r"\[pid#\d+\], \[rev#\d+ DESC", plan), plan
 
 
 def test_covariance_matrix_single_pass(spark):
