@@ -477,11 +477,14 @@ def test_decile_lift_ntile_post_rollup(spark):
 
 
 def test_abc_running_share_post_rollup(spark):
-    """q_abc_parts (r6 pass 13f): the |parts| Pareto cumsum is the two-level
-    exact prefix sum — the checkpointed range-partitioned part grid
-    (ExistingRDD) feeds a pid-PARTITIONED running-sum window, and the only
-    join is the broadcast attach of the ≤nparts per-partition offset grid.
-    No single-task window over the data-scaled part grid, no SMJ."""
+    """q_abc_parts (r6 pass 13f, r7 shared helper): the |parts| Pareto
+    cumsum is the two-level exact prefix sum (distrib.two_level_order) —
+    the checkpointed range-partitioned part grid (ExistingRDD) feeds a
+    pid-PARTITIONED running-sum window ordered by the encoded _mid, and
+    the only join is the broadcast attach of the ≤nparts offset grid
+    (itself checkpointed, so no single-partition exchange appears in the
+    plan at all). No single-task window over the data-scaled part grid,
+    no SMJ."""
     import re
 
     plan = _plan(spark, REGISTRY["q_abc_parts"].fn(spark, SF))
@@ -489,9 +492,10 @@ def test_abc_running_share_post_rollup(spark):
     assert "SortMergeJoin" not in tree
     assert tree.count("BroadcastHashJoin") == 1  # pid-offset attach only
     assert "ExistingRDD" in tree  # checkpointed range-partitioned grid
-    # the part-grid running sum is partitioned by pid (parallel), with the
-    # Pareto order (rev DESC, partkey) inside each partition
-    assert re.search(r"\[pid#\d+\], \[rev#\d+ DESC", plan), plan
+    assert "SinglePartition" not in plan, plan
+    # the part-grid running sum is partitioned by pid (parallel), ordered
+    # by the order-encoding _mid inside each partition
+    assert re.search(r"\[_w\d+#\d+L?\], \[_mid#\d+L ASC", plan), plan
 
 
 def test_covariance_matrix_single_pass(spark):

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import two_level_order
 from .registry import load, register
 
 _D15 = "decimal(38,15)"
@@ -228,64 +229,22 @@ def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    ranked = (
+    # r7: the ad-hoc zipWithIndex scaffold moved to the shared
+    # distrib.two_level_order helper (same mid/offset-grid mechanics,
+    # same 2^33 guard) — rank values identical (unique total order).
+    ranked = two_level_order(
         li.select(
             F.col("l_quantity").cast("decimal(18,6)").alias("x"),
             F.col("l_extendedprice").cast("decimal(18,6)").alias("y"),
             "l_quantity",
             "l_orderkey",
             "l_linenumber",
-        )
-        .repartitionByRange(nparts, "l_quantity", "l_orderkey", "l_linenumber")
-        .sortWithinPartitions("l_quantity", "l_orderkey", "l_linenumber")
-        .select("x", "y", F.monotonically_increasing_id().alias("mid"))
-        .localCheckpoint(eager=True)
+        ),
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+        rank_col="r",
+        project=["x", "y"],
     )
-    # mid = (partition id << 33) | row offset within the sorted partition;
-    # cumulative per-partition counts convert the offset to a global rank.
-    # monotonically_increasing_id keeps the row offset in the low 33
-    # bits — a range partition past 2^33 rows would overflow into the
-    # pid bits and silently mis-rank, so the count grid raises loudly
-    # instead (size partitions down via spark.sql.shuffle.partitions).
-    # Checkpointed: both segment passes read these ≤nparts rows.
-    off = (
-        ranked.groupBy(F.shiftright("mid", 33).alias("pid"))
-        .count()
-        .withColumn(
-            "count",
-            F.when(F.col("count") < F.lit(1 << 33), F.col("count")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "range partition exceeds 2^33 rows; raise "
-                        "spark.sql.shuffle.partitions"
-                    )
-                ).cast("long")
-            ),
-        )
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("count").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "off")
-        .localCheckpoint(eager=True)
-    )
-    pts = ranked.join(
-        F.broadcast(off), F.shiftright("mid", 33) == F.col("pid")
-    ).select(
-        "x",
-        "y",
-        (F.col("off") + (F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))) + 1)
-        .cast("bigint")
-        .alias("r"),
-    )
+    pts = ranked
     n = ranked.count()
     m = n // 3
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import two_level_order
 from .registry import load, register
 
 _D15 = "decimal(38,15)"
@@ -219,49 +220,43 @@ def q_abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(dec("l_extendedprice")).cast("double").alias("revenue")
+    # r7: ONE lineitem scan instead of two — the (part, month) grid
+    # carries BOTH the monthly quantity and the monthly revenue partial
+    # sums (the pass-10 q_abc_xyz_matrix pattern); per-part revenue is
+    # the exact decimal re-sum of its monthly partials (decimal addition
+    # associative, so the double is identical to the one-pass sum).
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("ym")
+    ).agg(
+        F.sum(dec("l_quantity")).alias("qd"),
+        F.sum(dec("l_extendedprice")).alias("rd"),
+    ).localCheckpoint(eager=True)
+    rev = pm.groupBy("l_partkey").agg(
+        F.sum("rd").cast("double").alias("revenue")
     )
-    rg = (
-        rev.repartitionByRange(nparts, F.col("revenue").desc(), "l_partkey")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # r7: the pass-13f two-level prefix scaffold moved to the shared
+    # distrib.two_level_order helper (same range grid, same (30,10)
+    # narrow-cast offsets — identical exact decimals).
+    ranked = two_level_order(
+        rev,
+        [F.col("revenue").desc(), "l_partkey"],
+        sums=[
+            {
+                "col": F.col("revenue").cast("decimal(38,10)"),
+                "acc": "decimal(38,10)",
+                "running": "cum",
+                "total": "tot",
+            }
+        ],
     )
-    d10 = F.col("revenue").cast("decimal(38,10)")
-    off = (
-        rg.groupBy("pid")
-        .agg(F.sum(d10).alias("psum"))
-        .select(
-            "pid",
-            F.coalesce(
-                F.sum("psum").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("decimal(38,10)"),
-            )
-            .cast("decimal(30,10)")
-            .alias("off"),
-            F.sum("psum").over(Window.partitionBy(F.lit(1))).alias("tot"),
-        )
-    )
-    wcum = Window.partitionBy("pid").orderBy(
-        F.col("revenue").desc(), "l_partkey"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    abc = rg.join(F.broadcast(off), "pid").select(
+    abc = ranked.select(
         "l_partkey",
         "revenue",
-        (
-            (F.col("off") + F.sum(d10).over(wcum).cast("decimal(30,10)"))
-            .cast("double")
-            / F.col("tot").cast("double")
-        ).alias("cum_share"),
+        (F.col("cum").cast("double") / F.col("tot").cast("double")).alias(
+            "cum_share"
+        ),
     )
-    monthly = li.groupBy(
-        "l_partkey", F.date_trunc("month", "l_shipdate").alias("ym")
-    ).agg(F.sum(dec("l_quantity")).cast("double").alias("q"))
+    monthly = pm.select("l_partkey", "ym", F.col("qd").cast("double").alias("q"))
     xyz = monthly.groupBy("l_partkey").agg(
         bcount("n"),
         F.sum(F.col("q").cast(_D15)).cast("double").alias("s"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import two_level_order
 from .registry import load, register
 
 _D15 = "decimal(38,15)"
@@ -209,47 +210,34 @@ def q_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    pop = (
+    # r7: the ad-hoc two-level prefix scaffold moved to the shared
+    # distrib.two_level_order helper — same range grid, same per-partition
+    # decimal offsets (addition associative ⇒ identical exact decimals),
+    # and the population total/count now ride the offset grid's broadcast
+    # instead of a separate 1-row cross join.
+    cum = two_level_order(
         li.select(
             "l_orderkey", "l_linenumber", dec("l_extendedprice").alias("v")
-        )
-        .repartitionByRange(nparts, "l_orderkey", "l_linenumber")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    off = (
-        pop.groupBy("pid")
-        .agg(F.sum("v").alias("psum"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("psum").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("decimal(28,6)"),
-            ),
-        )
-        .select("pid", "off")
-    )
-    wp = Window.partitionBy("pid").orderBy(
-        "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    cum = pop.join(F.broadcast(off), "pid").select(
-        "l_orderkey",
-        "l_linenumber",
+        ),
+        ["l_orderkey", "l_linenumber"],
+        sums=[
+            {
+                "col": "v",
+                "acc": "decimal(18,6)",
+                "running": "run",
+                "total": "tdec",
+            }
+        ],
+        total_count="n",
+        project=["v"],
+    ).select(
         F.col("v").cast("double").alias("value"),
-        (F.col("off") + F.sum("v").over(wp)).cast("double").alias("cum_hi"),
-        (F.col("off") + F.sum("v").over(wp) - F.col("v"))
-        .cast("double")
-        .alias("cum_lo"),
+        F.col("run").cast("double").alias("cum_hi"),
+        (F.col("run") - F.col("v")).cast("double").alias("cum_lo"),
+        "n",
+        F.col("tdec").cast("double").alias("t"),
     )
-    tot = pop.agg(
-        F.sum("v").cast("double").alias("t"), bcount("n")
-    )
-    sel = cum.crossJoin(F.broadcast(tot)).select(
+    sel = cum.select(
         "value",
         "n",
         "t",

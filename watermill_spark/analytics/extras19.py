@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec, dsum
+from .distrib import two_level_order
 from .registry import load, register
 
 _DECV = "CAST(value AS DECIMAL(18,6))"
@@ -533,44 +534,27 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     p = li.groupBy("l_partkey").agg(
         F.sum(
             dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,6)"))
         ).alias("rev")
     )
-    pg = (
-        p.repartitionByRange(nparts, F.col("rev").desc(), "l_partkey")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    off = (
-        pg.groupBy("pid")
-        .agg(F.sum("rev").alias("psum"))
-        .select(
-            "pid",
-            F.coalesce(
-                F.sum("psum").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("decimal(38,12)"),
-            )
-            .cast("decimal(30,12)")
-            .alias("off"),
-            F.sum("psum")
-            .over(Window.partitionBy(F.lit(1)))
-            .alias("tot_rev"),
-        )
-    )
-    wp = Window.partitionBy("pid").orderBy(F.col("rev").desc(), "l_partkey")
-    r = pg.join(F.broadcast(off), "pid").select(
-        "rev",
-        (
-            F.col("off") + F.sum("rev").over(wp).cast("decimal(30,12)")
-        ).alias("cum_rev"),
-        "tot_rev",
+    # r7: the pass-13f two-level prefix scaffold moved to the shared
+    # distrib.two_level_order helper (same range grid, same (30,12)
+    # narrow-cast offsets — decimal addition associative, so every
+    # cum_rev/tot_rev is the identical exact decimal).
+    r = two_level_order(
+        p,
+        [F.col("rev").desc(), "l_partkey"],
+        sums=[
+            {
+                "col": "rev",
+                "acc": "decimal(38,12)",
+                "running": "cum_rev",
+                "total": "tot_rev",
+            }
+        ],
+        project=["rev"],
     )
     share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
     k = r.select(
