@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .extras121 import phi_cdf_col, phi_cdf_sql
 from .registry import load, register
 
@@ -208,11 +209,12 @@ def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u"),
         "event_id",
     )
-    w = Window.orderBy("u", "event_id")
-    r = u.select(
-        "u",
-        F.row_number().over(w).cast("bigint").alias("i"),
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint"))
+    # r7 (guide §2.5): distributed rank over RAW events (unique
+    # (u, event_id) order) via distrib.two_level_order instead of two
+    # single-task global windows.
+    r = two_level_order(
+        u, ["u", "event_id"], rank_col="i", total_count="n", project=["u"]
+    )
     e = (2.0 * F.col("i") - 1.0) / (2.0 * F.col("n"))
     agg = r.groupBy("n").agg(
         (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec, dsum
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register, spread
 
 _WEEK_US = 7 * 86_400_000_000  # 7 days in microseconds
@@ -331,12 +332,11 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("x"))
-    ranked = spend.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy("x", "o_custkey"))
-        .cast("bigint")
-        .alias("i"),
+    # r7 (guide §2.5): the two-pass distributed rank the docstring promised
+    # — distrib.two_level_order replaces the single-task row_number over
+    # the data-scaled customer grid (identical ranks: unique total order).
+    ranked = two_level_order(
+        spend, ["x", "o_custkey"], rank_col="i", project=["x"]
     )
     n = F.count(F.lit(1)).cast("bigint")
     agg = ranked.agg(

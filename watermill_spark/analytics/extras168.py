@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 _D15 = "decimal(38,15)"
@@ -221,17 +222,25 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("double").alias("y")
     )
-    wr = Window.orderBy("y", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = spend.select(
-        "y",
-        F.row_number().over(wr).cast("bigint").alias("r"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-        F.sum(F.col("y").cast("decimal(38,10)"))
-        .over(wall)
-        .cast("double")
-        .alias("sy"),
-    )
+    # r7 (guide §2.5): the customer grid is data-scaled, so the global
+    # rank/count/total no longer run as unpartitioned windows in ONE task
+    # — distrib.two_level_order computes the identical exact rank (unique
+    # (y, custkey) order) and the identical exact decimal total (decimal
+    # addition is associative), all riding the ≤nparts offset grid.
+    ranked = two_level_order(
+        spend,
+        ["y", "o_custkey"],
+        rank_col="r",
+        sums=[
+            {
+                "col": F.col("y").cast("decimal(38,10)"),
+                "acc": "decimal(38,10)",
+                "total": "syd",
+            }
+        ],
+        total_count="n",
+        project=["y"],
+    ).select("y", "r", "n", F.col("syd").cast("double").alias("sy"))
     dec10 = F.floor(F.col("n") / 10.0).cast("bigint")
     dec40 = F.floor(F.col("n") * 4.0 / 10.0).cast("bigint")
     zero = F.lit(0).cast("decimal(38,10)")

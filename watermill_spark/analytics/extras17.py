@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import DEC, bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .extras9 import _PR_EDGE_SQL
 from .registry import load, register
 

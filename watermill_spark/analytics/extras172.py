@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 _D15 = "decimal(38,15)"
@@ -207,10 +208,12 @@ def q_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    ranked = toks.select(
-        "tok",
-        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # r7 (guide §2.5): the md5 shuffle rank now runs as the distributed
+    # two-level rank (distrib.two_level_order) instead of a single-task
+    # window over the TOKEN-VOLUME stream — the per-partition md5-range
+    # sort the docstring promised at scale.
+    ranked = two_level_order(
+        toks, ["h"], rank_col="r", total_count="n", project=["tok"]
     )
     fracs = spark.createDataFrame(
         [(0.25,), (0.5,), (0.75,), (1.0,)], "frac double"

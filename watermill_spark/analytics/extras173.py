@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .extras121 import phi_cdf_sql, phi_cdf_col
 from .extras167 import _NATION_EFF_SQL, _nation_eff
 from .registry import load, register

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 
@@ -282,13 +283,21 @@ def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     o = load(spark, sf_dir, "orders")
-    ranked = o.select(
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("xc"),
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("bigint")
-        .alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # r7 (guide §2.5): the range-partitioned distributed rank the
+    # docstring promised — distrib.two_level_order replaces the
+    # single-task row_number/count windows over RAW orders (identical
+    # ranks: unique (o_totalprice, o_orderkey) order; n rides the same
+    # offset grid).
+    ranked = two_level_order(
+        o.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("xc"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="i",
+        total_count="n",
+        project=["xc"],
     )
     i = F.col("i")
     sums = ranked.agg(

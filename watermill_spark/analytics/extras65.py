@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 
@@ -91,10 +92,14 @@ def q_weibull_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t_s") > 0)
     )
-    ranked = life.select(
-        "t_s",
-        F.row_number().over(Window.orderBy("t_s")).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # r7 (guide §2.5): distributed rank over the data-scaled user grid
+    # (distrib.two_level_order) instead of single-task windows. t_s ties
+    # get a valid permutation of the same contiguous rank set (range
+    # partitions keep equal keys together), and every downstream use sums
+    # over the tie group, so the moments are permutation-invariant —
+    # identical results (parity-verified).
+    ranked = two_level_order(
+        life, ["t_s"], rank_col="i", total_count="n", project=["t_s"]
     )
     pts = ranked.select(
         F.log(F.col("t_s").cast("double")).cast("decimal(18,12)").alias("x"),

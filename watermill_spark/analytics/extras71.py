@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 _HEX = "0123456789abcdef"
@@ -89,10 +90,17 @@ def q_ks_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("ks1:"), F.col("user_id").cast("string")))
         ).alias("hv")
     )
-    ranked = hashed.select(
-        (F.col("hv").cast("double") / F.lit(4294967296.0)).alias("u"),
-        F.row_number().over(Window.orderBy("hv")).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # r7 (guide §2.5): distributed rank over the data-scaled distinct-user
+    # hash stream (distrib.two_level_order) instead of single-task
+    # windows; hv ties share u, so the deviation max is tie-invariant.
+    ranked = two_level_order(
+        hashed.select(
+            "hv", (F.col("hv").cast("double") / F.lit(4294967296.0)).alias("u")
+        ),
+        ["hv"],
+        rank_col="i",
+        total_count="n",
+        project=["u"],
     )
     devs = ranked.groupBy("n").agg(
         F.max(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .extras48 import _SQL_DAILY_1995, _spark_centered_daily
 from .registry import load, register
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .extras71 import _spark_hexval8, _sql_hexval8
 from .registry import load, register
 
@@ -387,10 +388,19 @@ def q_ad_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("ad1:"), F.col("user_id").cast("string")))
         ).alias("hv")
     )
-    ranked = hashed.select(
-        ((F.col("hv").cast("double") + 0.5) / F.lit(4294967296.0)).alias("u"),
-        F.row_number().over(Window.orderBy("hv")).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # r7 (guide §2.5): distributed rank over the data-scaled distinct-user
+    # hash stream (distrib.two_level_order) instead of single-task
+    # windows; hv ties share u and the Σ terms are linear in i over the
+    # tie group's contiguous rank set, so the sum is tie-invariant.
+    ranked = two_level_order(
+        hashed.select(
+            "hv",
+            ((F.col("hv").cast("double") + 0.5) / F.lit(4294967296.0)).alias("u"),
+        ),
+        ["hv"],
+        rank_col="i",
+        total_count="n",
+        project=["u"],
     )
     term = (2 * F.col("i") - 1) * F.log("u") + (
         2 * (F.col("n") - F.col("i")) + 1

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec, dsum, sql_dsum
+from .distrib import grid_rank_of, ntile_of, two_level_order
 from .registry import load, register
 
 
