@@ -462,6 +462,10 @@ BY_DESIGN["q_chow_test"] = {"BNLJ"}
 # batch 134: two 1-row segment-RSS aggregates crossed into the 1-row GQ
 # F ratio (extras126.py:238) — same _rss_closed 1-row broadcasts
 BY_DESIGN["q_goldfeld_quandt"] = {"BNLJ"}
+# r7: the TPC-H Q15 scalar max is a 1-row aggregate broadcast onto the
+# checkpointed supplier-revenue grid (replacing the single-task
+# window-max over the data-scaled grid — tpch2.py q15_top_supplier)
+BY_DESIGN["q15_top_supplier"] = {"BNLJ"}
 # batch 134: 1-row (n, mu) moment aggregate broadcast onto the bounded
 # day grid, then the 1-row sd re-broadcast (extras126.py:315,336)
 BY_DESIGN["q_buishand_range"] = {"BNLJ"}
@@ -696,6 +700,7 @@ BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
 # plan changes). Unlisted flags default to CARTESIAN 0 / BNLJ 0 / SMJ 1.
 MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
+    "q15_top_supplier": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
     "q_dedup_embedding_lsh_pairs": {"BNLJ": 2},
     "q_dedup_embedding_lsh_multiprobe_pairs": {"BNLJ": 2},

@@ -84,12 +84,15 @@ def two_level_order(
         row_number over ``order_cols``.
     sums : list of dicts, each
         ``{"col": <input column name or Column>,
-           "acc": "decimal(p,s)"     # per-row cast / accumulator type
+           "acc": "decimal(p,s)" | None,   # per-row cast / accumulator type
            "running": <out name> | None,   # running sum incl. current row
-           "total": <out name> | None,     # global sum on every row
+           "total": <out name> | None,     # global aggregate on every row
+           "kind": "sum" (default) | "max" | "min",  # total's aggregate
            "narrow": "decimal(p,s)"}       # optional override (13f rule)
-        Running/total values are exact decimals in the ``narrow`` +
-        accumulator lattice; cast them on the caller side.
+        Running/total sums are exact decimals in the ``narrow`` +
+        accumulator lattice; cast them on the caller side. ``max``/``min``
+        kinds are order-free (no running form; acc optional) — they ride
+        the same offset grid, replacing a global MAX/MIN window.
     total_count : if set, adds this BIGINT column = global row count.
     nparts : range-partition count; defaults to
         ``spark.sql.shuffle.partitions`` (a deployment knob, not a core
@@ -120,7 +123,11 @@ def two_level_order(
     for i, s in enumerate(sums):
         c = s["col"]
         c = F.col(c) if isinstance(c, str) else c
-        aggs.append(F.sum(c.cast(s["acc"])).alias(f"_s{i}"))
+        if s.get("acc"):
+            c = c.cast(s["acc"])
+        kind = s.get("kind", "sum")
+        fn = {"sum": F.sum, "max": F.max, "min": F.min}[kind]
+        aggs.append(fn(c).alias(f"_s{i}"))
     per = g.groupBy(pid.alias("_pid")).agg(*aggs)
 
     wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -140,15 +147,20 @@ def two_level_order(
         F.sum("_cnt").over(wall).alias("_ctot"),
     ]
     for i, s in enumerate(sums):
-        narrow = s.get("narrow") or _narrow(s["acc"])
-        off_cols.append(
-            F.coalesce(
-                F.sum(f"_s{i}").over(wprev), F.lit(0).cast(s["acc"])
+        kind = s.get("kind", "sum")
+        if kind == "sum":
+            narrow = s.get("narrow") or _narrow(s["acc"])
+            off_cols.append(
+                F.coalesce(
+                    F.sum(f"_s{i}").over(wprev), F.lit(0).cast(s["acc"])
+                )
+                .cast(narrow)
+                .alias(f"_soff{i}")
             )
-            .cast(narrow)
-            .alias(f"_soff{i}")
-        )
-        off_cols.append(F.sum(f"_s{i}").over(wall).alias(f"_stot{i}"))
+            off_cols.append(F.sum(f"_s{i}").over(wall).alias(f"_stot{i}"))
+        else:
+            fn = F.max if kind == "max" else F.min
+            off_cols.append(fn(f"_s{i}").over(wall).alias(f"_stot{i}"))
     off = per.select(*off_cols).localCheckpoint(eager=True)
 
     out = g.join(F.broadcast(off), pid == F.col("_pid"))
@@ -167,10 +179,10 @@ def two_level_order(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for i, s in enumerate(sums):
-        narrow = s.get("narrow") or _narrow(s["acc"])
-        c = s["col"]
-        c = F.col(c) if isinstance(c, str) else c
         if s.get("running"):
+            narrow = s.get("narrow") or _narrow(s["acc"])
+            c = s["col"]
+            c = F.col(c) if isinstance(c, str) else c
             proj.append(
                 (
                     F.col(f"_soff{i}")

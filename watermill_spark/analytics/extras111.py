@@ -202,15 +202,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    wprev = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    cum = d.select(
+    # r7 (guide §2.5): the stream offsets ran as TWO single-task prefix
+    # windows over the data-scaled doc grid; the distributed two-level
+    # prefix sum computes the identical exact integer offsets
+    # (cum_start = cum_end − n_tok, replacing the second window).
+    cum = two_level_order(
+        d,
+        ["doc_id"],
+        sums=[{"col": "n_tok", "acc": "decimal(20,0)", "running": "cum"}],
+        project=["doc_id", "n_tok"],
+    ).select(
         "doc_id",
         "n_tok",
-        F.sum("n_tok").over(wcum).cast("bigint").alias("cum_end"),
-        F.coalesce(F.sum("n_tok").over(wprev), F.lit(0))
-        .cast("bigint")
-        .alias("cum_start"),
+        F.col("cum").cast("bigint").alias("cum_end"),
+        (F.col("cum").cast("bigint") - F.col("n_tok")).alias("cum_start"),
     )
     marked = cum.select(
         "doc_id",

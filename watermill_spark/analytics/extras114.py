@@ -296,16 +296,21 @@ def q_evalue_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     llr = F.when(
         F.col("x") == 1, F.lit(math_log_ratio_pos)
     ).otherwise(F.lit(math_log_ratio_neg))
-    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    walk = seq.select(
-        F.row_number().over(Window.orderBy("ts", "event_id")).alias("n"),
-        F.sum(llr.cast(_D15)).over(w).cast("double").alias("log_e"),
-    )
+    # r7 (guide §2.5): the e-process walk over RAW events ran as THREE
+    # single-task global windows (row_number, the decimal prefix sum, and
+    # the max-n attach). distrib.two_level_order computes the identical
+    # exact rank and decimal running sum distributed; nmax is the total
+    # count riding the same offset grid.
+    walk = two_level_order(
+        seq.select("ts", "event_id", llr.alias("llr")),
+        ["ts", "event_id"],
+        rank_col="n",
+        sums=[{"col": "llr", "acc": _D15, "running": "log_ed"}],
+        total_count="nmax",
+        project=["llr"],
+    ).select("n", F.col("log_ed").cast("double").alias("log_e"), "nmax")
     thresh = _LOG_1_OVER_ALPHA
-    wall = Window.partitionBy()
-    return walk.select(
-        "n", "log_e", F.max("n").over(wall).alias("nmax")
-    ).agg(
+    return walk.agg(
         F.max("n").cast("bigint").alias("n_events"),
         F.round(F.max("log_e"), 6).alias("max_log_e"),
         F.round(

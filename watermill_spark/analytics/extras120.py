@@ -103,30 +103,37 @@ def q_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2 == 1).alias("treated"), "n_ev", "conv", "user_id"
     )
     nrow = per_user.count()
-    w = Window.orderBy(F.desc("n_ev"), F.asc("user_id"))
-    ranked = per_user.select(
-        "treated", "conv", F.row_number().over(w).alias("rk")
-    )
-    # cumulative frame keys on rk (same total order; n_ev is projected away)
-    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
-    cum = ranked.select(
+    # r7 (guide §2.5): rank + the four cumulative integer counters ran as
+    # FIVE single-task windows over the data-scaled user grid; ONE
+    # two_level_order call computes the identical exact rank and integer
+    # prefix sums (order-free: integer addition).
+    cum = two_level_order(
+        per_user.select(
+            "n_ev",
+            "user_id",
+            F.when(F.col("treated"), F.col("conv")).otherwise(0).alias("i_ct"),
+            F.when(F.col("treated"), 1).otherwise(0).alias("i_nt"),
+            F.when(~F.col("treated"), F.col("conv")).otherwise(0).alias("i_cc"),
+            F.when(~F.col("treated"), 1).otherwise(0).alias("i_nc"),
+        ),
+        [F.desc("n_ev"), F.asc("user_id")],
+        rank_col="rk",
+        sums=[
+            {"col": c, "acc": "decimal(20,0)", "running": o}
+            for c, o in [
+                ("i_ct", "r_ct"),
+                ("i_nt", "r_nt"),
+                ("i_cc", "r_cc"),
+                ("i_nc", "r_nc"),
+            ]
+        ],
+        project=["i_ct", "i_nt", "i_cc", "i_nc"],
+    ).select(
         "rk",
-        F.sum(F.when(F.col("treated"), F.col("conv")).otherwise(0))
-        .over(wcum)
-        .cast("double")
-        .alias("ct"),
-        F.sum(F.when(F.col("treated"), 1).otherwise(0))
-        .over(wcum)
-        .cast("double")
-        .alias("nt"),
-        F.sum(F.when(~F.col("treated"), F.col("conv")).otherwise(0))
-        .over(wcum)
-        .cast("double")
-        .alias("cc"),
-        F.sum(F.when(~F.col("treated"), 1).otherwise(0))
-        .over(wcum)
-        .cast("double")
-        .alias("nc"),
+        F.col("r_ct").cast("double").alias("ct"),
+        F.col("r_nt").cast("double").alias("nt"),
+        F.col("r_cc").cast("double").alias("cc"),
+        F.col("r_nc").cast("double").alias("nc"),
     )
     qini = F.when(
         F.col("nc") > 0,
@@ -298,12 +305,22 @@ def q_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
     n = ev.count()
-    w = Window.orderBy("ts", "event_id")
-    looks = ev.select(
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
-        F.ceil(_LOOKS * F.row_number().over(w) / F.lit(n)).cast("bigint").alias(
-            "look"
+    # r7 (guide §2.5): look assignment needed a single-task row_number
+    # over RAW events; the distributed two-level rank computes the
+    # identical rank (unique (ts, event_id) order), and the ≤_LOOKS-row
+    # cumulative window below is bounded.
+    looks = two_level_order(
+        ev.select(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
         ),
+        ["ts", "event_id"],
+        rank_col="rn",
+        project=["x"],
+    ).select(
+        "x",
+        F.ceil(_LOOKS * F.col("rn") / F.lit(n)).cast("bigint").alias("look"),
     )
     wl = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
     cums = (

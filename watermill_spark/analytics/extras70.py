@@ -233,16 +233,24 @@ def q_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(bcount("n_events"))
-    wall = Window.partitionBy()
-    ranked = users.select(
-        "n_events",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
-        .cast("bigint")
-        .alias("r"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-        F.max("n_events").over(wall).cast("bigint").alias("mx"),
-        F.min("n_events").over(wall).cast("bigint").alias("mn"),
+    # r7 (guide §2.5): rank + the three global scalars ran as FOUR
+    # single-task windows over the data-scaled user grid; one
+    # two_level_order call computes the identical rank (unique order) and
+    # the order-free count/max/min totals ride the offset grid. The
+    # kneedle argmax below keeps its rank-1 window: the optimizer
+    # rewrites row_number + rank-1 filter into TakeOrderedAndProject
+    # (parallel per-partition top-1), so no data-scaled single-task
+    # stage remains (plans/r07/q_knee_detection_after.txt).
+    ranked = two_level_order(
+        users.select("n_events", "user_id"),
+        [F.col("n_events").desc(), "user_id"],
+        rank_col="r",
+        total_count="n",
+        sums=[
+            {"col": "n_events", "kind": "max", "total": "mx"},
+            {"col": "n_events", "kind": "min", "total": "mn"},
+        ],
+        project=["n_events"],
     )
     norm = ranked.filter((F.col("n") > 1) & (F.col("mx") > F.col("mn"))).select(
         "r",

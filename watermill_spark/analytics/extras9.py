@@ -92,17 +92,24 @@ def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(bcount("n"))
     )
+    # r7 (guide §2.5): the rank window ran single-task over the
+    # data-scaled |vocabulary| grid (the LIMIT above it does NOT prune a
+    # row_number window). Take the top-50 FIRST — orderBy+limit plans
+    # TakeOrderedAndProject (per-partition top-k, then a 50-row merge) —
+    # and rank inside the bounded 50-row set: identical rows and ranks,
+    # because the top-50 by (n DESC, term) are exactly ranks 1..50 of the
+    # same total order.
+    top = counted.orderBy(F.desc("n"), "term").limit(50)
     w = Window.orderBy(F.desc("n"), "term")
     rank = F.row_number().over(w).cast("bigint")
     return (
-        counted.select(
+        top.select(
             "term",
             "n",
             rank.alias("rank"),
             (F.col("n").cast("double") * rank.cast("double")).alias("zipf_product"),
         )
         .orderBy("rank")
-        .limit(50)
     )
 
 

@@ -211,8 +211,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
-    top = rev.withColumn("_mx", mx).filter(F.col("total_revenue") == F.col("_mx"))
+    # r7 (guide §2.5): the window-max moved the data-scaled |suppliers|
+    # grid to ONE task; the grid now materializes once (checkpoint) and
+    # the scalar max is a parallel tree-reduced aggregate attached back
+    # as a broadcast 1-row cross join (audited BNLJ pattern) — still one
+    # lineitem scan.
+    rev = rev.localCheckpoint(eager=True)
+    mxdf = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mxdf)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
     return top.join(supp, top.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
