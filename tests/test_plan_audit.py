@@ -466,6 +466,11 @@ BY_DESIGN["q_goldfeld_quandt"] = {"BNLJ"}
 # checkpointed supplier-revenue grid (replacing the single-task
 # window-max over the data-scaled grid — tpch2.py q15_top_supplier)
 BY_DESIGN["q15_top_supplier"] = {"BNLJ"}
+# r7: the dataset-max order date is a 1-row aggregate broadcast onto the
+# checkpointed customer-lifetime grid (replacing the single-task
+# window-max over the data-scaled grid — extras17/extras36)
+BY_DESIGN["q_kaplan_meier_retention"] = {"BNLJ"}
+BY_DESIGN["q_nelson_aalen"] = {"BNLJ"}
 # batch 134: 1-row (n, mu) moment aggregate broadcast onto the bounded
 # day grid, then the 1-row sd re-broadcast (extras126.py:315,336)
 BY_DESIGN["q_buishand_range"] = {"BNLJ"}
@@ -701,6 +706,8 @@ BY_DESIGN["q_quintile_migration"] = {"BNLJ"}
 MAX_COUNTS = {
     "q11_important_parts": {"BNLJ": 1},
     "q15_top_supplier": {"BNLJ": 1},
+    "q_kaplan_meier_retention": {"BNLJ": 1},
+    "q_nelson_aalen": {"BNLJ": 1},
     "q_minhash_jaccard_calibration": {"BNLJ": 6},
     "q_dedup_embedding_lsh_pairs": {"BNLJ": 2},
     "q_dedup_embedding_lsh_multiprobe_pairs": {"BNLJ": 2},

@@ -394,13 +394,16 @@ def test_skyline_staircase_on_reduced_table(spark):
 
 
 def test_kaplan_meier_windows_post_rollup(spark):
-    """q_kaplan_meier_retention: all three single-partition windows (global
-    max date, reverse-cumsum risk set, survival product) run on per-key
-    rollups — each Window node sits above at least one aggregate, and no
-    join appears anywhere."""
+    """q_kaplan_meier_retention (r7): the dataset-max date is a 1-row
+    aggregate broadcast onto the CHECKPOINTED customer-lifetime grid (no
+    single-task window over the data-scaled grid); the reverse-cumsum
+    risk set and survival product still run on the calendar-bounded
+    ≤|distinct lifetime| grid — those windows sit above the lifetime
+    aggregate, and the only join is the 1-row broadcast attach."""
     plan = _plan(spark, REGISTRY["q_kaplan_meier_retention"].fn(spark, SF))
     tree = _tree(plan)
-    assert "Join" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "ExistingRDD" in tree  # checkpointed lifetime grid
     assert tree.index("Window") < tree.index("HashAggregate")
 
 
@@ -467,13 +470,17 @@ def test_ccf_lead_unpivot_no_selfjoin(spark):
 
 
 def test_decile_lift_ntile_post_rollup(spark):
-    """q_decile_lift: ntile's single-partition sort ranks the |customers|
-    rollup, not raw orders — every Window sits above the first
-    HashAggregate, and no join appears."""
+    """q_decile_lift (r7): decile assignment is a pure expression of the
+    distributed exact rank (distrib.two_level_order + ntile_of) — the
+    |customers| rollup never sorts in one task. The checkpointed range
+    grid (ExistingRDD) feeds a broadcast offset attach; the only
+    remaining single-partition window is the bounded 10-row decile
+    cumsum."""
     plan = _plan(spark, REGISTRY["q_decile_lift"].fn(spark, SF))
     tree = _tree(plan)
-    assert "Join" not in tree
-    assert tree.index("Window") < tree.index("HashAggregate")
+    assert "SortMergeJoin" not in tree
+    assert "ExistingRDD" in tree  # checkpointed range-partitioned grid
+    assert "BroadcastHashJoin" in tree  # pid-offset attach
 
 
 def test_abc_running_share_post_rollup(spark):

@@ -250,10 +250,14 @@ def q_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.hour("ts") < 8, 0).when(F.hour("ts") < 16, 1).otherwise(2)
     )
     obs = ev.select(grp.alias("grp"), F.col("value").alias("v"))
-    ranked = obs.select(
-        "grp",
-        F.rank().over(Window.orderBy("v")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("v")).cast("bigint").alias("cnt"),
+    # r7 (guide §2.5): rank()+per-value counts ran as a single-task
+    # global window over RAW events; the min-rank of a value is
+    # 1 + (count of smaller values), so both now come from the
+    # (value, count) grid (distrib.grid_rank_of — distributed cumulative
+    # counts) joined back on the value: identical rmin/cnt per row, and
+    # the window input shrinks from the fact stream to |distinct values|.
+    ranked = obs.join(grid_rank_of(obs, "v", "rmin", cnt_col="cnt"), "v").select(
+        "grp", "rmin", "cnt"
     )
     avgr = ranked.select(
         "grp", (F.col("rmin") + (F.col("cnt") - 1) / 2.0).alias("ar")

@@ -290,17 +290,21 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
         F.col("total_spend").alias("y"),
     )
-    r = xy.select(
-        (
-            F.lit(2) * F.rank().over(Window.orderBy("x"))
-            + F.count(F.lit(1)).over(Window.partitionBy("x")).cast("bigint")
-            - 1
-        ).alias("rx"),
-        (
-            F.lit(2) * F.rank().over(Window.orderBy("y"))
-            + F.count(F.lit(1)).over(Window.partitionBy("y")).cast("bigint")
-            - 1
-        ).alias("ry"),
+    # materialized once: the row stream and both rank grids read it
+    # (3 derivations of the customer-grain join otherwise)
+    xy = xy.localCheckpoint(eager=True)
+    # r7 (guide §2.5): both doubled mid-rank vectors ran as single-task
+    # global windows over the data-scaled customer grid; min-ranks and
+    # tie counts now come from the two (value, count) grids
+    # (distrib.grid_rank_of — distributed cumulative counts) joined back:
+    # identical 2·rank + cnt − 1 integers per row.
+    r = (
+        xy.join(grid_rank_of(xy, "x", "rmx", cnt_col="cx"), "x")
+        .join(grid_rank_of(xy, "y", "rmy", cnt_col="cy"), "y")
+        .select(
+            (F.lit(2) * F.col("rmx") + F.col("cx") - 1).alias("rx"),
+            (F.lit(2) * F.col("rmy") + F.col("cy") - 1).alias("ry"),
+        )
     )
     m = r.agg(
         bcount("n"),

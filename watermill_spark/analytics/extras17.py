@@ -212,12 +212,16 @@ def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.max("o_orderdate").alias("last_d"),
     )
-    wall = Window.partitionBy(F.lit(1))
-    lab = life.select(
+    # r7 (guide §2.5): the dataset-max date ran as an unpartitioned
+    # window over the data-scaled customer grid (every customer row
+    # through ONE task); the grid now materializes once and the scalar
+    # max is a parallel aggregate attached back as the audited 1-row
+    # broadcast cross join.
+    life = life.localCheckpoint(eager=True)
+    mxd = life.agg(F.max("last_d").alias("_mxd"))
+    lab = life.crossJoin(F.broadcast(mxd)).select(
         "t",
-        F.when(
-            F.datediff(F.max("last_d").over(wall), F.col("last_d")) < 90, 1
-        )
+        F.when(F.datediff(F.col("_mxd"), F.col("last_d")) < 90, 1)
         .otherwise(0)
         .alias("censored"),
     )

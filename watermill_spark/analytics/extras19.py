@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from watermill_spark.session import tune_session
 
 from .det import bcount, dec, dsum
-from .distrib import two_level_order
+from .distrib import ntile_of, two_level_order
 from .registry import load, register
 
 _DECV = "CAST(value AS DECIMAL(18,6))"
@@ -454,12 +454,17 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     orders = load(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
-    d = c.select(
-        "spend",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
-        .alias("decile"),
-    )
+    # r7 (guide §2.5): ntile is now a pure expression of the distributed
+    # exact rank and n (distrib.two_level_order + ntile_of — identical
+    # bucket boundaries), so the |customers| grid never sorts in one
+    # task; the cumulative window below runs on the bounded 10-row grid.
+    d = two_level_order(
+        c,
+        [F.col("spend").desc(), "o_custkey"],
+        rank_col="_rk",
+        total_count="_n",
+        project=["spend"],
+    ).select("spend", ntile_of(F.col("_rk"), F.col("_n"), 10).alias("decile"))
     g = d.groupBy("decile").agg(
         bcount("n_customers"), F.sum("spend").alias("rev")
     )

@@ -90,37 +90,54 @@ def q_dbscan_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         F.floor(F.unix_micros("ts") / 1000000).cast("bigint").alias("t"),
-        "event_id",
     )
     # 1-D trick: sort by t; neighbors within eps form a contiguous range,
     # countable with a RANGE window frame — no self-join.
-    wrange = (
-        Window.orderBy("t").rangeBetween(-_EPS_S, _EPS_S)
-    )
-    nb = pts.select(
+    #
+    # r7 (guide §2.5): the range windows used to run over RAW events —
+    # every event through ONE task. Every event at the same second t has
+    # the identical neighbor count and classification, so both windows
+    # now run on the (t, count) grid and the final tallies are
+    # count-weighted sums (identical integers). The grid is bounded by
+    # the dataset's time RANGE in seconds (SF-invariant: more events per
+    # second, same distinct seconds), the same boundedness class as the
+    # audited day grids.
+    grid = pts.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    wrange = Window.orderBy("t").rangeBetween(-_EPS_S, _EPS_S)
+    nb = grid.select(
         "t",
-        (F.count(F.lit(1)).over(wrange) - 1).cast("bigint").alias("n_nb"),
+        "c",
+        (F.sum("c").over(wrange) - 1).cast("bigint").alias("n_nb"),
     )
-    core = nb.select("t", "n_nb", (F.col("n_nb") >= _MINPTS).alias("is_core"))
+    core = nb.select(
+        "t", "c", "n_nb", (F.col("n_nb") >= _MINPTS).alias("is_core")
+    )
     # border: non-core with >=1 core point within eps — another range
-    # frame over the 0/1 core indicator
+    # frame over the per-second core-point counts
     core_near = (
-        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).over(wrange) > 0
+        F.sum(F.when(F.col("is_core"), F.col("c")).otherwise(0)).over(wrange)
+        > 0
     )
     border = core.select(
+        "c",
         "is_core",
         (~F.col("is_core") & core_near).alias("is_border"),
     )
+    noise = ~F.col("is_core") & ~F.col("is_border")
     return border.agg(
-        bcount("n_points"),
-        F.count_if(F.col("is_core")).cast("bigint").alias("n_core"),
-        F.count_if(F.col("is_border")).cast("bigint").alias("n_border"),
-        F.count_if(~F.col("is_core") & ~F.col("is_border"))
+        F.sum("c").cast("bigint").alias("n_points"),
+        F.sum(F.when(F.col("is_core"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.sum(F.when(F.col("is_border"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_border"),
+        F.sum(F.when(noise, F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("n_noise"),
         F.round(
-            F.count_if(~F.col("is_core") & ~F.col("is_border")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(F.when(noise, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c"),
             6,
         ).alias("noise_share"),
     )

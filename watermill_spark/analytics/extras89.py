@@ -165,25 +165,26 @@ def q_cohort_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t0"),
         F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias("active_days"),
     )
-    users = spans.select(
+    # r7 (guide §2.5): the median cut's row_number and the midrank window
+    # both ran single-task over the data-scaled user grid. The cut now
+    # uses the distributed two-level rank (unique (t0, user_id) order;
+    # n rides the offset grid), and the midranks come from the
+    # (active_days, count) grid joined back — identical r/ties per row.
+    users = two_level_order(
+        spans.select("t0", "user_id", "active_days"),
+        ["t0", "user_id"],
+        rank_col="rk",
+        total_count="ntot",
+        project=["active_days"],
+    ).select(
         "active_days",
-        F.when(
-            F.row_number().over(Window.orderBy("t0", "user_id"))
-            <= F.count(F.lit(1)).over(Window.partitionBy()) / 2,
-            "early",
-        )
+        F.when(F.col("rk") <= F.col("ntot") / 2, "early")
         .otherwise("late")
         .alias("cohort"),
     )
-    ranked = users.select(
-        "cohort",
-        F.rank().over(Window.orderBy("active_days")).cast("bigint").alias("r"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("active_days"))
-        .cast("bigint")
-        .alias("ties"),
-    )
-    mid = ranked.select(
+    mid = users.join(
+        grid_rank_of(users, "active_days", "r", cnt_col="ties"), "active_days"
+    ).select(
         "cohort", (F.col("r").cast("double") + (F.col("ties") - 1) / 2.0).alias("mr")
     )
     s = mid.agg(

@@ -147,14 +147,29 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcount("frequency"),
         dsum("o_totalprice", "monetary"),
     )
-    return rfm.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("bigint").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("bigint").alias("m_score"),
+    # r7 (guide §2.5): the promised repartitionByRange + per-partition
+    # ranking — each ntile is a pure expression of the exact distributed
+    # rank and n (identical bucket boundaries: first n%k buckets get
+    # ⌈n/k⌉ rows), so no |customers| stream ever sorts in one task.
+    out = rfm
+    for order, score in [
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ]:
+        out = (
+            two_level_order(
+                out,
+                [order, "o_custkey"],
+                rank_col="_rk",
+                total_count="_n",
+            )
+            .withColumn(score, ntile_of(F.col("_rk"), F.col("_n"), 5))
+            .drop("_rk", "_n")
+        )
+    return out.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

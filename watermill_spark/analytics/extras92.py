@@ -116,19 +116,62 @@ def q_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sy"), F.lit(0)).cast("double").alias("y"),
     )
     ctrl = F.col("treated") == 0
-    wb = (
-        Window.orderBy("x", "c_custkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # r7 (guide §2.5): the carry-forward/backward windows ran single-task
+    # over the data-scaled customer grid. Two-level frontier (the
+    # q_out_of_order_lateness decomposition): range-partition on the
+    # (x, custkey) total order; the nearest preceding control is the
+    # within-partition carry-forward if one exists, else the LAST control
+    # of any preceding partition (ranges are ordered, so that is the max
+    # control struct over preceding pids — order-free struct max/min on
+    # the ≤nparts grid); symmetrically for the following control.
+    # Values are carried, never re-accumulated, so every px/py/nx/ny is
+    # identical.
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    g = (
+        c.repartitionByRange(nparts, "x", "c_custkey")
+        .sortWithinPartitions("x", "c_custkey")
+        .select(
+            "x",
+            "y",
+            "treated",
+            "c_custkey",
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .localCheckpoint(eager=True)
     )
-    wf = Window.orderBy("x", "c_custkey").rowsBetween(1, Window.unboundedFollowing)
-    ranked = c.select(
+    pid = F.shiftright("_mid", 33)
+    cstruct = F.when(ctrl, F.struct("x", "c_custkey", "y"))
+    per = g.groupBy(pid.alias("_pid")).agg(
+        F.max(cstruct).alias("_pmax"), F.min(cstruct).alias("_pmin")
+    )
+    wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("_pid").rowsBetween(1, Window.unboundedFollowing)
+    off = per.select(
+        "_pid",
+        F.max("_pmax").over(wprev).alias("_pb"),
+        F.min("_pmin").over(wnext).alias("_nf"),
+    ).localCheckpoint(eager=True)
+    wb = Window.partitionBy(pid).orderBy("_mid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wf = Window.partitionBy(pid).orderBy("_mid").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    joined = g.join(F.broadcast(off), pid == F.col("_pid"))
+    prev_s = F.coalesce(
+        F.last(cstruct, ignorenulls=True).over(wb), F.col("_pb")
+    )
+    next_s = F.coalesce(
+        F.first(cstruct, ignorenulls=True).over(wf), F.col("_nf")
+    )
+    ranked = joined.select(
         "x",
         "y",
         "treated",
-        F.last(F.when(ctrl, F.col("x")), ignorenulls=True).over(wb).alias("px"),
-        F.last(F.when(ctrl, F.col("y")), ignorenulls=True).over(wb).alias("py"),
-        F.first(F.when(ctrl, F.col("x")), ignorenulls=True).over(wf).alias("nx"),
-        F.first(F.when(ctrl, F.col("y")), ignorenulls=True).over(wf).alias("ny"),
+        prev_s["x"].alias("px"),
+        prev_s["y"].alias("py"),
+        next_s["x"].alias("nx"),
+        next_s["y"].alias("ny"),
     )
     use_prev = F.col("px").isNotNull() & (
         F.col("nx").isNull() | (F.col("x") - F.col("px") <= F.col("nx") - F.col("x"))

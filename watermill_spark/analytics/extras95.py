@@ -92,10 +92,22 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("sy"))
-    c = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
-        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
-        F.coalesce(F.col("sy"), F.lit(0)).cast("double").alias("y"),
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bin"),
+    # r7 (guide §2.5): the decile ntile ran single-task over the
+    # data-scaled customer grid; it is now a pure expression of the
+    # distributed exact rank and n (identical bucket boundaries).
+    c = two_level_order(
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+            F.coalesce(F.col("sy"), F.lit(0)).cast("double").alias("y"),
+            "c_acctbal",
+            "c_custkey",
+        ),
+        ["c_acctbal", "c_custkey"],
+        rank_col="_rk",
+        total_count="_n",
+        project=["t", "y"],
+    ).select(
+        "t", "y", ntile_of(F.col("_rk"), F.col("_n"), 10).alias("bin")
     )
     prop = c.groupBy("bin").agg(
         (F.sum("t").cast("double") / F.count(F.lit(1))).alias("p")
