@@ -54,6 +54,21 @@ def davg(col: str | Column, alias: str, typ: str = DEC) -> Column:
     return (F.sum(dec(c, typ)).cast("double") / F.count(c).cast("double")).alias(alias)
 
 
+def telescoped_lambda(alias: str = "lam") -> Column:
+    """Arrival rate λ over the time-sorted event stream WITHOUT a global
+    lag window (which Spark executes in ONE task): the interarrival sum
+    telescopes to max(ts)−min(ts) and the gap count is count(ts)−1, so λ
+    is one map-side-combined moment aggregate (r6 pass 13a, guide §2.5).
+    Shared by q_erlang_blocking / q_mg1_queue_wait (r6 review deferral).
+    """
+    return (
+        (F.count("ts") - F.lit(1)).cast("double")
+        / (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+        ).cast("double")
+    ).alias(alias)
+
+
 def bcount(alias: str, col: str | Column | None = None) -> Column:
     c = F.count(F.col(col) if isinstance(col, str) else col) if col is not None else F.count(F.lit(1))
     return c.cast("bigint").alias(alias)

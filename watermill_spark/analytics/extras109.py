@@ -110,17 +110,26 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    # r7 (guide §3.3, the 13c q_bigram_perplexity pattern): adjacent-token
+    # pairs came from a TOKEN-VOLUME self-join on (doc_id, pos+1) — the
+    # exploded stream shuffled twice and sort-merge-joined against
+    # itself. Both tokens of a pair live in the same row's array, so the
+    # pairs are an in-row slice-zip: identical (w1, w2) multiset, no
+    # join, no token-volume exchange.
+    pairs = (
+        docs.select(F.split("text", " ").alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, greatest(size(ts)-1, 0)),"
+                    "         slice(ts, 2, greatest(size(ts)-1, 0)),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.w1") != F.col("p.w2"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    a = toks.select("doc_id", F.col("pos").alias("p1"), F.col("tok").alias("w1"))
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("p2"), F.col("tok").alias("w2")
-    )
-    pairs = a.join(
-        b,
-        (F.col("doc_b") == F.col("doc_id")) & (F.col("p2") == F.col("p1") + 1),
-    ).filter(F.col("w1") != F.col("w2")).select("w1", "w2")
     edges = (
         pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .unionAll(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
@@ -156,11 +165,16 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("tok"), "v")
             .localCheckpoint(eager=True)
         )
+    # r7 (guide §2.5): take the top-k FIRST (TakeOrderedAndProject —
+    # parallel per-partition top-k) and rank inside the bounded k-row
+    # set; identical rows and ranks by definition of the total order.
     return (
         v.select(
             F.col("tok").alias("keyword"),
             F.round("v", 8).alias("score"),
         )
+        .orderBy(F.desc("score"), F.asc("keyword"))
+        .limit(_TR_TOPK)
         .withColumn(
             "rank",
             F.row_number()
@@ -168,7 +182,6 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
         .orderBy("rank")
-        .limit(_TR_TOPK)
     )
 
 

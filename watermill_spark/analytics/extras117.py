@@ -335,13 +335,31 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == n_years)
         .select("brand")
     )
-    ranked = yb.join(F.broadcast(full_b), "brand").select(
-        "brand",
-        F.row_number()
-        .over(Window.partitionBy("brand").orderBy("rev", "yr"))
-        .cast("bigint")
-        .alias("r"),
-        F.dense_rank().over(Window.orderBy("yr")).cast("bigint").alias("j"),
+    # r7 (guide §2.5): the chronological year index j ran as an
+    # unpartitioned dense_rank over the data-scaled brand×year grid
+    # (every row through ONE task); j is a pure function of yr, so it now
+    # comes from the ≤|years| calendar-bounded grid broadcast back —
+    # identical j (complete-block brands see every year, so the joined
+    # stream's distinct years equal yb's).
+    yrmap = (
+        yb.select("yr")
+        .distinct()
+        .select(
+            "yr",
+            F.row_number().over(Window.orderBy("yr")).cast("bigint").alias("j"),
+        )
+    )
+    ranked = (
+        yb.join(F.broadcast(full_b), "brand")
+        .join(F.broadcast(yrmap), "yr")
+        .select(
+            "brand",
+            F.row_number()
+            .over(Window.partitionBy("brand").orderBy("rev", "yr"))
+            .cast("bigint")
+            .alias("r"),
+            "j",
+        )
     )
     sums = ranked.agg(
         F.sum((F.col("j") * F.col("r")).cast(_D15)).cast("double").alias("l"),

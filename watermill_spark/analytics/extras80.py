@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .det import bcount, dec
+from .det import bcount, dec, telescoped_lambda
 from .registry import load, register
 
 _HEX = "0123456789abcdef"
@@ -336,19 +336,13 @@ def q_mg1_queue_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    # λ without the global lag window (single-task sort at scale): the
-    # interarrival sum over the time-sorted stream TELESCOPES to
-    # max(ts)−min(ts), and the gap count is (non-null ts count)−1 —
-    # identical values from one moment aggregate (r6, guide §2.5).
-    arr = ev.agg(
-        (
-            (F.count("ts") - F.lit(1)).cast("double")
-            / (
-                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
-            ).cast("double")
-        ).alias("lam")
-    )
-    svc = ev.agg(
+    # λ without the global lag window: det.telescoped_lambda (r6 pass
+    # 13a; hoisted r7). r7 also merges the arrival and service moments
+    # into ONE aggregate pass — one events scan instead of two, no
+    # cross join, identical values (independent aggregates of the same
+    # rows).
+    s = ev.agg(
+        telescoped_lambda(),
         (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es"),
         (
             F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast(
@@ -357,7 +351,6 @@ def q_mg1_queue_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("es2"),
     )
-    s = arr.crossJoin(F.broadcast(svc))
     rho = F.col("lam") * F.col("es")
     wq = F.when(
         rho < 1.0, F.col("lam") * F.col("es2") / (2 * (1.0 - rho))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from watermill_spark.session import tune_session
 
-from .det import bcount, dec
+from .det import bcount, dec, telescoped_lambda
 from .registry import load, register
 from .extras9 import _PR_EDGE_SQL
 
@@ -202,20 +202,13 @@ def q_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
 
-    arr = ev.agg(
-        (
-            (F.count("ts") - F.lit(1)).cast("double")
-            / (
-                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
-            ).cast("double")
-        ).alias("lam")
-    )
-    svc = ev.agg(
-        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es")
-    )
-    s = arr.crossJoin(F.broadcast(svc)).select(
-        (F.col("lam") * F.col("es")).alias("a")
-    )
+    # λ via det.telescoped_lambda (r6 pass 13a; hoisted r7). r7 also
+    # merges the arrival and service moments into ONE aggregate pass —
+    # one events scan instead of two, no cross join, identical values.
+    s = ev.agg(
+        telescoped_lambda(),
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es"),
+    ).select((F.col("lam") * F.col("es")).alias("a"))
     b = _erlang_b_col(F.col("a"), _ERLANG_C)
     return s.select(
         F.round("a", 6).alias("offered_load_erlangs"),
