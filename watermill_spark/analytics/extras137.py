@@ -220,19 +220,15 @@ def q_abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    # r7: ONE lineitem scan instead of two — the (part, month) grid
-    # carries BOTH the monthly quantity and the monthly revenue partial
-    # sums (the pass-10 q_abc_xyz_matrix pattern); per-part revenue is
-    # the exact decimal re-sum of its monthly partials (decimal addition
-    # associative, so the double is identical to the one-pass sum).
-    pm = li.groupBy(
-        "l_partkey", F.date_trunc("month", "l_shipdate").alias("ym")
-    ).agg(
-        F.sum(dec("l_quantity")).alias("qd"),
-        F.sum(dec("l_extendedprice")).alias("rd"),
-    ).localCheckpoint(eager=True)
-    rev = pm.groupBy("l_partkey").agg(
-        F.sum("rd").cast("double").alias("revenue")
+    # NOT merged into one scan (r7, measured): the (part, month) grid is
+    # nearly fact-sized at TPC-H-like distributions (~30 lineitems per
+    # part spread over ~84 months), so materializing it to feed both
+    # rollups costs MORE than the second pruned columnar read of
+    # (partkey, extendedprice) — the pass-11 criterion (sf1 A/B: 5.0 s
+    # single-scan-grid vs 3.2 s two pruned scans). The two scans read
+    # disjoint narrow column sets.
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue")
     )
     # r7: the pass-13f two-level prefix scaffold moved to the shared
     # distrib.two_level_order helper (same range grid, same (30,10)
@@ -256,7 +252,9 @@ def q_abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
-    monthly = pm.select("l_partkey", "ym", F.col("qd").cast("double").alias("q"))
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("ym")
+    ).agg(F.sum(dec("l_quantity")).cast("double").alias("q"))
     xyz = monthly.groupBy("l_partkey").agg(
         bcount("n"),
         F.sum(F.col("q").cast(_D15)).cast("double").alias("s"),
