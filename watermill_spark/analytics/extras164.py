@@ -221,14 +221,39 @@ def q_recommendation_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation, so it costs no extra shuffle — and at true cluster
     # scale this is exactly the operator whose partitioning you size by
     # key-domain, not by the session default.
-    pairs = (
+    # r7 (guide §2.3 "shuffle fewer bytes"): co-purchase counts are
+    # symmetric, so each UNORDERED pair is counted once — the basket's
+    # parts are distinct, so cons > ante keeps exactly one of each pair
+    # (the filter runs map-side BEFORE the exchange), halving both the
+    # shuffle volume and
+    # the aggregation hash state of the query's dominant stage (the
+    # catalog² (ante, cons) aggregate that OOMed sf5 in r5). The
+    # aggregated counts then mirror map-side with a 2-way explode (one
+    # pass, no second derivation) before the per-ante top-3, which
+    # WindowGroupLimit prunes map-side as before. co(a,b) = co(b,a) =
+    # the number of customers whose set contains both (each customer
+    # contributes exactly one (min,max) pair), so every count and rank
+    # is identical.
+    uo = (
         lists.select(F.explode("ps").alias("ante"), "ps")
         .select("ante", F.explode("ps").alias("cons"))
-        .filter(F.col("cons") != F.col("ante"))
+        .filter(F.col("cons") > F.col("ante"))
         .repartition(256, "ante", "cons")
         .groupBy("ante", "cons")
         .agg(bcount("co"))
     )
+    pairs = uo.select(
+        F.explode(
+            F.array(
+                F.struct("ante", "cons", "co"),
+                F.struct(
+                    F.col("cons").alias("ante"),
+                    F.col("ante").alias("cons"),
+                    "co",
+                ),
+            )
+        ).alias("p")
+    ).select("p.ante", "p.cons", "p.co")
     recs = pairs.select(
         "ante",
         "cons",

@@ -32,13 +32,6 @@ def _erlang_b_sql(a: str, c: int) -> str:
     return expr
 
 
-def _erlang_b_col(a, c: int):
-    b = F.lit(1.0)
-    for k in range(1, c + 1):
-        b = a * b / (F.lit(float(k)) + a * b)
-    return b
-
-
 @register(
     "q_rich_club",
     oracle=f"""
@@ -209,7 +202,22 @@ def q_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         telescoped_lambda(),
         (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("es"),
     ).select((F.col("lam") * F.col("es")).alias("a"))
-    b = _erlang_b_col(F.col("a"), _ERLANG_C)
+    # r7 (guide §7.3 "planning time itself can become the bottleneck"):
+    # the single-expression recursion B_k = aB_{k-1}/(k + aB_{k-1})
+    # references B_{k-1} twice, so the expression TREE doubles per step —
+    # ~2^12 nodes for 12 channels, and Catalyst spent ~6 s of the query's
+    # sf1 wall planning/codegening it (the data work is one 1-row
+    # aggregate). The recursion now advances column-by-column with the
+    # 1-row frame checkpointed every 4 steps, which caps every plan at a
+    # 16-leaf tree. Identical double arithmetic step for step.
+    b = F.lit(1.0)
+    for k in range(1, _ERLANG_C + 1):
+        s = s.select(
+            "a", (F.col("a") * b / (F.lit(float(k)) + F.col("a") * b)).alias("b")
+        )
+        b = F.col("b")
+        if k % 4 == 0:
+            s = s.localCheckpoint(eager=True)
     return s.select(
         F.round("a", 6).alias("offered_load_erlangs"),
         F.lit(_ERLANG_C).cast("bigint").alias("channels"),
