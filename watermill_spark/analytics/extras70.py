@@ -119,6 +119,13 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-norm embeddings). Reconstructing via DECIMAL(26,0)/10¹² yields
     # the exact (38,12) decimal sum, so the final DOUBLE and round(·,6)
     # are bit-identical to the old per-dimension SUM.
+    # r7 measured-and-kept: unrolling the k×64 micro-unit fold into a
+    # flat 2,500-node generated expression (to get it out of interpreted
+    # higher-order-function evaluation) was A/B'd at sf1 and came out
+    # SLOWER — 19.9 s (fold) vs 29.7 s (unrolled; the expression blows
+    # past codegen method limits and falls back to interpreted projection
+    # of the giant tree). The interpreted fold below stays — the round's
+    # shuffle structure (13d) is already minimal.
     _D2 = (
         "transform(cents, c -> struct("
         " round(CAST("
