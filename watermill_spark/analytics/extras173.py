@@ -252,6 +252,13 @@ def q_fractional_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem")
+    # r7: the capacity aggregate and the ranked prefix stream each
+    # re-derived the part rollup (2 identical lineitem scans); the
+    # key-domain grid materializes once. The density prefix window
+    # itself stays single-task: its running SUM accumulates DOUBLES in
+    # frame order, and that sequential addition order is the
+    # cross-engine parity contract (see the window-census note in
+    # OPTIMIZATION_r07.md) — regrouping it would change results.
     items = (
         li.groupBy("l_partkey")
         .agg(
@@ -259,6 +266,7 @@ def q_fractional_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("units"),
         )
         .filter(F.col("units") > 0)
+        .localCheckpoint(eager=True)
     )
     wr = Window.orderBy(
         (F.col("revenue") / F.col("units")).desc(), "l_partkey"
