@@ -101,7 +101,8 @@ def two_level_order(
         columns not listed here are dropped BEFORE the checkpoint — once
         ``_mid`` encodes the order, they are dead weight in the
         materialized stream (the in-partition windows re-order by
-        ``_mid`` itself).
+        ``_mid`` itself). Columns referenced by ``sums`` MUST be listed
+        (they feed the per-partition aggregate after the projection).
 
     Returns the ``project`` columns plus the requested outputs.
     """
